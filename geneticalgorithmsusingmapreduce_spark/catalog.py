@@ -1,0 +1,130 @@
+"""Query catalog: every operator from SURVEY.md §2 (plus the scale
+extensions) registered as a (spark_fn, oracle_sql) pair.
+
+The driver contract (__spark_entry__.py) runs each spark_fn at sf0.01 and
+hash-compares against the DuckDB oracle. Column names are aliased
+identically on both sides (the comparator sorts columns by name).
+
+Determinism rules for oracle-checked entries:
+- stochastic inputs come from functions.prng/bits seeded xxhash64 streams
+  (bit-exact in both engines);
+- no floating-point aggregation unless computed as exact-int sums followed
+  by one division;
+- argmax/argmin tie-broken by a composed exact ordering key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .functions import bits
+from .operators import fitness as fit_ops, generate
+from .sources.registry import read_table
+
+GENOME_BITS = 256  # flagship genome width (4 longs)
+NL = bits.n_longs(GENOME_BITS)
+SEED = 42
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+# Unique individual id for lineitem-derived populations (l_linenumber 1..7).
+LI_IID = "(l_orderkey * 8 + l_linenumber)"
+
+
+def lineitem_population(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic population derived from lineitem rows (SURVEY.md §7.2):
+    one individual per row, genome seeded by the (orderkey, linenumber) id.
+    Exercises S1 scan → generator → scalar pipeline."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.expr(LI_IID).alias("iid"), "l_returnflag"
+    )
+    return generate.population_from_table(li, "iid", GENOME_BITS, SEED)
+
+
+def lineitem_population_duck() -> str:
+    """Oracle twin: subquery exposing (iid, l_returnflag, genome)."""
+    src = f"SELECT {LI_IID} AS iid, l_returnflag FROM lineitem"
+    return bits.duck_genome_query(
+        src, "iid", ["iid", "l_returnflag"], GENOME_BITS, SEED
+    )
+
+
+_DUCK_FIT = bits.popcount_sql("genome", "duckdb")
+
+
+# --- P1/P2 + A1/A2: flagship --------------------------------------------
+
+@register(
+    "flagship_best_by_flag",
+    f"""
+    WITH fit AS (
+      SELECT l_returnflag, iid, genome, {_DUCK_FIT} AS fitness
+      FROM {lineitem_population_duck()} _p
+    )
+    SELECT l_returnflag,
+           count(*) AS pop,
+           max(fitness) AS best_fitness,
+           cast(sum(fitness) as bigint) AS sum_fitness,
+           arg_max(genome, fitness * 4294967296 + (iid % 2147483648)) AS best_genome
+    FROM fit GROUP BY l_returnflag
+    """,
+)
+def flagship_best_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan → deterministic genome generator (G1-from-table) → ONEMAX
+    fitness (P1/P2) → grouped best-individual agg (A1/A2 as partial+final
+    hash agg). The reference's §3.1 lifecycle collapsed onto one shuffle;
+    max_by tie-broken on (fitness, iid) so the oracle matches exactly."""
+    fit = fit_ops.with_fitness(lineitem_population(spark, sf_dir), nl=NL)
+    return fit.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("pop"),
+        F.max("fitness").alias("best_fitness"),
+        F.sum("fitness").alias("sum_fitness"),
+        F.max_by(
+            "genome", F.expr("fitness * 4294967296 + (iid % 2147483648)")
+        ).alias("best_genome"),
+    )
+
+
+# --- G1: pure generator --------------------------------------------------
+
+@register(
+    "population_generate",
+    f"""
+    SELECT id, genome, {_DUCK_FIT} AS fitness
+    FROM {generate.population_gen_duckdb_sql(4096, GENOME_BITS, SEED)} _p
+    """,
+)
+def population_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1 seeded: 4096 individuals from spark.range — no input files (the
+    reference needs dummy seed records S3; range() replaces them)."""
+    pop = generate.random_population(spark, 4096, GENOME_BITS, SEED)
+    return fit_ops.with_fitness(pop, nl=NL)
+
+
+# --- G2: probability-vector init ----------------------------------------
+
+@register(
+    "cga_init_vectors",
+    generate.prob_vectors_duckdb_sql(8),
+)
+def cga_init_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2: 8 splits × 704 bit-probabilities at fixed-point p=0.5, exploded
+    model layout (one row per model bit)."""
+    return generate.init_prob_vectors(spark, 8)
+
+
+def entry_flagship(spark: SparkSession) -> DataFrame:
+    return flagship_best_by_flag(spark, "/root/testdata/sf0.001")

@@ -1,0 +1,48 @@
+"""Table registry over the driver-generated parquet fixtures (TESTDATA.md)
+and per-generation GA state dirs.
+
+Reference mapping (SURVEY.md §2.1): the reference reads/writes one
+SequenceFile dir per GA generation (S1/S2, ``reference
+src/edu/illinois/ga/MapReduce.java:282,286,298-302``). Here a generation is
+a parquet dir (columnar, splittable, min/max-pruned) — at 100 TB the scan
+benefits from column pruning + predicate pushdown that SequenceFiles can't
+offer.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """S1: columnar scan. Filters/projections placed on the result are
+    pushed into the parquet reader by Catalyst (verified in tests via
+    explain() containing PushedFilters)."""
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    for t in TABLES:
+        p = table_path(sf_dir, t)
+        if os.path.exists(p):
+            read_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def write_generation(df: DataFrame, base_dir: str, generation: int) -> str:
+    """S2: sink for generation state. Overwrite semantics replace the
+    reference's manual recursive-delete (S6, ``reference
+    src/edu/illinois/ga/MapReduce.java:317,362-363``)."""
+    path = os.path.join(base_dir, f"gen={generation}")
+    df.write.mode("overwrite").parquet(path)
+    return path

@@ -1,0 +1,99 @@
+"""Local replica of the driver's t2 correctness gate: run each queries()
+entry on Spark and its oracle_sql() on DuckDB at sf0.01, compare row count
++ column names + order-insensitive values.
+
+Usage: python tools/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+import duckdb
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from geneticalgorithmsusingmapreduce_spark.session import build_session  # noqa: E402
+from geneticalgorithmsusingmapreduce_spark.sources.registry import (  # noqa: E402
+    TABLES, table_path,
+)
+import __spark_entry__ as entrymod  # noqa: E402
+
+
+def _norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.10g}"
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm_cell(x) for x in v)
+    if hasattr(v, "tolist"):  # numpy array
+        return tuple(_norm_cell(x) for x in v.tolist())
+    return v
+
+def _norm(df_pd):
+    cols = sorted(df_pd.columns)
+    rows = [
+        tuple(_norm_cell(v) for v in row)
+        for row in df_pd[cols].itertuples(index=False, name=None)
+    ]
+    return cols, sorted(rows, key=repr)
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = build_session("correctness-check")
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        p = table_path(sf_dir, t)
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    failed = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: spark error {type(e).__name__}: {str(e)[:300]}")
+            failed.append(name)
+            continue
+        if name not in oracles:
+            print(f"ok   {name}: rows-only ({len(sdf)} rows)")
+            continue
+        try:
+            ddf = con.sql(oracles[name]).df()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: duckdb error {type(e).__name__}: {str(e)[:300]}")
+            failed.append(name)
+            continue
+        sc, sr = _norm(sdf)
+        dc, dr = _norm(ddf)
+        if sc != dc:
+            print(f"FAIL {name}: columns {sc} vs {dc}")
+            failed.append(name)
+        elif len(sr) != len(dr):
+            print(f"FAIL {name}: rows {len(sr)} vs {len(dr)}")
+            failed.append(name)
+        elif sr != dr:
+            bad = next(i for i, (a, b) in enumerate(zip(sr, dr)) if a != b)
+            print(f"FAIL {name}: values differ at sorted-row {bad}:")
+            print(f"  spark : {str(sr[bad])[:240]}")
+            print(f"  duckdb: {str(dr[bad])[:240]}")
+            failed.append(name)
+        else:
+            print(f"PASS {name} ({len(sr)} rows)")
+    print(f"\n{len(qs) - len(failed)}/{len(qs)} pass")
+    spark.stop()
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()
