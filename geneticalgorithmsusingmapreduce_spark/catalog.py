@@ -21,6 +21,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .functions import bits
 from .operators import fitness as fit_ops, generate
+from .operators import selection as selection_ops, shuffle as shuffle_ops
+from .plans import sga as sga_plan
 from .sources.registry import read_table
 
 GENOME_BITS = 256  # flagship genome width (4 longs)
@@ -124,6 +126,82 @@ def cga_init_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G2: 8 splits × 704 bit-probabilities at fixed-point p=0.5, exploded
     model layout (one row per model bit)."""
     return generate.init_prob_vectors(spark, 8)
+
+
+# --- SGA generation pipeline: O1/X1 → W1 → W2 → P4 ----------------------
+
+def _pop_with_fitness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lineitem-derived evaluated population [id, genome, fitness]."""
+    pop = lineitem_population(spark, sf_dir).select(
+        F.col("iid").alias("id"), "genome"
+    )
+    return fit_ops.with_fitness(pop, nl=NL)
+
+
+def _duck_pop_fit() -> str:
+    return (
+        f"(SELECT iid AS id, genome, {_DUCK_FIT} AS fitness "
+        f"FROM {lineitem_population_duck()} _pf)"
+    )
+
+
+@register(
+    "sga_shuffle",
+    f"""
+    SELECT id, skey, part FROM
+    {shuffle_ops.duck_shuffle_query(_duck_pop_fit(), SEED * 1_000_033, n_buckets=32)} _s
+    """,
+)
+def sga_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1/X1: seeded random sort key + uniform bucket routing — the honest
+    replacement for the reference's contract-violating random comparator
+    (``reference src/edu/illinois/ga/LongArrayWritable.java:52-58``) and
+    random partitioner (``src/edu/illinois/ga/MapReduce.java:39-50``)."""
+    sh = shuffle_ops.with_shuffle_key(
+        _pop_with_fitness(spark, sf_dir), SEED * 1_000_033, n_buckets=32
+    )
+    return sh.select("id", "skey", "part")
+
+
+@register(
+    "sga_tournament",
+    f"""
+    SELECT part, pos, parent, parent_fitness FROM
+    {selection_ops.duck_tournament_sql(
+        "(SELECT id, genome, fitness, skey, part FROM "
+        + shuffle_ops.duck_shuffle_query(_duck_pop_fit(), SEED * 1_000_033, n_buckets=32)
+        + " _q)"
+    )} _t
+    """,
+)
+def sga_tournament(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: sliding-window tournament (size 5, wrap-around flush) as ROWS
+    frame window aggregation."""
+    sh = shuffle_ops.with_shuffle_key(
+        _pop_with_fitness(spark, sf_dir), SEED * 1_000_033, n_buckets=32
+    )
+    return selection_ops.tournament_parents(sh)
+
+
+@register(
+    "sga_generation",
+    f"""
+    WITH ch AS (
+      SELECT id, genome FROM
+      {sga_plan.duck_generation_sql(_duck_pop_fit(), GENOME_BITS, SEED)} _g
+    )
+    SELECT id, genome, {_DUCK_FIT} AS fitness FROM ch
+    """,
+)
+def sga_generation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full composed generation: evaluate → shuffle → tournament → pair →
+    crossover → children (+ child fitness). The reference's entire
+    map-shuffle-reduce job (§3.1) as one declarative plan with a single
+    exchange."""
+    children = sga_plan.next_generation(
+        _pop_with_fitness(spark, sf_dir), GENOME_BITS, SEED, generation=0
+    )
+    return fit_ops.with_fitness(children, nl=NL)
 
 
 def entry_flagship(spark: SparkSession) -> DataFrame:

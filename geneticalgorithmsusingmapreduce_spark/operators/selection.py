@@ -1,0 +1,131 @@
+"""Sliding-window tournament selection W1 + pairing W2 (SURVEY.md §2.6).
+
+Reference semantics (``reference src/edu/illinois/ga/MapReduce.java:151-273``):
+each reducer streams its randomly-ordered partition through a circular
+buffer of the last ``tournamentSize = 5`` rows; every step past warm-up
+emits the window's best individual as a parent (``:203-214,224-232``), and
+at end-of-partition the buffer "wraps around" emitting T-1 more windows
+over the partition's head (``:252-272``) — so a partition of n rows yields
+exactly n parents. Every 2nd parent pairs with the previous one for
+crossover (``:235-243``).
+
+Spark mapping: one shuffle on the seeded bucket, then ranking/analytic
+window functions over it —
+
+    rn    = row_number() over (partition by part order by skey, id)
+    ext   = rows ∪ head-rows re-positioned at rn+n   (the wrap-around)
+    parent= max_by(genome, fitness·2^32 + id) over rows between 4 preceding
+    pos   = rn - 4  for rn ≥ 5    (n parents per bucket when n ≥ 4)
+    pair  = (pos+1) div 2; partner via lag(parent) over pos
+
+All windows share the same partitioning, so Catalyst reuses a single
+exchange; lag() replaces a self-join for pairing (no second shuffle).
+The argmax is tie-broken on (fitness, id) so the DuckDB oracle matches
+exactly. Buckets with n < T-1 yield fewer than n parents (degenerate case
+the reference never hits — buckets are sized ≫ T).
+
+At 100 TB: n_buckets should be O(cores·4); windows sort within buckets
+only (no global sort), and the wrap-around union re-reads the bucket
+head — the generation loop persists its input so this costs a cache read,
+not a recompute.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+TOURNAMENT_SIZE = 5  # reference src/edu/illinois/ga/MapReduce.java:154
+
+_ORD = "(fitness * 4294967296 + id)"
+
+
+def tournament_parents(
+    df: DataFrame, t_size: int = TOURNAMENT_SIZE
+) -> DataFrame:
+    """W1. Input: [id, genome, fitness, skey, part]; output: one parent per
+    input row: [part, pos, parent(genome array), parent_fitness]."""
+    w = Window.partitionBy("part").orderBy("skey", "id")
+    d = df.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("part"))
+    )
+    head = d.filter(F.col("rn") <= t_size - 1).withColumn(
+        "rn", F.col("rn") + F.col("n")
+    )
+    ext = d.unionByName(head)
+    wf = (
+        Window.partitionBy("part")
+        .orderBy("rn")
+        .rowsBetween(-(t_size - 1), 0)
+    )
+    sel = ext.select(
+        "part",
+        "rn",
+        F.expr(f"max_by(genome, {_ORD})").over(wf).alias("parent"),
+        F.max("fitness").over(wf).alias("parent_fitness"),
+    )
+    return sel.filter(F.col("rn") >= t_size).select(
+        "part",
+        (F.col("rn") - t_size + 1).alias("pos"),
+        "parent",
+        "parent_fitness",
+    )
+
+
+def paired_parents(parents: DataFrame) -> DataFrame:
+    """W2. Pairs consecutive parents: rows at even pos carry (pa, pb) =
+    (previous, current); odd tail parent drops (reference pairs every 2nd
+    selection, ``reference src/edu/illinois/ga/MapReduce.java:235-243``)."""
+    wp = Window.partitionBy("part").orderBy("pos")
+    d = parents.withColumn("pa", F.lag("parent", 1).over(wp))
+    return (
+        d.filter(F.col("pos") % 2 == 0)
+        .select(
+            "part",
+            ((F.col("pos") + 1) / 2).cast("bigint").alias("pair"),
+            "pa",
+            F.col("parent").alias("pb"),
+        )
+    )
+
+
+def duck_tournament_sql(
+    shuffled_sql: str, t_size: int = TOURNAMENT_SIZE
+) -> str:
+    """Oracle twin of tournament_parents over a relation exposing
+    (id, genome, fitness, skey, part)."""
+    ord_ = _ORD
+    return f"""(
+      WITH _d AS (
+        SELECT *, row_number() OVER (PARTITION BY part ORDER BY skey, id) AS rn,
+               count(*) OVER (PARTITION BY part) AS n
+        FROM {shuffled_sql} _s
+      ), _ext AS (
+        SELECT id, genome, fitness, skey, part, rn FROM _d
+        UNION ALL
+        SELECT id, genome, fitness, skey, part, rn + n AS rn
+        FROM _d WHERE rn <= {t_size - 1}
+      ), _sel AS (
+        SELECT part, rn,
+               arg_max(genome, {ord_}) OVER
+                 (PARTITION BY part ORDER BY rn
+                  ROWS BETWEEN {t_size - 1} PRECEDING AND CURRENT ROW) AS parent,
+               max(fitness) OVER
+                 (PARTITION BY part ORDER BY rn
+                  ROWS BETWEEN {t_size - 1} PRECEDING AND CURRENT ROW) AS parent_fitness
+        FROM _ext
+      )
+      SELECT part, rn - {t_size - 1} AS pos, parent, parent_fitness
+      FROM _sel WHERE rn >= {t_size}
+    )"""
+
+
+def duck_paired_sql(parents_sql: str) -> str:
+    return f"""(
+      WITH _p AS (
+        SELECT part, pos, parent,
+               lag(parent) OVER (PARTITION BY part ORDER BY pos) AS pa
+        FROM {parents_sql} _t
+      )
+      SELECT part, (pos + 1) // 2 AS pair, pa, parent AS pb
+      FROM _p WHERE pos % 2 = 0
+    )"""

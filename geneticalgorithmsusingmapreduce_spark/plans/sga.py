@@ -1,0 +1,131 @@
+"""Simple GA: one-generation plan + iterative driver (SURVEY.md §3.1).
+
+Reference lifecycle (``reference src/edu/illinois/ga/MapReduce.java:275-438``):
+one MapReduce job per generation — map evaluates fitness + tracks a running
+max, shuffle randomly partitions AND randomly sorts, reduce runs the
+windowed tournament + pairing + crossover, driver folds side-files for the
+global best and stops at best ≥ nBits−10 (``:433-434``).
+
+Spark plan per generation (one job, ONE shuffle):
+
+    population --(P2 fitness, codegen)--> --(O1/X1 seeded skey+bucket)-->
+    exchange(part) --> W1 tournament windows --> W2 lag-pairing -->
+    P4 crossover --> children
+
+The A1/A2 best-individual stats ride the same evaluated DataFrame as a
+separate 1-row agg (partial map-side max → 32-row final exchange — the
+side-channel files S4/S5 and driver fold of the reference collapse into
+this). The loop persists each generation and unpersists the last
+(lineage truncation the reference got implicitly from HDFS
+materialization, SURVEY.md §7.4.3).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions import bits
+from ..operators import crossover, fitness as fit_ops, generate, selection, shuffle
+
+
+def evaluate(pop: DataFrame, n_bits: int) -> DataFrame:
+    return fit_ops.with_fitness(pop, nl=bits.n_longs(n_bits))
+
+
+def next_generation(
+    pop: DataFrame,
+    n_bits: int,
+    seed: int | None,
+    generation: int,
+    n_buckets: int = 32,
+    t_size: int = selection.TOURNAMENT_SIZE,
+) -> DataFrame:
+    """One SGA generation: evaluated population → children [id, genome].
+    ``seed`` is folded with the generation index so every generation draws
+    a fresh deterministic stream."""
+    gen_seed = None if seed is None else seed * 1_000_033 + generation
+    sh = shuffle.with_shuffle_key(pop, gen_seed, n_buckets=n_buckets)
+    parents = selection.tournament_parents(sh, t_size)
+    pairs = selection.paired_parents(parents)
+    return crossover.crossover_children(pairs, n_bits, gen_seed)
+
+
+def duck_generation_sql(
+    pop_sql: str,
+    n_bits: int,
+    seed: int,
+    generation: int = 0,
+    n_buckets: int = 32,
+    t_size: int = selection.TOURNAMENT_SIZE,
+) -> str:
+    """Oracle twin of next_generation over a relation exposing
+    (id, genome, fitness)."""
+    gen_seed = seed * 1_000_033 + generation
+    sh = shuffle.duck_shuffle_query(pop_sql, gen_seed, n_buckets=n_buckets)
+    par = selection.duck_tournament_sql(
+        f"(SELECT id, genome, fitness, skey, part FROM {sh} _sh)", t_size
+    )
+    pairs = selection.duck_paired_sql(par)
+    return crossover.duck_children_sql(pairs, n_bits, gen_seed)
+
+
+@dataclass
+class GenStats:
+    generation: int
+    best_fitness: int
+    pop: int
+    wall_ms: int
+
+
+@dataclass
+class SgaResult:
+    stats: list[GenStats] = field(default_factory=list)
+    best_fitness: int = 0
+    generations: int = 0
+    converged: bool = False
+
+
+def run_sga(
+    spark: SparkSession,
+    n_bits: int,
+    pop_size: int,
+    seed: int | None = 42,
+    max_generations: int = 100,
+    target_slack: int = 10,
+    n_buckets: int = 32,
+) -> SgaResult:
+    """Iterative driver (P7 stop rule: best ≥ n_bits − target_slack,
+    ``reference src/edu/illinois/ga/MapReduce.java:433-434``). Emits the
+    reference's telemetry line GA:<it>:<bits>:<pop>:<best>:<ms>
+    (``:432``) per generation."""
+    res = SgaResult()
+    pop = evaluate(
+        generate.random_population(spark, pop_size, n_bits, seed), n_bits
+    ).persist()
+    try:
+        for it in range(max_generations):
+            t0 = time.perf_counter()
+            best, n = pop.agg(
+                F.max("fitness"), F.count(F.lit(1))
+            ).collect()[0]
+            ms = int((time.perf_counter() - t0) * 1000)
+            res.stats.append(GenStats(it, best, n, ms))
+            print(f"GA:{it}:{n_bits}:{n}:{best}:{ms}")
+            res.best_fitness = max(res.best_fitness, best)
+            res.generations = it
+            if best >= n_bits - target_slack:
+                res.converged = True
+                break
+            children = evaluate(
+                next_generation(pop, n_bits, seed, it, n_buckets), n_bits
+            )
+            # materialize + truncate lineage, then release the old gen
+            new_pop = children.localCheckpoint(eager=True)
+            pop.unpersist()
+            pop = new_pop
+    finally:
+        pop.unpersist()
+    return res
