@@ -20,6 +20,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .functions import bits
+from .operators import cga as cga_ops
 from .operators import fitness as fit_ops, generate
 from .operators import selection as selection_ops, shuffle as shuffle_ops
 from .plans import sga as sga_plan
@@ -202,6 +203,78 @@ def sga_generation(spark: SparkSession, sf_dir: str) -> DataFrame:
         _pop_with_fitness(spark, sf_dir), GENOME_BITS, SEED, generation=0
     )
     return fit_ops.with_fitness(children, nl=NL)
+
+
+# --- cGA pipeline: G3/P3 → A3 → J1/J2+P5 → P6 ---------------------------
+
+CGA_SPLITS = 8
+CGA_T = 4
+CGA_POP = 1000
+_CGA_VEC_DUCK = generate.prob_vectors_duckdb_sql(CGA_SPLITS)
+_CGA_GEN_SEED = SEED * 1_000_033
+
+
+def _cga_vectors(spark: SparkSession):
+    return generate.init_prob_vectors(spark, CGA_SPLITS)
+
+
+@register(
+    "cga_sample",
+    f"SELECT * FROM {cga_ops.duck_samples_sql(f'({_CGA_VEC_DUCK})', CGA_T, _CGA_GEN_SEED)} _q",
+)
+def cga_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3/P3: T Bernoulli tournament members per model bit from the seeded
+    stream (fixed-point threshold compare, no floats)."""
+    return cga_ops.sample_members(_cga_vectors(spark), CGA_T, _CGA_GEN_SEED)
+
+
+@register(
+    "cga_member_fitness",
+    f"""SELECT * FROM {cga_ops.duck_member_fitness_sql(
+        cga_ops.duck_samples_sql(f'({_CGA_VEC_DUCK})', CGA_T, _CGA_GEN_SEED)
+    )} _q""",
+)
+def cga_member_fitness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: per-member ONEMAX over the distributed genome — partial map-side
+    sums + T-row final agg (replaces the reference's side-file fold)."""
+    return cga_ops.member_fitness(
+        cga_ops.sample_members(_cga_vectors(spark), CGA_T, _CGA_GEN_SEED)
+    )
+
+
+@register(
+    "cga_generation",
+    f"""SELECT * FROM {cga_ops.duck_update_sql(
+        f'({_CGA_VEC_DUCK})', CGA_T, _CGA_GEN_SEED, CGA_POP
+    )} _q""",
+)
+def cga_generation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full cGA generation: sample → winner/loser (J2 broadcast scalars) →
+    shuffle-free vector update (P5, clamped fixed-point)."""
+    vec = _cga_vectors(spark)
+    fits = cga_ops.member_fitness(
+        cga_ops.sample_members(vec, CGA_T, _CGA_GEN_SEED)
+    )
+    w, l = cga_ops.winner_loser(fits)
+    return cga_ops.update_vectors(vec, w, l, _CGA_GEN_SEED, CGA_POP)
+
+
+@register(
+    "cga_convergence",
+    f"""SELECT * FROM {cga_ops.duck_convergence_sql(
+        cga_ops.duck_update_sql(f'({_CGA_VEC_DUCK})', CGA_T, _CGA_GEN_SEED, CGA_POP)
+    )} _q""",
+)
+def cga_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6/A4: unconverged-bit count after one update step."""
+    vec = _cga_vectors(spark)
+    fits = cga_ops.member_fitness(
+        cga_ops.sample_members(vec, CGA_T, _CGA_GEN_SEED)
+    )
+    w, l = cga_ops.winner_loser(fits)
+    return cga_ops.convergence_stats(
+        cga_ops.update_vectors(vec, w, l, _CGA_GEN_SEED, CGA_POP)
+    )
 
 
 def entry_flagship(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,94 @@
+"""Compact GA iterative driver (SURVEY.md §3.2).
+
+Per generation (one narrow pass + one T-row exchange, vs the reference's
+full MapReduce job with an HDFS side-channel):
+
+    vectors --explode members--> Bernoulli samples --groupBy(member)-->
+    T-row fitness --collect--> (winner, loser) scalars
+    vectors --shuffle-free update projection--> vectors'
+
+Stop when unConverged == 0 (``reference src/edu/illinois/ga/CGA.java:495``);
+telemetry mirrors the reference's CGA:<it>:... line (``:494``).
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession, functions as F
+
+from ..operators import cga, generate
+
+
+@dataclass
+class CgaGenStats:
+    generation: int
+    best_fitness: int
+    unconverged: int
+    wall_ms: int
+
+
+@dataclass
+class CgaResult:
+    stats: list[CgaGenStats] = field(default_factory=list)
+    generations: int = 0
+    converged: bool = False
+    final_unconverged: int = -1
+
+
+def reference_pop_size(
+    num_splits: int, bits_per_split: int = cga.BITS_PER_SPLIT, multiplier: int = 10
+) -> int:
+    """Reference sizing: pop = ceil(strLen · log2(totalBits)) · multiplier
+    (``reference src/edu/illinois/ga/CGA.java:331-335``)."""
+    total_bits = num_splits * bits_per_split
+    return int(math.ceil(total_bits * math.log2(total_bits))) * multiplier
+
+
+def run_cga(
+    spark: SparkSession,
+    num_splits: int,
+    t_size: int = 4,
+    seed: int = 42,
+    max_generations: int = 200,
+    pop: int | None = None,
+    bits_per_split: int = cga.BITS_PER_SPLIT,
+) -> CgaResult:
+    """Iterative cGA. Note the model update is *deterministic* given the
+    seed — each generation folds the iteration index into its stream."""
+    if pop is None:
+        pop = reference_pop_size(num_splits, bits_per_split)
+    res = CgaResult()
+    vectors = generate.init_prob_vectors(spark, num_splits, bits_per_split)
+    vectors = vectors.persist()
+    vectors.count()
+    try:
+        for it in range(max_generations):
+            t0 = time.perf_counter()
+            gen_seed = seed * 1_000_033 + it
+            samples = cga.sample_members(vectors, t_size, gen_seed)
+            fits = cga.member_fitness(samples)
+            w, l = cga.winner_loser(fits)
+            best = fits.agg(F.max("fitness")).collect()[0][0]
+            new_vectors = cga.update_vectors(
+                vectors, w, l, gen_seed, pop
+            ).localCheckpoint(eager=True)
+            unconv = cga.convergence_stats(new_vectors).collect()[0].unconverged
+            ms = int((time.perf_counter() - t0) * 1000)
+            res.stats.append(CgaGenStats(it, best, unconv, ms))
+            print(
+                f"CGA:{it}:{pop}:{best}:{num_splits * bits_per_split}:"
+                f"{bits_per_split}:{unconv}:{ms}"
+            )
+            vectors.unpersist()
+            vectors = new_vectors
+            res.generations = it
+            res.final_unconverged = unconv
+            if unconv == 0:
+                res.converged = True
+                break
+    finally:
+        vectors.unpersist()
+    return res
