@@ -21,10 +21,12 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .functions import bits
 from .operators import cga as cga_ops
+from .operators import dedup as dedup_ops
 from .operators import fitness as fit_ops, generate
 from .operators import selection as selection_ops, shuffle as shuffle_ops
 from .plans import sga as sga_plan
-from .sources.registry import read_table
+from .sources.registry import read_events, read_table
+from .streaming import windows as win_ops
 
 GENOME_BITS = 256  # flagship genome width (4 longs)
 NL = bits.n_longs(GENOME_BITS)
@@ -275,6 +277,161 @@ def cga_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cga_ops.convergence_stats(
         cga_ops.update_vectors(vec, w, l, _CGA_GEN_SEED, CGA_POP)
     )
+
+
+# --- W3 / J1 / D1 / O2-O3 / U1 / S1 parity ------------------------------
+
+# same oracle as sga_tournament: the escape hatch must be bit-identical
+ORACLES_SHARED_TOURNAMENT = ORACLES.get("sga_tournament")
+
+
+@register("sga_tournament_pandas", ORACLES_SHARED_TOURNAMENT)
+def sga_tournament_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: the tournament as a stateful per-partition Pandas kernel
+    (applyInPandas) — the idiomatic successor of the reference's reducer
+    class. Checked against the *same* oracle as the window-expression form:
+    both must produce identical parents."""
+    sh = shuffle_ops.with_shuffle_key(
+        _pop_with_fitness(spark, sf_dir), SEED * 1_000_033, n_buckets=32
+    )
+    return selection_ops.tournament_parents_pandas(sh)
+
+
+@register("cga_update_join", ORACLES.get("cga_generation"))
+def cga_update_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 as an honest equi-join: sampled winner/loser bits co-grouped with
+    the model on (split_id, bit) — the literal-fidelity variant of the
+    reference's tagged-union reducer. Same oracle as cga_generation."""
+    vec = _cga_vectors(spark)
+    samples = cga_ops.sample_members(vec, CGA_T, _CGA_GEN_SEED)
+    w, l = cga_ops.winner_loser(cga_ops.member_fitness(samples))
+    return cga_ops.update_vectors_join(vec, samples, w, l, CGA_POP)
+
+
+@register(
+    "dedup_genomes",
+    "SELECT * FROM "
+    + dedup_ops.duck_dedup_genomes_sql(
+        f"(SELECT iid AS id, genome FROM {lineitem_population_duck()} _dg)"
+    )
+    + " _q",
+)
+def dedup_genomes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 *intended* semantics (the reference's HashMap dedup never worked
+    — no equals/hashCode, SURVEY.md §2.13(2)): one row per distinct genome,
+    keeping the smallest id. The lineitem-derived population has real
+    duplicates (duplicate (orderkey, linenumber) keys → equal genomes)."""
+    pop = lineitem_population(spark, sf_dir).select(
+        F.col("iid").alias("id"), "genome"
+    )
+    return dedup_ops.dedup_genomes(pop)
+
+
+@register(
+    "top_k_individuals",
+    f"""
+    SELECT id, fitness FROM
+      (SELECT iid AS id, {_DUCK_FIT} AS fitness
+       FROM {lineitem_population_duck()} _p) _f
+    ORDER BY fitness DESC, id ASC LIMIT 5
+    """,
+)
+def top_k_individuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2/O3 generalized: global top-k by fitness (the reference only ever
+    needs k=1 via its side-file fold; ORDER BY ... LIMIT k is the honest
+    dataflow form — Spark executes it as per-partition top-k + a k-row
+    final merge, no global sort)."""
+    fit = fit_ops.with_fitness(
+        lineitem_population(spark, sf_dir).select(
+            F.col("iid").alias("id"), "genome"
+        ),
+        nl=NL,
+    )
+    return fit.select("id", "fitness").orderBy(
+        F.desc("fitness"), F.asc("id")
+    ).limit(5)
+
+
+@register(
+    "cga_tagged_union",
+    f"""
+    WITH s AS (SELECT * FROM {cga_ops.duck_samples_sql(f'({_CGA_VEC_DUCK})', CGA_T, _CGA_GEN_SEED)} _s)
+    SELECT split_id, bit, member AS tag, sampled_bit AS payload FROM s
+    UNION ALL
+    SELECT split_id, bit, {CGA_T} AS tag, p64 AS payload FROM ({_CGA_VEC_DUCK}) _v
+    """,
+)
+def cga_tagged_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: the reference smuggles a tag in payload element 0 to multiplex
+    samples + vector through one shuffle (``reference
+    src/edu/illinois/ga/CGA.java:99,116-119``); the engine models it as an
+    honest unionByName with a schema-level tag column."""
+    vec = _cga_vectors(spark)
+    samples = cga_ops.sample_members(vec, CGA_T, _CGA_GEN_SEED).select(
+        "split_id", "bit",
+        F.col("member").alias("tag"),
+        F.col("sampled_bit").alias("payload"),
+    )
+    vec_tagged = vec.select(
+        "split_id", "bit",
+        F.lit(CGA_T).cast("int").alias("tag"),
+        F.col("p64").alias("payload"),
+    )
+    return samples.unionByName(vec_tagged)
+
+
+@register(
+    "scan_filter_project",
+    """
+    SELECT l_orderkey, l_extendedprice, l_discount
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_quantity > 45
+    """,
+)
+def scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 + predicate/projection pushdown: the reference has no WHERE-style
+    scans (SURVEY.md §2.2 'Absent'), but the engine exposes them via the
+    DataFrame API and Catalyst pushes both the filter and the 3-column
+    projection into the parquet reader (asserted in tests via the physical
+    plan's PushedFilters/ReadSchema)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_quantity") > 45)
+        )
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+
+
+# --- event-time windows (extensions beyond reference surface, §2.11) ----
+
+@register(
+    "events_tumbling",
+    f"SELECT * FROM {win_ops.duck_tumbling_sql()} _q",
+)
+def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h event-time windows (extension — the reference has no
+    time semantics). Same transform runs under readStream + watermark."""
+    return win_ops.tumbling(read_events(spark, sf_dir))
+
+
+@register(
+    "events_sliding",
+    f"SELECT * FROM {win_ops.duck_sliding_sql()} _q",
+)
+def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1h/30min windows (each event in 2 windows)."""
+    return win_ops.sliding(read_events(spark, sf_dir))
+
+
+@register(
+    "events_session",
+    f"SELECT * FROM {win_ops.duck_session_sql()} _q",
+)
+def events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 10-minute-gap session windows; oracle is the classic
+    gaps-and-islands SQL."""
+    return win_ops.session(read_events(spark, sf_dir))
 
 
 def entry_flagship(spark: SparkSession) -> DataFrame:

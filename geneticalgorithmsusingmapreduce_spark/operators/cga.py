@@ -109,6 +109,37 @@ def update_vectors(
     )
 
 
+def update_vectors_join(
+    vectors: DataFrame, samples: DataFrame, w: int, l: int, pop: int
+) -> DataFrame:
+    """J1 as an honest equi-join (literal-fidelity variant of
+    update_vectors): the reference multiplexes T sampled individuals + the
+    vector through one shuffle keyed by split and co-groups them in the
+    reducer (``reference src/edu/illinois/ga/CGA.java:262-309``). Here the
+    winner's and loser's bits join back to the model on (split_id, bit).
+    Produces identical output to the recomputing variant; costs one extra
+    shuffle of the sampled bits — kept for parity demonstration and for
+    ``seed=None`` runs where samples can't be recomputed."""
+    delta = LONG_MAX // pop
+    wl = (
+        samples.filter(F.col("member").isin(w, l))
+        .groupBy("split_id", "bit")
+        .agg(
+            F.max_by("sampled_bit", F.expr(f"CASE WHEN member = {w} THEN 1 ELSE 0 END")).alias("wb"),
+            F.max_by("sampled_bit", F.expr(f"CASE WHEN member = {l} THEN 1 ELSE 0 END")).alias("lb"),
+        )
+    )
+    new_p = (
+        f"CASE WHEN wb = lb THEN p64 "
+        f"WHEN wb = 1 THEN least(p64, {LONG_MAX - delta}) + {delta} "
+        f"ELSE greatest(p64, {delta}) - {delta} END"
+    )
+    return (
+        vectors.join(wl, ["split_id", "bit"])
+        .select("split_id", "bit", F.expr(new_p).alias("p64"))
+    )
+
+
 def convergence_stats(vectors: DataFrame) -> DataFrame:
     """P6/A4: count of bits still inside the [0.1, 0.501]·MAX band
     (``reference src/edu/illinois/ga/CGA.java:301,495``)."""

