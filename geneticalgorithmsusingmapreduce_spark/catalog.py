@@ -23,7 +23,11 @@ from .functions import bits
 from .operators import cga as cga_ops
 from .operators import dedup as dedup_ops
 from .operators import fitness as fit_ops, generate
+from .functions import text as text_fns
+from .operators import ann as ann_ops
+from .operators import multimodal as mm_ops
 from .operators import selection as selection_ops, shuffle as shuffle_ops
+from .operators import textops
 from .plans import sga as sga_plan
 from .sources.registry import read_events, read_table
 from .streaming import windows as win_ops
@@ -432,6 +436,148 @@ def events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user 10-minute-gap session windows; oracle is the classic
     gaps-and-islands SQL."""
     return win_ops.session(read_events(spark, sf_dir))
+
+
+# --- text analysis + near-dup suite (scale extensions) ------------------
+
+@register(
+    "text_language_guess",
+    f"SELECT * FROM {textops.duck_language_guess_sql('documents')} _q",
+)
+def text_language_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language ID per document (narrow projection)."""
+    return textops.language_guess(
+        read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+
+
+@register(
+    "text_quality",
+    f"SELECT * FROM {textops.duck_quality_sql('documents')} _q",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact quality facets (token count, mean token length,
+    stopword ratio, short-doc flag)."""
+    return textops.quality_score(
+        read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+
+
+@register(
+    "text_fingerprint",
+    f"SELECT * FROM {textops.duck_fingerprint_sql('documents')} _q",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive token-multiset fingerprint (md5-derived int64)."""
+    return textops.fingerprint(
+        read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+
+
+@register(
+    "dedup_exact_text",
+    f"SELECT * FROM {dedup_ops.duck_dedup_exact_text_sql()} _q",
+)
+def dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup: canonical doc per distinct text."""
+    return dedup_ops.dedup_exact_text(
+        read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+
+
+@register(
+    "minhash_signatures",
+    f"SELECT * FROM {textops.duck_minhash_sql(textops.DUCK_AUG)} _q",
+)
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k=8 MinHash signatures over 3-token shingles (one hash-agg
+    shuffle computes all k mins)."""
+    return textops.minhash_signatures(
+        textops.augmented_corpus(spark, sf_dir)
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"""SELECT * FROM {textops.duck_jaccard_pairs_sql(
+        textops.DUCK_AUG,
+        textops.duck_lsh_pairs_sql(textops.duck_minhash_sql(textops.DUCK_AUG)),
+    )} _q""",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash→LSH band-bucket candidate pairs, verified by exact n-gram
+    Jaccard ≥ 0.5 on candidates only (known-answer near-dups from the
+    augmented corpus)."""
+    docs = textops.augmented_corpus(spark, sf_dir)
+    sigs = textops.minhash_signatures(docs)
+    cands = textops.lsh_candidate_pairs(sigs)
+    return textops.jaccard_pairs(docs, cands)
+
+
+@register(
+    "dedup_simhash",
+    f"""SELECT * FROM {textops.duck_simhash_pairs_sql(
+        text_fns.duck_simhash_query(
+            text_fns.duck_token_rows_sql(textops.DUCK_AUG)
+        )
+    )} _q""",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash signatures (64 codegen'd vote aggregates) →
+    16-bit-band candidates → exact Hamming ≤ 6 pairs."""
+    docs = textops.augmented_corpus(spark, sf_dir)
+    sigs = textops.simhash_signatures(docs)
+    return textops.simhash_pairs(sigs)
+
+
+# --- similarity search over embeddings (scale extensions) ---------------
+
+@register("emb_topk_dot", f"SELECT * FROM {ann_ops.duck_topk_sql()} _q")
+def emb_topk_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force top-10 neighbors by quantized integer dot product
+    for the first 5 query vectors (broadcast NLJ + per-partition top-k)."""
+    return ann_ops.topk_dot(read_table(spark, sf_dir, "embeddings"))
+
+
+@register("emb_topk_numpy", f"SELECT * FROM {ann_ops.duck_topk_sql()} _q")
+def emb_topk_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same top-k as an Arrow/numpy blocked matmul (mapInPandas) —
+    the 100 TB hot-path shape; checked against the *same* oracle."""
+    return ann_ops.topk_dot_numpy(read_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "emb_lsh_pairs",
+    f"SELECT * FROM {ann_ops.duck_lsh_near_pairs_sql(min_dot=0)} _q",
+)
+def emb_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH (8 seeded hyperplanes) bucket join + exact integer-dot
+    verification — the ANN scale path."""
+    return ann_ops.lsh_near_pairs(
+        read_table(spark, sf_dir, "embeddings"), min_dot=0
+    )
+
+
+# --- multimodal columns (stubbed decode, real plumbing) -----------------
+
+@register(
+    "multimodal_features",
+    f"SELECT * FROM {mm_ops.DUCK_FEATURES} _q",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload → per-asset features via an Arrow mapInPandas kernel
+    (decode stubbed deterministically; plumbing real and oracle-checked)."""
+    return mm_ops.extract_features(mm_ops.asset_table(spark, sf_dir))
+
+
+@register(
+    "multimodal_frames",
+    f"SELECT * FROM {mm_ops.duck_frames_sql()} _q",
+)
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing: 4 seeded frame rows per video asset,
+    exploded after the payload column is dropped."""
+    return mm_ops.sample_frames(mm_ops.asset_table(spark, sf_dir))
 
 
 def entry_flagship(spark: SparkSession) -> DataFrame:

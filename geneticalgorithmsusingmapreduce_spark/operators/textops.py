@@ -1,0 +1,329 @@
+"""Document-pipeline operators: language ID, quality scoring, token
+stats, fingerprinting, and the near-duplicate detection suite
+(MinHash+LSH, SimHash, exact n-gram Jaccard). Engine extensions beyond
+the reference surface (it has no strings), graded first-class.
+
+Scale shapes:
+* every per-doc statistic is one narrow projection (no shuffle);
+* minhash signatures: one hash-agg shuffle keyed by doc_id computing all
+  k mins map-side-partially;
+* LSH candidate generation: explode b bands per doc → self-join on the
+  band bucket key — the join input is b rows per doc (tiny vs shingle
+  sets), and bucket keys spread uniformly (they're hashes), so the
+  shuffle is balanced by construction;
+* candidate verification: exact Jaccard via a shingle-set semi-join on
+  the candidate pairs only, never all-pairs.
+
+The synthetic corpus has no real near-dups, so the dedup queries run on
+an **augmented corpus**: documents ∪ perturbed copies (one token
+appended, doc_id + 1,000,000) of every 10th doc — deterministic and
+identical in both engines, yielding known-answer near-dup pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions import prng, text
+from ..sources.registry import read_table
+
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "is"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "es": ["el", "la", "los", "y", "es"],
+    "fr": ["le", "la", "les", "et", "est"],
+}
+LANGS = sorted(STOPWORDS)  # deterministic tie-break order
+
+
+def augmented_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ near-duplicate copies of every 10th doc."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zz9")).alias("text"),
+        )
+    )
+    return docs.unionByName(dups)
+
+
+DUCK_AUG = """(
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text || ' zz9' AS text
+  FROM documents WHERE doc_id % 10 = 0
+)"""
+
+
+def _count_in(tokens_expr: str, words: list[str], dialect: str) -> str:
+    """# tokens that belong to a word set — same HOF shape both engines."""
+    lst = ", ".join(f"'{w}'" for w in words)
+    if dialect == "spark":
+        return f"size(filter({tokens_expr}, t -> array_contains(array({lst}), t)))"
+    return f"len(list_filter({tokens_expr}, t -> list_contains([{lst}], t)))"
+
+
+def language_guess(docs: DataFrame) -> DataFrame:
+    """Stopword-vote language ID; ties resolve to the alphabetically
+    first language (deterministic)."""
+    toks = "filter(split(lower(text), ' '), t -> t != '')"
+    scores = {
+        lang: _count_in(toks, STOPWORDS[lang], "spark") for lang in LANGS
+    }
+    best = "GREATEST(" + ", ".join(scores.values()) + ")"
+    guess = "CASE "
+    for lang in LANGS:
+        guess += f"WHEN {scores[lang]} = {best} THEN '{lang}' "
+    guess += "END"
+    return docs.select(
+        "doc_id", F.expr(guess).alias("lang_guess"),
+        F.expr(f"cast({scores['en']} as int)").alias("en_hits"),
+    )
+
+
+def duck_language_guess_sql(docs_sql: str) -> str:
+    toks = text.DUCK_TOKENS
+    scores = {
+        lang: _count_in(toks, STOPWORDS[lang], "duckdb") for lang in LANGS
+    }
+    best = "GREATEST(" + ", ".join(scores.values()) + ")"
+    guess = "CASE "
+    for lang in LANGS:
+        guess += f"WHEN {scores[lang]} = {best} THEN '{lang}' "
+    guess += "END"
+    return (
+        f"(SELECT doc_id, {guess} AS lang_guess, "
+        f"cast({scores['en']} as int) AS en_hits FROM {docs_sql} _lg)"
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Integer-exact quality facets: token count, mean token length
+    (milli), stopword ratio (milli), short-doc flag."""
+    toks = "filter(split(lower(text), ' '), t -> t != '')"
+    sw = _count_in(toks, STOPWORDS["en"], "spark")
+    return docs.select(
+        "doc_id",
+        F.expr(f"cast(size({toks}) as bigint)").alias("n_tokens"),
+        F.expr("cast(length(text) as bigint)").alias("n_chars"),
+        F.expr(
+            f"CASE WHEN size({toks}) > 0 THEN "
+            f"aggregate({toks}, 0, (a, t) -> a + length(t)) * 1000 "
+            f"div size({toks}) ELSE 0 END"
+        ).alias("mean_tok_len_milli"),
+        F.expr(
+            f"CASE WHEN size({toks}) > 0 THEN cast({sw} as bigint) * 1000 "
+            f"div size({toks}) ELSE 0 END"
+        ).alias("stopword_milli"),
+        F.expr("CASE WHEN length(text) < 100 THEN 1 ELSE 0 END").alias("short_flag"),
+    )
+
+
+def duck_quality_sql(docs_sql: str) -> str:
+    toks = text.DUCK_TOKENS
+    sw = _count_in(toks, STOPWORDS["en"], "duckdb")
+    return f"""(
+      SELECT doc_id,
+             len({toks}) AS n_tokens,
+             length(text) AS n_chars,
+             CASE WHEN len({toks}) > 0 THEN
+               cast(coalesce(list_sum(list_transform({toks}, t -> length(t))), 0)
+                    as bigint) * 1000 // len({toks})
+             ELSE 0 END AS mean_tok_len_milli,
+             CASE WHEN len({toks}) > 0 THEN
+               cast({sw} as bigint) * 1000 // len({toks})
+             ELSE 0 END AS stopword_milli,
+             CASE WHEN length(text) < 100 THEN 1 ELSE 0 END AS short_flag
+      FROM {docs_sql} _q
+    )"""
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Order-insensitive document fingerprint: hash64 of the sorted token
+    multiset — identical docs (even reshuffled) collide, others don't."""
+    toks = "filter(split(lower(text), ' '), t -> t != '')"
+    return docs.select(
+        "doc_id",
+        F.expr(
+            text.spark_hash64_str(f"concat_ws(' ', array_sort({toks}))")
+        ).alias("fingerprint"),
+    )
+
+
+def duck_fingerprint_sql(docs_sql: str) -> str:
+    toks = text.DUCK_TOKENS
+    return (
+        f"(SELECT doc_id, "
+        f"{text.duck_hash64_str(f'''array_to_string(list_sort({toks}), ' ')''')}"
+        f" AS fingerprint FROM {docs_sql} _fp)"
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH near-dup
+# --------------------------------------------------------------------------
+
+MINHASH_K = 8
+LSH_BANDS = 4  # 2 hashes per band
+
+
+def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    toks = text.token_rows(docs)
+    sh = text.shingle_rows(toks)
+    return sh.groupBy("doc_id").agg(*text.minhash_aggs(k))
+
+
+def duck_minhash_sql(docs_sql: str, k: int = MINHASH_K) -> str:
+    toks = text.duck_token_rows_sql(docs_sql)
+    sh = text.duck_shingle_rows_sql(toks)
+    return text.duck_minhash_query(sh, k)
+
+
+def lsh_candidate_pairs(sigs: DataFrame, k: int = MINHASH_K,
+                        bands: int = LSH_BANDS) -> DataFrame:
+    """Band → bucket → self-join: docs sharing any band bucket become
+    candidate pairs (a < b)."""
+    r = k // bands
+    band_rows = None
+    for b in range(bands):
+        cols = ", ".join(f"mh{b * r + i}" for i in range(r))
+        one = sigs.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.expr(prng.spark_hash(*cols.split(", "), str(b))).alias("bucket"),
+        )
+        band_rows = one if band_rows is None else band_rows.unionByName(one)
+    a = band_rows.alias("a")
+    bb = band_rows.alias("b")
+    return (
+        a.join(bb, ["band", "bucket"])
+        .filter(F.expr("a.doc_id < b.doc_id"))
+        .select(
+            F.expr("a.doc_id").alias("doc_a"), F.expr("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def duck_lsh_pairs_sql(sigs_sql: str, k: int = MINHASH_K,
+                       bands: int = LSH_BANDS) -> str:
+    """Band rows exploded via UNION ALL, then ONE hash chain for the
+    bucket key (flat nesting — see functions.text.duck_minhash_query)."""
+    r = k // bands
+    assert r == 2, "bucket hash below assumes 2 minhashes per band"
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, mh{b * r} AS a1, mh{b * r + 1} AS a2 "
+        f"FROM _sigs"
+        for b in range(bands)
+    )
+    hq = prng.duck_hash_query(f"SELECT * FROM ({band_rows}) _br",
+                              ["a1", "a2", "band"], "bucket_h")
+    return f"""(
+      WITH _sigs AS (SELECT * FROM {sigs_sql} _c),
+      _rows AS (SELECT doc_id, band, bucket_h AS bucket FROM {hq} _h)
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM _rows a JOIN _rows b USING (band, bucket)
+      WHERE a.doc_id < b.doc_id
+    )"""
+
+
+def jaccard_pairs(docs: DataFrame, candidates: DataFrame,
+                  tau_milli: int = 500) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs only: |∩| via a shingle
+    join, |∪| = |A|+|B|−|∩|; keep pairs with 1000·J ≥ tau_milli."""
+    sh = text.shingle_rows(text.token_rows(docs)).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        candidates.join(sa, "doc_a").join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
+    return (
+        inter.join(za, "doc_a").join(zb, "doc_b")
+        .withColumn(
+            "jaccard_milli",
+            F.expr("inter * 1000 div (sza + szb - inter)"),
+        )
+        .filter(F.col("jaccard_milli") >= tau_milli)
+        .select("doc_a", "doc_b", "jaccard_milli")
+    )
+
+
+def duck_jaccard_pairs_sql(docs_sql: str, cand_sql: str,
+                           tau_milli: int = 500) -> str:
+    sh = text.duck_shingle_rows_sql(text.duck_token_rows_sql(docs_sql))
+    return f"""(
+      WITH sh AS (SELECT DISTINCT doc_id, shingle FROM {sh} _s),
+      sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      cand AS (SELECT * FROM {cand_sql} _c),
+      inter AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS inter
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.doc_a
+        JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+        GROUP BY c.doc_a, c.doc_b
+      )
+      SELECT i.doc_a, i.doc_b,
+             i.inter * 1000 // (za.sz + zb.sz - i.inter) AS jaccard_milli
+      FROM inter i
+      JOIN sizes za ON za.doc_id = i.doc_a
+      JOIN sizes zb ON zb.doc_id = i.doc_b
+      WHERE i.inter * 1000 // (za.sz + zb.sz - i.inter) >= {tau_milli}
+    )"""
+
+
+# --------------------------------------------------------------------------
+# SimHash near-dup
+# --------------------------------------------------------------------------
+
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    toks = text.token_rows(docs)
+    votes = toks.groupBy("doc_id").agg(*text.simhash_aggs())
+    return votes.select("doc_id", text.simhash_from_votes().alias("simhash"))
+
+
+def simhash_pairs(sigs: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Candidate pairs via 4×16-bit band buckets (any equal band →
+    candidate), verified by exact Hamming distance ≤ max_hamming."""
+    bands = None
+    for b in range(4):
+        one = sigs.select(
+            "doc_id", "simhash",
+            F.lit(b).alias("band"),
+            F.expr(f"(shiftright(simhash, {b * 16}) & 65535)").alias("bucket"),
+        )
+        bands = one if bands is None else bands.unionByName(one)
+    a, bb = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(bb, ["band", "bucket"])
+        .filter(F.expr("a.doc_id < b.doc_id"))
+        .select(
+            F.expr("a.doc_id").alias("doc_a"),
+            F.expr("b.doc_id").alias("doc_b"),
+            F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def duck_simhash_pairs_sql(sigs_sql: str, max_hamming: int = 6) -> str:
+    unions = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} AS band, "
+        f"((simhash >> {b * 16}) & 65535) AS bucket FROM _sg"
+        for b in range(4)
+    )
+    return f"""(
+      WITH _sg AS (SELECT * FROM {sigs_sql} _s), _rows AS ({unions})
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+      FROM _rows a JOIN _rows b USING (band, bucket)
+      WHERE a.doc_id < b.doc_id
+        AND bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    )"""
