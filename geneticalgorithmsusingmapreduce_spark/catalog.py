@@ -507,11 +507,13 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash→LSH band-bucket candidate pairs, verified by exact n-gram
     Jaccard ≥ 0.5 on candidates only (known-answer near-dups from the
-    augmented corpus)."""
+    augmented corpus). The shingle subtree is persisted — signatures and
+    verification both branch over it."""
     docs = textops.augmented_corpus(spark, sf_dir)
-    sigs = textops.minhash_signatures(docs)
+    shingles = textops.shingles_hashed(docs).persist()
+    sigs = textops.minhash_signatures(docs, shingles=shingles)
     cands = textops.lsh_candidate_pairs(sigs)
-    return textops.jaccard_pairs(docs, cands)
+    return textops.jaccard_pairs(docs, cands, shingles=shingles)
 
 
 @register(

@@ -178,6 +178,54 @@ def duck_mask_query(source_sql, key, carry, n_bits, seed, out="mask"):
 # Bit access
 # --------------------------------------------------------------------------
 
+# --------------------------------------------------------------------------
+# numpy kernels (large-genome path)
+# --------------------------------------------------------------------------
+# A 10,000-bit genome is 157 longs; literal-index expressions at that width
+# blow the JVM's 64 KB method limit and whole-stage codegen silently falls
+# back to interpreted evaluation (measured 22-32 s/generation at the
+# reference's own example scale). Above LARGE_NL the operators switch to
+# Arrow-batched numpy kernels computing the *identical* seeded streams
+# (prng.np_xxhash64 wraps exactly like the JVM), so results stay
+# oracle-compatible regardless of which path ran.
+
+LARGE_NL = 32
+
+
+def np_genome(seed: int, keys, n_bits: int, salt: int = SALT_GENOME):
+    """(len(keys), n_longs) int64 matrix — same values as spark_genome_sql."""
+    import numpy as np
+
+    from . import prng
+
+    nl = n_longs(n_bits)
+    ss = seed_salt(seed, salt)
+    k = np.asarray(keys, dtype=np.int64).reshape(-1, 1)
+    j = np.arange(nl, dtype=np.int64).reshape(1, -1)
+    g = prng.np_xxhash64([ss, np.broadcast_to(k, (len(k), nl)),
+                          np.broadcast_to(j, (len(k), nl))])
+    mask = last_long_mask(n_bits)
+    if mask != -1:
+        g[:, -1] &= mask
+    return g
+
+
+def np_popcount_rows(genomes) -> "object":
+    """Row-wise ONEMAX fitness over an (N, nl) int64 matrix."""
+    from . import prng
+
+    return prng.np_popcount64(genomes).sum(axis=1)
+
+
+def np_crossover(pa, pb, seed: int, pair_keys, n_bits: int):
+    """Both children for each pair row: masks from the same stream as
+    spark_mask_sql, 3 bitwise ops per long."""
+    m = np_genome(seed, pair_keys, n_bits, salt=SALT_MASK)
+    c1 = (pa & m) | (pb & ~m)
+    c2 = (pb & m) | (pa & ~m)
+    return c1, c2
+
+
 def getbit_sql(x: str, bit: str, dialect: str) -> str:
     """Bit ``bit`` (0..63 expr) of int64 ``x`` as 0/1 bigint; arithmetic
     shift is sign-correct in both engines."""

@@ -169,6 +169,50 @@ def duck_hash_query(
     return cur
 
 
+def np_xxhash64(cols: list, seed: int = SPARK_XXH_SEED):
+    """Vectorized twin of the same chain over numpy arrays (any mix of
+    int arrays / python int scalars, broadcast together). uint64 ops wrap
+    exactly like the JVM — used by the large-genome Arrow kernels, which
+    must emit the *same* stream the SQL expressions would."""
+    import numpy as np
+
+    u64 = np.uint64
+
+    def rotl(x, r):
+        return (x << u64(r)) | (x >> u64(64 - r))
+
+    with np.errstate(over="ignore"):
+        h = None
+        for c in cols:
+            v = np.asarray(c).astype(np.int64).view(np.uint64) \
+                if not np.isscalar(c) else np.uint64(c % M64)
+            if h is None:
+                h = np.uint64(seed)
+            k = rotl(v * u64(P2), 31) * u64(P1)
+            acc = (h + u64((P5 + 8) % M64)) ^ k
+            acc = rotl(acc, 27) * u64(P1) + u64(P4)
+            acc ^= acc >> u64(33)
+            acc *= u64(P2)
+            acc ^= acc >> u64(29)
+            acc *= u64(P3)
+            acc ^= acc >> u64(32)
+            h = acc
+        return h.view(np.int64) if hasattr(h, "view") else np.int64(h)
+
+
+def np_popcount64(arr):
+    """SWAR popcount over uint64 (numpy < 2.0 lacks bitwise_count)."""
+    import numpy as np
+
+    u = np.uint64
+    x = arr.view(np.uint64) if arr.dtype != np.uint64 else arr
+    x = x - ((x >> u(1)) & u(0x5555555555555555))
+    x = (x & u(0x3333333333333333)) + ((x >> u(2)) & u(0x3333333333333333))
+    x = (x + (x >> u(4))) & u(0x0F0F0F0F0F0F0F0F)
+    with np.errstate(over="ignore"):
+        return ((x * u(0x0101010101010101)) >> u(56)).astype(np.int64)
+
+
 def py_xxhash64(cols: list[int], seed: int = SPARK_XXH_SEED) -> int:
     """Pure-Python reference of the same chain (for unit tests)."""
     mask = M64 - 1

@@ -58,36 +58,43 @@ def duck_token_rows_sql(docs_sql: str) -> str:
     )"""
 
 
-def shingle_rows(tok_rows: DataFrame, n: int = 3) -> DataFrame:
-    """[doc_id, shingle] — n-token shingles via lead() windows (one
-    exchange keyed by doc_id, no joins, no array lambdas)."""
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    cols = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
-    d = tok_rows.select("doc_id", F.concat_ws(" ", *cols).alias("shingle"),
-                        F.lead("tok", n - 1).over(w).alias("_last"))
-    return d.filter(F.col("_last").isNotNull()).select("doc_id", "shingle")
-
-
-def duck_shingle_rows_sql(tok_rows_sql: str, n: int = 3) -> str:
-    leads = ", ".join(
-        f"lead(tok, {i}) OVER (PARTITION BY doc_id ORDER BY pos) AS t{i}"
-        for i in range(1, n)
+def shingle_rows(docs: DataFrame, n: int = 3,
+                 text_col: str = "text") -> DataFrame:
+    """[doc_id, shingle] — n-token shingles built from the token array in
+    one narrow stage (array transform + explode). The first version used
+    lead() windows over exploded tokens, which forced a full shuffle+sort
+    of every token row; the array form needs no exchange at all."""
+    d = docs.select("doc_id", spark_tokens(text_col).alias("t"))
+    parts = ", ".join(f"element_at(t, i + {j})" for j in range(n))
+    sh = (
+        f"CASE WHEN size(t) >= {n} THEN "
+        f"transform(sequence(1, size(t) - {n - 1}), "
+        f"i -> concat_ws(' ', {parts})) "
+        f"ELSE array() END"
     )
-    concat = " || ' ' || ".join(["tok"] + [f"t{i}" for i in range(1, n)])
+    return d.select("doc_id", F.explode(F.expr(sh)).alias("shingle"))
+
+
+def duck_shingle_rows_sql(docs_sql: str, n: int = 3) -> str:
+    parts = " || ' ' || ".join(
+        f"list_extract(toks, i + {j})" for j in range(n)
+    )
     return f"""(
-      SELECT doc_id, {concat} AS shingle
-      FROM (SELECT doc_id, pos, tok, {leads} FROM {tok_rows_sql} _t) _l
-      WHERE t{n - 1} IS NOT NULL
+      SELECT doc_id, unnest(list_transform(
+               range(1, len(toks) - {n - 2}), i -> {parts})) AS shingle
+      FROM (SELECT doc_id, {DUCK_TOKENS} AS toks FROM {docs_sql} _d) _u
+      WHERE len(toks) >= {n}
     )"""
 
 
 def minhash_aggs(k: int = 8) -> list[Column]:
-    """k independent minhash aggregates over a (doc_id, shingle) stream —
-    min(xxhash64(hash64(shingle), i)). One hash-aggregate shuffle computes
-    all k signatures (map-side partial mins)."""
-    sh = spark_hash64_str("shingle")
+    """k independent minhash aggregates over a (doc_id, sh64) stream —
+    min(xxhash64(sh64, i)). The md5-derived sh64 column must be
+    materialized by the caller BEFORE the groupBy: aggregate expressions
+    are not common-subexpression-eliminated across each other, so putting
+    hash64(shingle) inside each min() would run md5 k× per row."""
     return [
-        F.min(F.expr(prng.spark_hash(sh, str(i)))).alias(f"mh{i}")
+        F.min(F.expr(prng.spark_hash("sh64", str(i)))).alias(f"mh{i}")
         for i in range(k)
     ]
 
@@ -109,13 +116,14 @@ def duck_minhash_query(shingles_sql: str, k: int = 8) -> str:
 
 
 def simhash_aggs() -> list[Column]:
-    """64 per-bit vote sums for SimHash: for each token hash, bit b
-    contributes +1 if set else −1; the signature bit is sign(sum).
-    Emitted as 64 literal aggregate columns (codegen'd, single shuffle)."""
-    th = spark_hash64_str("tok")
+    """64 per-bit vote sums for SimHash over a pre-hashed ``th`` column
+    (+1 if bit set else −1 per token; signature bit = sign(sum)). The
+    caller materializes th = xxhash64(hash64(tok)) once per row first —
+    64 separate aggregates would otherwise recompute md5+xxh 64× per row
+    (measured 3.6s → the fix takes it under 1s at sf0.1)."""
     cols = []
     for b in range(64):
-        bit = f"(shiftright({prng.spark_hash(th)}, {b}) & 1)"
+        bit = f"(shiftright(th, {b}) & 1)"
         cols.append(F.sum(F.expr(f"{bit} * 2 - 1")).alias(f"v{b}"))
     return cols
 

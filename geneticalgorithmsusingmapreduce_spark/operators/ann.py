@@ -55,6 +55,23 @@ def dot_sql(a: str, b: str, dialect: str = "spark") -> str:
     return "(" + " + ".join(f"{f(a, j)} * {f(b, j)}" for j in range(DIMS)) + ")"
 
 
+def quantize_expr(arr: str = "embedding") -> str:
+    """Materialize the quantized int64 vector ONCE per row (literal-index
+    array, codegen'd). Downstream dots/buckets index this array instead of
+    re-quantizing — without this, the 8-plane LSH bucket expression
+    re-quantized every component 8× and blew janino's 64 KB method limit
+    (whole-stage codegen fell back to interpreted)."""
+    return "array(" + ", ".join(_q(arr, j) for j in range(DIMS)) + ")"
+
+
+def qdot_sql(a: str, b: str) -> str:
+    """Dot product over pre-quantized arrays."""
+    return "(" + " + ".join(
+        f"element_at({a}, {j + 1}) * element_at({b}, {j + 1})"
+        for j in range(DIMS)
+    ) + ")"
+
+
 def topk_dot(
     emb: DataFrame, n_queries: int = 5, k: int = 10
 ) -> DataFrame:
@@ -62,14 +79,13 @@ def topk_dot(
     vectors. Output: [query_id, vec_id, dot, rank]."""
     from pyspark.sql import Window
 
-    q = emb.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    qz = emb.select("vec_id", F.expr(quantize_expr()).alias("qv"))
+    q = qz.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("qe")
     )
-    pairs = q.crossJoin(emb.select("vec_id", "embedding")).filter(
-        F.col("query_id") != F.col("vec_id")
-    )
+    pairs = q.crossJoin(qz).filter(F.col("query_id") != F.col("vec_id"))
     scored = pairs.select(
-        "query_id", "vec_id", F.expr(dot_sql("qe", "embedding")).alias("dot")
+        "query_id", "vec_id", F.expr(qdot_sql("qe", "qv")).alias("dot")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("dot"), F.asc("vec_id")
@@ -168,14 +184,28 @@ def lsh_bucket_expr(emb_col: str, seed: int, dialect: str = "spark") -> str:
     return "(" + " + ".join(bits) + ")"
 
 
+def lsh_bucket_from_q(qarr: str, seed: int) -> str:
+    """Bucket bits over a pre-quantized array column (Spark hot path)."""
+    bits = []
+    for p in range(N_PLANES):
+        terms = []
+        for j in range(DIMS):
+            sign = 1 if prng.py_xxhash64([seed, p * DIMS + j]) > 0 else -1
+            terms.append(f"element_at({qarr}, {j + 1}) * {sign}")
+        dot = "(" + " + ".join(terms) + ")"
+        bits.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(bits) + ")"
+
+
 def lsh_near_pairs(
     emb: DataFrame, seed: int = 7, min_dot: int = 0
 ) -> DataFrame:
     """Sign-LSH bucketing + exact integer-dot verification inside each
-    bucket. Output: [vec_a, vec_b, dot]."""
-    b = emb.select(
-        "vec_id", "embedding",
-        F.expr(lsh_bucket_expr("embedding", seed)).alias("bucket"),
+    bucket. Output: [vec_a, vec_b, dot]. Quantizes once per row, then
+    bucket bits and the verification dot both index the int64 array."""
+    qz = emb.select("vec_id", F.expr(quantize_expr()).alias("qv"))
+    b = qz.select(
+        "vec_id", "qv", F.expr(lsh_bucket_from_q("qv", seed)).alias("bucket")
     )
     a, c = b.alias("a"), b.alias("b")
     return (
@@ -184,7 +214,7 @@ def lsh_near_pairs(
         .select(
             F.expr("a.vec_id").alias("vec_a"),
             F.expr("b.vec_id").alias("vec_b"),
-            F.expr(dot_sql("a.embedding", "b.embedding")).alias("dot"),
+            F.expr(qdot_sql("a.qv", "b.qv")).alias("dot"),
         )
         .filter(F.col("dot") > min_dot)
     )

@@ -24,6 +24,30 @@ def crossover_children(
     """Input [part, pair, pa, pb] → two children per pair:
     [id, genome] with id = pair_key*2 + child_index."""
     nl = bits.n_longs(n_bits)
+    if seed is not None and nl > bits.LARGE_NL:
+        # large-genome path: numpy masks+children per Arrow batch (same
+        # seeded stream; literal exprs at this width break codegen)
+        import numpy as np
+        import pandas as pd
+
+        def xo_kernel(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                pk = (
+                    pdf["part"].to_numpy() * 1_099_511_627_776
+                    + pdf["pair"].to_numpy()
+                )
+                pa = np.stack(pdf["pa"].map(lambda a: np.asarray(a, dtype=np.int64)))
+                pb = np.stack(pdf["pb"].map(lambda a: np.asarray(a, dtype=np.int64)))
+                c1, c2 = bits.np_crossover(pa, pb, seed, pk, n_bits)
+                ids = np.concatenate([pk * 2, pk * 2 + 1])
+                genomes = list(c1) + list(c2)
+                yield pd.DataFrame({"id": ids, "genome": genomes})
+
+        return pairs.select("part", "pair", "pa", "pb").mapInPandas(
+            xo_kernel, schema="id long, genome array<long>"
+        )
     if seed is None:
         mask_elems = []
         m = bits.last_long_mask(n_bits)

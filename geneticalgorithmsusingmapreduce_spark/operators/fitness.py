@@ -32,8 +32,26 @@ def fitness_col(genome: str = "genome", nl: int | None = None) -> Column:
 def with_fitness(
     df: DataFrame, genome: str = "genome", nl: int | None = None
 ) -> DataFrame:
-    """P2: append fitness (reference emits (individual, fitness) pairs)."""
+    """P2: append fitness (reference emits (individual, fitness) pairs).
+    Above LARGE_NL a vectorized Arrow kernel (SWAR popcount over the
+    stacked matrix) replaces the literal bit_count sum — same values,
+    no 64 KB codegen blowup."""
+    if nl is not None and nl > bits.LARGE_NL:
+        return df.withColumn("fitness", _popcount_pandas_udf()(genome))
     return df.withColumn("fitness", fitness_col(genome, nl))
+
+
+def _popcount_pandas_udf():
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def pop(col):
+        m = np.stack(col.map(lambda a: np.asarray(a, dtype=np.int64)))
+        return pd.Series(bits.np_popcount_rows(m))
+
+    pop.__annotations__ = {"col": pd.Series, "return": pd.Series}
+    return pandas_udf(pop, "long")
 
 
 def fitness_duckdb_sql(genome: str = "genome") -> str:

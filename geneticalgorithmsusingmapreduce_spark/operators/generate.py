@@ -52,6 +52,21 @@ def random_population(
         if num_partitions
         else spark.range(pop)
     )
+    nl_total = bits.n_longs(n_bits)
+    if seed is not None and nl_total > bits.LARGE_NL:
+        # large-genome path: Arrow kernel emitting the same seeded stream
+        # (literal expressions at this width break the 64 KB codegen limit)
+        import pandas as pd
+
+        def gen_kernel(batches):
+            for pdf in batches:
+                keys = pdf["id"].to_numpy()
+                g = bits.np_genome(seed, keys, n_bits)
+                yield pd.DataFrame({"id": keys, "genome": list(g)})
+
+        return rng.mapInPandas(
+            gen_kernel, schema="id long, genome array<long>"
+        )
     if seed is None:
         nl = bits.n_longs(n_bits)
         mask = bits.last_long_mask(n_bits)

@@ -169,16 +169,26 @@ MINHASH_K = 8
 LSH_BANDS = 4  # 2 hashes per band
 
 
-def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
-    toks = text.token_rows(docs)
-    sh = text.shingle_rows(toks)
+def shingles_hashed(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle, sh64) — tokenize+shingle+md5 once. Callers that
+    branch over this (signatures AND verification) should persist it:
+    Spark does not share common subplans across DAG branches, and this
+    subtree (windowed shingling + md5 per shingle) dominates the
+    near-dup pipeline's cost if recomputed per branch."""
+    return text.shingle_rows(docs).select(
+        "doc_id", "shingle",
+        F.expr(text.spark_hash64_str("shingle")).alias("sh64"),
+    )
+
+
+def minhash_signatures(docs: DataFrame, k: int = MINHASH_K,
+                       shingles: DataFrame | None = None) -> DataFrame:
+    sh = shingles if shingles is not None else shingles_hashed(docs)
     return sh.groupBy("doc_id").agg(*text.minhash_aggs(k))
 
 
 def duck_minhash_sql(docs_sql: str, k: int = MINHASH_K) -> str:
-    toks = text.duck_token_rows_sql(docs_sql)
-    sh = text.duck_shingle_rows_sql(toks)
-    return text.duck_minhash_query(sh, k)
+    return text.duck_minhash_query(text.duck_shingle_rows_sql(docs_sql), k)
 
 
 def lsh_candidate_pairs(sigs: DataFrame, k: int = MINHASH_K,
@@ -230,10 +240,14 @@ def duck_lsh_pairs_sql(sigs_sql: str, k: int = MINHASH_K,
 
 
 def jaccard_pairs(docs: DataFrame, candidates: DataFrame,
-                  tau_milli: int = 500) -> DataFrame:
+                  tau_milli: int = 500,
+                  shingles: DataFrame | None = None) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs only: |∩| via a shingle
     join, |∪| = |A|+|B|−|∩|; keep pairs with 1000·J ≥ tau_milli."""
-    sh = text.shingle_rows(text.token_rows(docs)).distinct()
+    if shingles is not None:
+        sh = shingles.select("doc_id", "shingle").distinct()
+    else:
+        sh = text.shingle_rows(docs).distinct()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -257,7 +271,7 @@ def jaccard_pairs(docs: DataFrame, candidates: DataFrame,
 
 def duck_jaccard_pairs_sql(docs_sql: str, cand_sql: str,
                            tau_milli: int = 500) -> str:
-    sh = text.duck_shingle_rows_sql(text.duck_token_rows_sql(docs_sql))
+    sh = text.duck_shingle_rows_sql(docs_sql)
     return f"""(
       WITH sh AS (SELECT DISTINCT doc_id, shingle FROM {sh} _s),
       sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
@@ -283,7 +297,12 @@ def duck_jaccard_pairs_sql(docs_sql: str, cand_sql: str,
 # --------------------------------------------------------------------------
 
 def simhash_signatures(docs: DataFrame) -> DataFrame:
-    toks = text.token_rows(docs)
+    toks = text.token_rows(docs).select(
+        "doc_id",
+        F.expr(
+            prng.spark_hash(text.spark_hash64_str("tok"))
+        ).alias("th"),
+    )
     votes = toks.groupBy("doc_id").agg(*text.simhash_aggs())
     return votes.select("doc_id", text.simhash_from_votes().alias("simhash"))
 

@@ -1,0 +1,72 @@
+"""The large-genome Arrow/numpy kernels must emit the *same* seeded
+streams as the SQL expression forms — one logical operator, two physical
+paths (SURVEY.md §7.4: the stream is the spec)."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from geneticalgorithmsusingmapreduce_spark.functions import bits, prng
+from geneticalgorithmsusingmapreduce_spark.operators import (
+    fitness as fit_ops, generate,
+)
+from geneticalgorithmsusingmapreduce_spark.plans import sga
+
+WIDE_BITS = 64 * (bits.LARGE_NL + 2)  # just over the dispatch threshold
+
+
+def test_np_xxhash64_matches_python():
+    ks = np.arange(-300, 300, dtype=np.int64)
+    got = prng.np_xxhash64([7, ks, 3])
+    assert list(got) == [prng.py_xxhash64([7, int(k), 3]) for k in ks]
+
+
+def test_np_popcount_edges():
+    v = np.array([-1, 0, 5, 2**62, -(2**63), 2**63 - 1], dtype=np.int64)
+    assert list(prng.np_popcount64(v)) == [64, 0, 2, 1, 1, 63]
+
+
+def test_generate_paths_agree(spark):
+    # numpy path (dispatched for WIDE_BITS) vs expression path (forced)
+    a = generate.random_population(spark, 300, WIDE_BITS, seed=5)
+    b = spark.range(300).select(
+        "id", F.expr(bits.spark_genome_sql(5, "id", WIDE_BITS)).alias("genome")
+    )
+    ra = {r.id: list(r.genome) for r in a.collect()}
+    rb = {r.id: list(r.genome) for r in b.collect()}
+    assert ra == rb
+
+
+def test_fitness_paths_agree(spark):
+    pop = generate.random_population(spark, 300, WIDE_BITS, seed=5)
+    nl = bits.n_longs(WIDE_BITS)
+    fast = fit_ops.with_fitness(pop, nl=nl)  # pandas_udf path
+    slow = pop.withColumn(
+        "fitness", F.expr(bits.popcount_sql("genome", "spark"))
+    )  # interpreted HOF path (always correct)
+    fa = {r.id: r.fitness for r in fast.collect()}
+    fs = {r.id: r.fitness for r in slow.collect()}
+    assert fa == fs
+
+
+def test_wide_generation_runs_and_conserves_bits(spark):
+    nl = bits.n_longs(WIDE_BITS)
+    pop = fit_ops.with_fitness(
+        generate.random_population(spark, 512, WIDE_BITS, seed=9), nl=nl
+    )
+    children = sga.next_generation(pop, WIDE_BITS, seed=9, generation=0,
+                                   n_buckets=4)
+    rows = children.limit(50).collect()
+    assert rows and all(len(r.genome) == nl for r in rows)
+    # conservation spot check at the aggregate level
+    union_in = pop.agg(
+        *[F.expr(f"bit_or(element_at(genome, {j + 1}))").alias(f"o{j}")
+          for j in range(nl)]
+    ).collect()[0]
+    union_out = children.agg(
+        *[F.expr(f"bit_or(element_at(genome, {j + 1}))").alias(f"o{j}")
+          for j in range(nl)]
+    ).collect()[0]
+    for j in range(nl):
+        assert (union_out[j] & ~union_in[j]) == 0
