@@ -582,5 +582,148 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm_ops.sample_frames(mm_ops.asset_table(spark, sf_dir))
 
 
+# --- general relational surface (engine extensions; the reference has no
+# joins/rollups/analytic windows over real tables — SURVEY.md §2.5/2.6
+# 'Absent' — but a complete engine must) --------------------------------
+
+@register(
+    "join_broadcast_revenue",
+    """
+    SELECT n_name,
+           cast(sum(cast(round(l_extendedprice * (1 - l_discount) * 100)
+                    as bigint)) as bigint) AS revenue_cents,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def join_broadcast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join with broadcast dims: lineitem⋈orders shuffles on the
+    orderkey; customer and nation ride in as broadcasts (Catalyst picks
+    BroadcastHashJoin under the threshold — asserted in tests). Revenue
+    quantized to cents so the aggregation is exact-integer."""
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                F.expr(
+                    "cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)"
+                )
+            ).alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "join_semi_anti",
+    """
+    SELECT 'with_orders' AS side, count(*) AS n FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    UNION ALL
+    SELECT 'no_orders' AS side, count(*) AS n FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi + left-anti joins (EXISTS / NOT EXISTS)."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    semi = c.join(o, c.c_custkey == o.o_custkey, "left_semi").agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(F.lit("with_orders").alias("side"), "n")
+    anti = c.join(o, c.c_custkey == o.o_custkey, "left_anti").agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(F.lit("no_orders").alias("side"), "n")
+    return semi.unionByName(anti)
+
+
+@register(
+    "rollup_order_stats",
+    """
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           count(*) AS n,
+           cast(sum(cast(round(o_totalprice * 100) as bigint)) as bigint)
+             AS total_cents
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def rollup_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation (status, priority) with exact-integer totals."""
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.expr("cast(round(o_totalprice * 100) as bigint)")
+            ).alias("total_cents"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+            "total_cents",
+        )
+    )
+
+
+@register(
+    "window_analytics",
+    """
+    WITH base AS (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             cast(round(o_totalprice * 100) as bigint) AS cents
+      FROM orders
+    )
+    SELECT o_custkey, o_orderkey,
+           row_number() OVER w AS rn,
+           rank()       OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           ntile(4)     OVER w AS quartile,
+           lag(o_orderkey)  OVER w AS prev_order,
+           lead(o_orderkey) OVER w AS next_order,
+           cast(sum(cents) OVER (PARTITION BY o_custkey ORDER BY o_orderdate,
+                o_orderkey ROWS UNBOUNDED PRECEDING) as bigint) AS running_cents
+    FROM base
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking + analytic + running-frame windows in one pass (all share
+    one partitioning → a single exchange + sort)."""
+    from pyspark.sql import Window
+
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate",
+        F.expr("cast(round(o_totalprice * 100) as bigint)").alias("cents"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.lag("o_orderkey").over(w).alias("prev_order"),
+        F.lead("o_orderkey").over(w).alias("next_order"),
+        F.sum("cents").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("running_cents"),
+    )
+
+
 def entry_flagship(spark: SparkSession) -> DataFrame:
     return flagship_best_by_flag(spark, "/root/testdata/sf0.001")

@@ -1,0 +1,28 @@
+"""Golden-seed regression (SURVEY.md §5.2-4): one full SGA generation at
+seed 42 over the sf0.001 fixture must hash to a pinned value — catches
+any accidental semantic drift in the shuffle/tournament/pairing/crossover
+chain that the per-operator oracles might individually tolerate."""
+
+from __future__ import annotations
+
+import hashlib
+
+from geneticalgorithmsusingmapreduce_spark import catalog
+
+GOLDEN_SHA256 = "d446f1c036df63783c44861bac58ba04d6cb8c2cdfd6f5f6291502bebf7f2e05"
+GOLDEN_ROWS = 5986
+
+
+def test_sga_generation_golden(spark):
+    rows = sorted(
+        (r.id, tuple(r.genome), r.fitness)
+        for r in catalog.QUERIES["sga_generation"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    )
+    assert len(rows) == GOLDEN_ROWS
+    got = hashlib.sha256(repr(rows).encode()).hexdigest()
+    assert got == GOLDEN_SHA256, (
+        "SGA generation output drifted from the seed-42 golden hash — "
+        "an operator's semantics changed; re-pin only if intentional"
+    )
