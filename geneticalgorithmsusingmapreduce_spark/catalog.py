@@ -27,6 +27,7 @@ from .functions import text as text_fns
 from .operators import ann as ann_ops
 from .operators import multimodal as mm_ops
 from .operators import selection as selection_ops, shuffle as shuffle_ops
+from .operators import skew as skew_ops
 from .operators import textops
 from .plans import sga as sga_plan
 from .sources.registry import read_events, read_table
@@ -723,6 +724,69 @@ def window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
             w.rowsBetween(Window.unboundedPreceding, 0)
         ).alias("running_cents"),
     )
+
+
+@register(
+    "skew_salted_revenue",
+    """
+    SELECT l_returnflag,
+           cast(sum(cast(round(l_extendedprice * (1 - l_discount) * 100)
+                    as bigint)) as bigint) AS revenue_cents,
+           count(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def skew_salted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe aggregation: l_returnflag has 3 heavy keys — a plain
+    groupBy funnels each through one task at scale. The salted two-stage
+    form spreads each key over 16 sub-aggregations first; the oracle is
+    the plain GROUP BY (same values by algebraic-merge construction)."""
+    li = read_table(spark, sf_dir, "lineitem").withColumn(
+        "cents",
+        F.expr("cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)"),
+    )
+    return skew_ops.salted_agg(
+        li,
+        ["l_returnflag"],
+        {"revenue_cents": ("sum", "cents"), "n": ("count", F.lit(1))},
+        salt_buckets=16,
+    )
+
+
+@register(
+    "events_json_extract",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           cast(sum(json_extract_string(props, '$.k')::BIGINT) as bigint) AS k_sum,
+           max(json_extract_string(props, '$.k')::BIGINT) AS k_max
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar functions over the events.props payload column
+    (extension — the reference has no strings, let alone JSON)."""
+    ev = read_events(spark, sf_dir)
+    k = "cast(get_json_object(props, '$.k') as bigint)"
+    return (
+        ev.filter(F.expr(f"{k} IS NOT NULL"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr(k)).alias("k_sum"),
+            F.max(F.expr(k)).alias("k_max"),
+        )
+    )
+
+
+@register("emb_ivf_topk", f"SELECT * FROM {ann_ops.duck_ivf_topk_sql()} _q")
+def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate top-k: centroid assignment via broadcast
+    join + grouped argmax, queries probe their 2 nearest of 8 lists —
+    the relational ANN shape that scales (one shuffle on centroid id)."""
+    return ann_ops.ivf_topk(read_table(spark, sf_dir, "embeddings"))
 
 
 def entry_flagship(spark: SparkSession) -> DataFrame:

@@ -166,6 +166,111 @@ def topk_dot_numpy(
     )
 
 
+N_CENTROIDS = 8
+N_PROBES = 2
+
+
+def ivf_topk(
+    emb: DataFrame, n_queries: int = 5, k: int = 10,
+    n_centroids: int = N_CENTROIDS, n_probes: int = N_PROBES,
+) -> DataFrame:
+    """IVF-style ANN: vectors are assigned to their nearest of
+    ``n_centroids`` centroid vectors (deterministically the first C
+    vectors — a stand-in for trained centroids); queries probe only their
+    ``n_probes`` nearest centroid lists. Fully relational: assignment is
+    a broadcast join + grouped argmax — the shape that scales (the vector
+    table shuffles once, on the centroid id).
+
+    Output: [query_id, vec_id, dot, rank] — approximate (recall < 1 vs
+    emb_topk_dot when the true neighbor lives in an unprobed list)."""
+    from pyspark.sql import Window
+
+    qz = emb.select("vec_id", F.expr(quantize_expr()).alias("qv"))
+    cents = qz.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cent_id"), F.col("qv").alias("cv")
+    )
+    # assignment: argmax dot over centroids (broadcast NLJ, one shuffle)
+    assigned = (
+        qz.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id", "qv", "cent_id",
+            F.expr(qdot_sql("qv", "cv")).alias("cdot"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.expr("max_by(cent_id, cdot * 8192 - cent_id)").alias("cent_id"),
+            F.first("qv").alias("qv"),
+        )
+    )
+    queries = assigned.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("qe")
+    )
+    # probe lists: top n_probes centroids per query
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("pdot"), F.asc("cent_id")
+    )
+    probes = (
+        queries.crossJoin(F.broadcast(cents))
+        .select(
+            "query_id", "qe", "cent_id",
+            F.expr(qdot_sql("qe", "cv")).alias("pdot"),
+        )
+        .withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") <= n_probes)
+        .select("query_id", "qe", "cent_id")
+    )
+    # search only the probed lists
+    w = Window.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("vec_id"))
+    return (
+        probes.join(assigned.select("vec_id", "qv", "cent_id"), "cent_id")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id", "vec_id", F.expr(qdot_sql("qe", "qv")).alias("dot")
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def duck_ivf_topk_sql(
+    n_queries: int = 5, k: int = 10,
+    n_centroids: int = N_CENTROIDS, n_probes: int = N_PROBES,
+    table: str = "embeddings",
+) -> str:
+    dot_vc = dot_sql("v.embedding", "c.embedding", "duckdb")
+    dot_qc = dot_sql("q.embedding", "c.embedding", "duckdb")
+    dot_qv = dot_sql("q.embedding", "v.embedding", "duckdb")
+    return f"""(
+      WITH cents AS (
+        SELECT vec_id AS cent_id, embedding FROM {table}
+        WHERE vec_id < {n_centroids}
+      ), assigned AS (
+        SELECT v.vec_id,
+               arg_max(c.cent_id, {dot_vc} * 8192 - c.cent_id) AS cent_id
+        FROM {table} v CROSS JOIN cents c GROUP BY v.vec_id
+      ), probes AS (
+        SELECT * FROM (
+          SELECT q.vec_id AS query_id, c.cent_id,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY {dot_qc} DESC, c.cent_id ASC) AS pr
+          FROM {table} q CROSS JOIN cents c WHERE q.vec_id < {n_queries}
+        ) _p WHERE pr <= {n_probes}
+      ), hits AS (
+        SELECT p.query_id, a.vec_id, {dot_qv} AS dot
+        FROM probes p
+        JOIN assigned a ON a.cent_id = p.cent_id
+        JOIN {table} v ON v.vec_id = a.vec_id
+        JOIN {table} q ON q.vec_id = p.query_id
+        WHERE p.query_id != a.vec_id
+      )
+      SELECT query_id, vec_id, dot, cast(rank as bigint) AS rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY dot DESC, vec_id ASC) AS rank
+        FROM hits
+      ) _r WHERE rank <= {k}
+    )"""
+
+
 def lsh_bucket_expr(emb_col: str, seed: int, dialect: str = "spark") -> str:
     """Sign-LSH bucket: hyperplane p's component j is ±1 drawn from
     the seeded hash stream. The draws depend only on (seed, p, j) —
