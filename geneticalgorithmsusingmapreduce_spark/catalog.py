@@ -26,6 +26,7 @@ from .operators import fitness as fit_ops, generate
 from .functions import text as text_fns
 from .operators import ann as ann_ops
 from .operators import multimodal as mm_ops
+from .operators import mutate as mutate_ops
 from .operators import selection as selection_ops, shuffle as shuffle_ops
 from .operators import skew as skew_ops
 from .operators import textops
@@ -787,6 +788,32 @@ def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     join + grouped argmax, queries probe their 2 nearest of 8 lists —
     the relational ANN shape that scales (one shuffle on centroid id)."""
     return ann_ops.ivf_topk(read_table(spark, sf_dir, "embeddings"))
+
+
+MUTATION_RATE = 0.01
+
+
+@register("sga_mutation")  # oracle attached below (needs the mut subquery)
+def sga_mutation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bit-flip mutation at 1% (extension — the reference GA has NO
+    mutation, one reason its stop rule tolerates nBits−10): genome XOR
+    per-bit Bernoulli mask from the seeded stream."""
+    pop = lineitem_population(spark, sf_dir).select(
+        F.col("iid").alias("id"), "genome"
+    )
+    mut = mutate_ops.apply_mutation(pop, GENOME_BITS, MUTATION_RATE, SEED)
+    return fit_ops.with_fitness(mut, nl=NL)
+
+
+ORACLES["sga_mutation"] = f"""
+    WITH mut AS (
+      SELECT * FROM {mutate_ops.duck_mutation_query(
+        f"SELECT iid AS id, genome FROM {lineitem_population_duck()} _sm",
+        SEED, GENOME_BITS, MUTATION_RATE,
+      )} _m
+    )
+    SELECT id, genome, {_DUCK_FIT} AS fitness FROM mut
+"""
 
 
 def entry_flagship(spark: SparkSession) -> DataFrame:

@@ -36,7 +36,17 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 TOURNAMENT_SIZE = 5  # reference src/edu/illinois/ga/MapReduce.java:154
 
-_ORD = "(fitness * 4294967296 + id)"
+# Tournament ordering: fitness first, tie-broken by the dense per-bucket
+# row number rn (< bucket size, unique within every window). The first
+# version composed fitness·2^32 + id — which silently LOSES selection
+# pressure once ids outgrow 2^32: generation ≥ 1 child ids carry the
+# pair key in their high bits, the id term swamped the fitness term, and
+# the GA degraded to genetic drift (caught by the 10k-bit convergence
+# run: best crept 5218 → 5500 over 112 generations). rn is magnitude-
+# proof: any fitness advantage contributes ≥ 2^31 > max rn. (A struct
+# ordering would be cleaner still, but DuckDB 1.0's arg_max only takes
+# scalar ordering keys.)
+_ORD = "(fitness * 2147483648 + rn)"
 
 
 def tournament_parents(
@@ -113,9 +123,11 @@ def tournament_parents_pandas(
         # wrap-around flush does
         for end in range(t_size - 1, n + t_size - 1):
             lo = end - (t_size - 1)
+            # tie-break on the stream position (≡ rn in the window form:
+            # wrapped head rows sit at rn = n + original_rn = i + 1)
             best = max(
                 range(lo, end + 1),
-                key=lambda i: (fits[i % n], ids[i % n]),
+                key=lambda i: (fits[i % n], i),
             )
             out.append(
                 (part, end - t_size + 2, genomes[best % n], fits[best % n])

@@ -9,7 +9,9 @@ import hashlib
 
 from geneticalgorithmsusingmapreduce_spark import catalog
 
-GOLDEN_SHA256 = "d446f1c036df63783c44861bac58ba04d6cb8c2cdfd6f5f6291502bebf7f2e05"
+# re-pinned after the tournament tie-break fix (fitness·2^31 + rn — the
+# id-composed key lost selection pressure for generation ≥ 1 child ids)
+GOLDEN_SHA256 = "f79bf8cc14b8c5aeeaeb871246f0961df67543a3bc6e3d006cf51dc3807382c1"
 GOLDEN_ROWS = 5986
 
 

@@ -1,0 +1,51 @@
+"""Bit-flip mutation: rate accuracy + expression/numpy path parity."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from geneticalgorithmsusingmapreduce_spark.functions import bits
+from geneticalgorithmsusingmapreduce_spark.operators import generate, mutate
+
+
+def test_flip_rate_close_to_nominal(spark):
+    pop = generate.random_population(spark, 2000, 256, seed=1)
+    mut = mutate.apply_mutation(pop, 256, rate=0.05, seed=9)
+    j = pop.alias("a").join(mut.alias("b"), "id")
+    flips = j.select(
+        F.expr(
+            "+".join(
+                f"bit_count(element_at(a.genome, {k+1}) ^ element_at(b.genome, {k+1}))"
+                for k in range(4)
+            )
+        ).alias("f")
+    ).agg(F.sum("f")).collect()[0][0]
+    rate = flips / (2000 * 256)
+    assert abs(rate - 0.05) < 0.005
+
+
+def test_numpy_mask_matches_expression(spark):
+    # same stream, two physical paths: expression form at 256 bits vs
+    # np_mutation_mask directly
+    seed, n_bits = 4, 256
+    pop = generate.random_population(spark, 300, n_bits, seed=2)
+    mut = mutate.apply_mutation(pop, n_bits, rate=0.1, seed=seed)
+    got = {
+        r.id: tuple(r.genome)
+        for r in mut.collect()
+    }
+    orig = {r.id: np.array(r.genome, dtype=np.int64) for r in pop.collect()}
+    ss = bits.seed_salt(seed, mutate.SALT_MUTATE)
+    p64 = int(0.1 * (2**63 - 1))
+    keys = sorted(orig)
+    masks = mutate.np_mutation_mask(ss, keys, n_bits, p64)
+    for i, k in enumerate(keys):
+        assert tuple(orig[k] ^ masks[i]) == got[k]
+
+
+def test_mutation_preserves_tail_mask(spark):
+    pop = generate.random_population(spark, 500, 130, seed=3)  # 2-bit tail
+    mut = mutate.apply_mutation(pop, 130, rate=0.5, seed=7)
+    mx = mut.selectExpr("max(element_at(genome, 3)) AS m").collect()[0].m
+    assert 0 <= mx <= 3
