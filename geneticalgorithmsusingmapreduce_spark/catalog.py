@@ -816,5 +816,61 @@ ORACLES["sga_mutation"] = f"""
 """
 
 
+@register(
+    "set_ops_custkeys",
+    """
+    SELECT 'both' AS bucket, count(*) AS n FROM (
+      SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+      INTERSECT
+      SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'
+    ) _i
+    UNION ALL
+    SELECT 'f_only' AS bucket, count(*) AS n FROM (
+      SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+      EXCEPT
+      SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'
+    ) _e
+    """,
+)
+def set_ops_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT (distinct set semantics — absent from the
+    reference, SURVEY.md §2.8)."""
+    o = read_table(spark, sf_dir, "orders")
+    f = o.filter("o_orderstatus = 'F'").select(F.col("o_custkey").alias("k"))
+    op = o.filter("o_orderstatus = 'O'").select(F.col("o_custkey").alias("k"))
+    both = f.intersect(op).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("both").alias("bucket"), "n"
+    )
+    f_only = f.subtract(op).agg(  # subtract == EXCEPT DISTINCT
+        F.count(F.lit(1)).alias("n")
+    ).select(F.lit("f_only").alias("bucket"), "n")
+    return both.unionByName(f_only)
+
+
+@register(
+    "pivot_status_by_flag",
+    """
+    SELECT l_returnflag,
+           cast(sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) as bigint) AS O,
+           cast(sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) as bigint) AS F
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def pivot_status_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: linestatus columns per returnflag (wide-form aggregation)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+        .select(
+            "l_returnflag",
+            F.col("O").cast("bigint").alias("O"),
+            F.col("F").cast("bigint").alias("F"),
+        )
+    )
+
+
 def entry_flagship(spark: SparkSession) -> DataFrame:
     return flagship_best_by_flag(spark, "/root/testdata/sf0.001")

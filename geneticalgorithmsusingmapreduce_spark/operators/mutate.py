@@ -56,9 +56,14 @@ def apply_mutation(
     df: DataFrame, n_bits: int, rate: float, seed: int,
     key: str = "id", genome: str = "genome",
 ) -> DataFrame:
-    """[*df.columns with genome replaced by the mutated genome]."""
+    """[*df.columns with genome replaced by the mutated genome].
+
+    Dispatch note: per-bit Bernoulli masks need nl·64 hash draws per row
+    — the expression form blows the 64 KB codegen limit at just 2 longs
+    (measured 50 s at sf0.1 for 4 longs, interpreted), so the numpy
+    kernel is the default for anything wider than one long."""
     nl = bits.n_longs(n_bits)
-    if nl > bits.LARGE_NL:
+    if nl > 1:
         import numpy as np
         import pandas as pd
 

@@ -96,6 +96,7 @@ def run_sga(
     max_generations: int = 100,
     target_slack: int = 10,
     n_buckets: int = 32,
+    mutation_rate: float | None = None,
 ) -> SgaResult:
     """Iterative driver (P7 stop rule: best ≥ n_bits − target_slack,
     ``reference src/edu/illinois/ga/MapReduce.java:433-434``). Emits the
@@ -119,9 +120,19 @@ def run_sga(
             if best >= n_bits - target_slack:
                 res.converged = True
                 break
-            children = evaluate(
-                next_generation(pop, n_bits, seed, it, n_buckets), n_bits
-            )
+            children = next_generation(pop, n_bits, seed, it, n_buckets)
+            if mutation_rate:
+                # extension beyond the reference (which has no mutation and
+                # therefore plateaus near the optimum as diversity depletes)
+                from ..operators import mutate
+
+                gen_seed = (
+                    None if seed is None else seed * 1_000_033 + it
+                )
+                children = mutate.apply_mutation(
+                    children, n_bits, mutation_rate, gen_seed or 0
+                )
+            children = evaluate(children, n_bits)
             # materialize + truncate lineage, then release the old gen
             new_pop = children.localCheckpoint(eager=True)
             pop.unpersist()
