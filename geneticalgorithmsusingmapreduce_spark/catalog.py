@@ -872,5 +872,19 @@ def pivot_status_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("incremental_sga")  # rows-only: stateful streaming, non-SQL (T1)
+def incremental_sga(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1: two SGA generations driven as foreachBatch micro-batches with
+    cross-batch population state + child dedup (D1 intended semantics).
+    Genuinely non-SQL-expressible (stateful streaming) → rows-only check
+    per the driver contract."""
+    from .streaming import incremental
+
+    st = incremental.start_incremental_sga(
+        spark, n_bits=128, pop_size=512, generations=2, seed=17, n_buckets=4
+    )
+    return st.population
+
+
 def entry_flagship(spark: SparkSession) -> DataFrame:
     return flagship_best_by_flag(spark, "/root/testdata/sf0.001")

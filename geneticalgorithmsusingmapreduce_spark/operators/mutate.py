@@ -3,12 +3,17 @@ mutation operator at all: selection + crossover only, which is why its
 convergence stalls near the optimum and the stop rule tolerates
 ``nBits − 10``. A complete GA engine needs one.)
 
-Semantics: each genome bit flips independently with probability ``rate``
-(fixed-point p64 = rate · Long.MAX_VALUE, the reference's probability
-encoding). mutated = genome XOR mask where mask bits are iid
-Bernoulli(rate) draws from the seeded stream — same three-way
-implementation story as every stochastic operator (Spark expressions /
-DuckDB twin / numpy kernel above LARGE_NL).
+Semantics: each genome bit flips independently with probability ``rate``.
+mutated = genome XOR mask, mask bits drawn from the seeded stream — same
+three-way implementation story as every stochastic operator (Spark
+expressions / DuckDB twin / numpy kernel).
+
+Draw economics: one xxhash64 yields three independent 21-bit uniforms
+(bits 1-21, 22-42, 43-63), so a mask costs ceil(n_bits/3) hashes instead
+of n_bits (measured 12.9 s → ~4 s at sf0.1 for the one-per-bit form).
+The flip threshold is quantized to t = p64 >> 42 ∈ [0, 2^21) — identical
+in both engines, rate resolution 2^-21 ≈ 5·10^-7 (≪ any useful mutation
+rate).
 """
 
 from __future__ import annotations
@@ -19,32 +24,35 @@ from ..functions import bits, prng
 
 SALT_MUTATE = 6
 LONG_MAX = 2**63 - 1
+U21 = (1 << 21) - 1
 
 
-def _mask_long_sql(ss: int, key: str, j: int, p64: int, dialect: str) -> str:
-    """One int64 whose bits are iid Bernoulli(p64/2^63) draws — literal
-    per-bit terms; bit 63's weight is the int64 sign value."""
-    terms = []
-    for b in range(64):
-        if dialect == "spark":
-            h = prng.spark_hash(str(ss), key, str(j * 64 + b))
-            u = prng.spark_unit_bits(h, 63)
-            w = str(1 << b) if b < 63 else "(cast(-9223372036854775807 as bigint) - 1)"
-            terms.append(f"(CASE WHEN {u} < {p64} THEN {w} ELSE cast(0 as bigint) END)")
-        else:
-            terms.append(None)  # duck path built in duck_mutation_query
-    return "(" + " + ".join(terms) + ")"
+def _t21(rate: float) -> int:
+    return int(rate * LONG_MAX) >> 42
 
 
 def mutation_expr(seed: int, key: str, n_bits: int, rate: float) -> str:
-    """array<bigint> mask with tail bits zeroed (flips never touch the
-    unused tail)."""
+    """array<bigint> mask; only used for single-long genomes (per-bit
+    expressions fall out of codegen immediately — see apply_mutation)."""
     nl = bits.n_longs(n_bits)
     ss = bits.seed_salt(seed, SALT_MUTATE)
-    p64 = int(rate * LONG_MAX)
+    t = _t21(rate)
     elems = []
     for j in range(nl):
-        e = _mask_long_sql(ss, key, j, p64, "spark")
+        terms = []
+        for b in range(64):
+            gb = j * 64 + b
+            h = prng.spark_hash(str(ss), key, str(gb // 3))
+            slot = gb % 3
+            u = f"(shiftright({h}, {1 + slot * 21}) & {U21})"
+            w = (
+                str(1 << b) if b < 63
+                else "(cast(-9223372036854775807 as bigint) - 1)"
+            )
+            terms.append(
+                f"(CASE WHEN {u} < {t} THEN {w} ELSE cast(0 as bigint) END)"
+            )
+        e = "(" + " + ".join(terms) + ")"
         m = bits.last_long_mask(n_bits)
         if j == nl - 1 and m != -1:
             e = f"({e} & {m})"
@@ -58,24 +66,23 @@ def apply_mutation(
 ) -> DataFrame:
     """[*df.columns with genome replaced by the mutated genome].
 
-    Dispatch note: per-bit Bernoulli masks need nl·64 hash draws per row
-    — the expression form blows the 64 KB codegen limit at just 2 longs
-    (measured 50 s at sf0.1 for 4 longs, interpreted), so the numpy
-    kernel is the default for anything wider than one long."""
+    Dispatch: per-bit Bernoulli masks blow the 64 KB codegen limit at
+    just 2 longs, so the Arrow/numpy kernel is the default for anything
+    wider than one long."""
     nl = bits.n_longs(n_bits)
     if nl > 1:
         import numpy as np
         import pandas as pd
 
         ss = bits.seed_salt(seed, SALT_MUTATE)
-        p64 = int(rate * LONG_MAX)
+        t = _t21(rate)
 
         def kernel(batches):
             for pdf in batches:
                 keys = pdf[key].to_numpy()
                 g = np.stack(pdf[genome].map(
                     lambda a: np.asarray(a, dtype=np.int64)))
-                mask = np_mutation_mask(ss, keys, n_bits, p64)
+                mask = np_mutation_mask(ss, keys, n_bits, t)
                 out = pdf.copy()
                 out[genome] = list(g ^ mask)
                 yield out
@@ -93,18 +100,23 @@ def apply_mutation(
     )
 
 
-def np_mutation_mask(ss: int, keys, n_bits: int, p64: int):
-    """(N, nl) int64 masks — same stream as mutation_expr."""
+def np_mutation_mask(ss: int, keys, n_bits: int, t21: int):
+    """(N, nl) int64 masks — same stream as mutation_expr (3 draws per
+    hash)."""
     import numpy as np
 
     nl = bits.n_longs(n_bits)
+    n_hashes = (nl * 64 + 2) // 3
     k = np.asarray(keys, dtype=np.int64).reshape(-1, 1)
-    bit_idx = np.arange(nl * 64, dtype=np.int64).reshape(1, -1)
-    h = prng.np_xxhash64([ss, np.broadcast_to(k, (len(k), nl * 64)),
-                          np.broadcast_to(bit_idx, (len(k), nl * 64))])
-    u = (h >> np.int64(1)) + np.int64(1 << 62)
-    flips = (u < p64).astype(np.uint64)
-    weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+    hi = np.arange(n_hashes, dtype=np.int64).reshape(1, -1)
+    h = prng.np_xxhash64([ss, np.broadcast_to(k, (len(k), n_hashes)),
+                          np.broadcast_to(hi, (len(k), n_hashes))])
+    hu = h.view(np.uint64)
+    u = np.empty((len(k), n_hashes * 3), dtype=np.uint64)
+    for slot in range(3):
+        u[:, slot::3] = (hu >> np.uint64(1 + slot * 21)) & np.uint64(U21)
+    flips = (u[:, : nl * 64] < np.uint64(t21)).astype(np.uint64)
+    weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
     packed = (
         flips.reshape(len(k), nl, 64) * weights.reshape(1, 1, 64)
     ).sum(axis=2).astype(np.uint64).view(np.int64)
@@ -118,30 +130,37 @@ def duck_mutation_query(
     source_sql: str, seed: int, n_bits: int, rate: float,
     key: str = "id", genome: str = "genome",
 ) -> str:
-    """Oracle twin: explode (row, bit) → one hash chain → Bernoulli →
-    pack per long → XOR with the original genome."""
+    """Oracle twin: explode (distinct key, hash idx) → one hash chain →
+    three 21-bit draws per hash → Bernoulli → pack per long → XOR."""
     nl = bits.n_longs(n_bits)
     ss = bits.seed_salt(seed, SALT_MUTATE)
-    p64 = int(rate * LONG_MAX)
+    t = _t21(rate)
     m = bits.last_long_mask(n_bits)
+    n_hashes = (nl * 64 + 2) // 3
     # masks are a pure function of the key: build over DISTINCT keys
     # (duplicate keys would double-count the packed weights), join back
     base = (
-        f"SELECT __k, bi FROM "
+        f"SELECT __k, hi FROM "
         f"(SELECT DISTINCT {key} AS __k FROM ({source_sql}) _mm) _dk "
-        f"CROSS JOIN range(0, {nl * 64}) _b(bi)"
+        f"CROSS JOIN range(0, {n_hashes}) _b(hi)"
     )
-    hq = prng.duck_hash_query(base, [str(ss), "__k", "bi"], "__h")
-    bit = prng.duck_bernoulli_bit("__h", str(p64))
+    hq = prng.duck_hash_query(base, [str(ss), "__k", "hi"], "__h")
+    # 3 bit-index rows per hash: bi = hi*3 + slot
+    drawn = f"""(
+      SELECT __k, hi * 3 + slot AS bi,
+             ((__h_u // (1::HUGEINT << (1 + slot * 21)::INT)) % {U21 + 1})::BIGINT AS u
+      FROM {hq} _hh CROSS JOIN range(0, 3) _s(slot)
+      WHERE hi * 3 + slot < {nl * 64}
+    )"""
     weight = (
         "CASE WHEN bi % 64 = 63 THEN (-9223372036854775807)::BIGINT - 1 "
         "ELSE (1::BIGINT << (bi % 64)::INT) END"
     )
     packed = f"""(
       SELECT __k, bi // 64 AS j,
-             cast(sum(CASE WHEN ({bit}) = 1 THEN {weight} ELSE 0 END)
+             cast(sum(CASE WHEN u < {t} THEN {weight} ELSE 0 END)
                   as bigint) AS ml
-      FROM {hq} _hb GROUP BY __k, bi // 64
+      FROM {drawn} _hb GROUP BY __k, bi // 64
     )"""
     tail = f" & {m}::BIGINT" if m != -1 else ""
     masks = f"""(

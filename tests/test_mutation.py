@@ -37,9 +37,9 @@ def test_numpy_mask_matches_expression(spark):
     }
     orig = {r.id: np.array(r.genome, dtype=np.int64) for r in pop.collect()}
     ss = bits.seed_salt(seed, mutate.SALT_MUTATE)
-    p64 = int(0.1 * (2**63 - 1))
+    t21 = mutate._t21(0.1)
     keys = sorted(orig)
-    masks = mutate.np_mutation_mask(ss, keys, n_bits, p64)
+    masks = mutate.np_mutation_mask(ss, keys, n_bits, t21)
     for i, k in enumerate(keys):
         assert tuple(orig[k] ^ masks[i]) == got[k]
 
