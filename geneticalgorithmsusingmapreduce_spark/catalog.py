@@ -886,5 +886,62 @@ def incremental_sga(spark: SparkSession, sf_dir: str) -> DataFrame:
     return st.population
 
 
+@register(
+    "distinct_counts",
+    """
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS parts,
+           count(DISTINCT l_suppkey) AS supps,
+           count(DISTINCT o_custkey) AS custs
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY l_returnflag
+    """,
+)
+def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column DISTINCT aggregation (absent from the reference,
+    SURVEY.md §2.4) — Spark expands to a grouping-id union internally;
+    approx_count_distinct exists alongside but can't be oracle-matched
+    (different sketches), so the exact forms are the checked surface."""
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("parts"),
+            F.countDistinct("l_suppkey").alias("supps"),
+            F.countDistinct("o_custkey").alias("custs"),
+        )
+    )
+
+
+@register(
+    "string_funcs",
+    """
+    SELECT p_partkey,
+           upper(p_brand) AS brand_u,
+           substring(p_name, 1, 8) AS name8,
+           length(trim(p_type)) AS type_len,
+           replace(p_type, ' ', '_') AS type_snake,
+           concat(p_brand, '#', cast(p_size as varchar)) AS brand_size
+    FROM part
+    """,
+)
+def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string-function surface (upper/substring/trim/replace/
+    concat) — semantics identical in both engines for ASCII data."""
+    p = read_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_u"),
+        F.substring("p_name", 1, 8).alias("name8"),
+        F.length(F.trim(F.col("p_type"))).cast("bigint").alias("type_len"),
+        F.expr("replace(p_type, ' ', '_')").alias("type_snake"),
+        F.concat(
+            F.col("p_brand"), F.lit("#"), F.col("p_size").cast("string")
+        ).alias("brand_size"),
+    )
+
+
 def entry_flagship(spark: SparkSession) -> DataFrame:
     return flagship_best_by_flag(spark, "/root/testdata/sf0.001")

@@ -126,6 +126,66 @@ def np_mutation_mask(ss: int, keys, n_bits: int, t21: int):
     return packed
 
 
+def apply_mutation_sparse(
+    df: DataFrame, n_bits: int, rate: float, seed: int,
+    key: str = "id", genome: str = "genome", max_flips: int = 8,
+) -> DataFrame:
+    """Sparse mutation for low rates at scale: instead of n_bits Bernoulli
+    draws per row, draw the flip COUNT from a truncated Poisson
+    (λ = n_bits·rate, inverse-CDF on one uniform) and then k flip
+    positions — ~(1 + max_flips) hashes per row vs n_bits/3. At the
+    reference's 10,000-bit scale this is the difference between ~60 s and
+    ~4 s per generation for the mutation step.
+
+    Distribution notes (documented approximations vs the exact per-bit
+    form): Binomial(n_bits, rate) ≈ Poisson(λ) truncated at ``max_flips``;
+    positions may repeat (two flips cancel) with probability ≈ k²/2n.
+    Both are negligible for rate ≈ 1/n_bits. Deterministic given the
+    seed (same hash stream), so runs reproduce; cross-engine oracle
+    checks use the exact per-bit operator instead."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    lam = n_bits * rate
+    # inverse-CDF thresholds on a 63-bit uniform
+    cdf, acc = [], 0.0
+    for k in range(max_flips):
+        acc += math.exp(-lam) * lam**k / math.factorial(k)
+        cdf.append(min(int(acc * (2**63 - 1)), 2**63 - 1))
+    thresholds = np.array(cdf, dtype=np.uint64)
+    ss = bits.seed_salt(seed, SALT_MUTATE) + 777  # distinct stream
+    nl = bits.n_longs(n_bits)
+
+    def kernel(batches):
+        for pdf in batches:
+            keys = pdf[key].to_numpy()
+            n = len(keys)
+            g = np.stack(pdf[genome].map(
+                lambda a: np.asarray(a, dtype=np.int64))).view(np.uint64)
+            h0 = prng.np_xxhash64([ss, keys, -1]).view(np.uint64) >> np.uint64(1)
+            k_flips = np.searchsorted(thresholds, h0, side="right")
+            mask = np.zeros((n, nl), dtype=np.uint64)
+            for d in range(int(k_flips.max()) if n else 0):
+                active = k_flips > d
+                if not active.any():
+                    break
+                hp = prng.np_xxhash64(
+                    [ss, keys[active], d]).view(np.uint64)
+                pos = (hp % np.uint64(n_bits)).astype(np.int64)
+                rows = np.nonzero(active)[0]
+                np.bitwise_xor.at(
+                    mask, (rows, pos // 64),
+                    np.uint64(1) << (pos % 64).astype(np.uint64),
+                )
+            out = pdf.copy()
+            out[genome] = list((g ^ mask).view(np.int64))
+            yield out
+
+    return df.mapInPandas(kernel, schema=df.schema)
+
+
 def duck_mutation_query(
     source_sql: str, seed: int, n_bits: int, rate: float,
     key: str = "id", genome: str = "genome",

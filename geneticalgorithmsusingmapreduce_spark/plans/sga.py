@@ -128,10 +128,17 @@ def run_sga(
 
                 gen_seed = (
                     None if seed is None else seed * 1_000_033 + it
-                )
-                children = mutate.apply_mutation(
-                    children, n_bits, mutation_rate, gen_seed or 0
-                )
+                ) or 0
+                if mutation_rate * n_bits <= 8:
+                    # low-rate: sparse Poisson-count mutation (~5 hashes
+                    # per row instead of n_bits/3 — the at-scale shape)
+                    children = mutate.apply_mutation_sparse(
+                        children, n_bits, mutation_rate, gen_seed
+                    )
+                else:
+                    children = mutate.apply_mutation(
+                        children, n_bits, mutation_rate, gen_seed
+                    )
             children = evaluate(children, n_bits)
             # materialize + truncate lineage, then release the old gen
             new_pop = children.localCheckpoint(eager=True)

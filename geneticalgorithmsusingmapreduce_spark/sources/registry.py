@@ -53,6 +53,32 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
             read_table(spark, sf_dir, t).createOrReplaceTempView(t)
 
 
+def write_table(
+    df: DataFrame, path: str, fmt: str = "parquet", **options
+) -> None:
+    """Sink in any Spark-supported format. CSV/JSON exist for interchange
+    (header/schema round-trip tested); parquet is the performance path —
+    columnar, splittable, min/max-pruned (the reference's SequenceFiles
+    have none of that)."""
+    w = df.write.mode("overwrite")
+    if fmt == "csv":
+        w = w.option("header", "true")
+    w.format(fmt).save(path)
+
+
+def read_any(
+    spark: SparkSession, path: str, fmt: str = "parquet", schema=None
+) -> DataFrame:
+    """Scan in any Spark-supported format; pass an explicit schema for
+    csv/json (inference costs a full extra pass and guesses types)."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    if fmt == "csv":
+        r = r.option("header", "true")
+    return r.format(fmt).load(path)
+
+
 def write_generation(df: DataFrame, base_dir: str, generation: int) -> str:
     """S2: sink for generation state. Overwrite semantics replace the
     reference's manual recursive-delete (S6, ``reference

@@ -31,6 +31,23 @@ def test_generation_write_read_roundtrip(spark):
         assert spark.read.parquet(p0).count() == 256
 
 
+def test_csv_json_roundtrip(spark):
+    from geneticalgorithmsusingmapreduce_spark.sources.registry import (
+        read_any, read_table, write_table,
+    )
+
+    li = read_table(spark, "/root/testdata/sf0.001", "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    want = sorted(tuple(r) for r in li.collect())
+    with tempfile.TemporaryDirectory() as d:
+        for fmt in ("csv", "json"):
+            write_table(li, f"{d}/{fmt}", fmt=fmt)
+            back = read_any(spark, f"{d}/{fmt}", fmt=fmt, schema=li.schema)
+            got = sorted(tuple(r) for r in back.collect())
+            assert got == want, fmt
+
+
 def test_run_cga_multi_split(spark):
     # the model sharded across several splits must behave identically in
     # aggregate: unconverged strictly decreases over a short run
