@@ -44,6 +44,27 @@ def test_numpy_mask_matches_expression(spark):
         assert tuple(orig[k] ^ masks[i]) == got[k]
 
 
+def test_sparse_mutation_rate_and_determinism(spark):
+    # the low-rate Poisson path: measured flip rate ≈ nominal, and the
+    # same seed reproduces the exact same flips
+    pop = generate.random_population(spark, 3000, 1024, seed=6)
+    nl = 16
+    a = mutate.apply_mutation_sparse(pop, 1024, rate=0.002, seed=31)
+    b = mutate.apply_mutation_sparse(pop, 1024, rate=0.002, seed=31)
+    ra = sorted((r.id, tuple(r.genome)) for r in a.collect())
+    rb = sorted((r.id, tuple(r.genome)) for r in b.collect())
+    assert ra == rb  # deterministic given the seed
+    j = pop.alias("x").join(a.alias("y"), "id")
+    flips = j.selectExpr(
+        "sum(" + "+".join(
+            f"bit_count(element_at(x.genome,{k+1}) ^ element_at(y.genome,{k+1}))"
+            for k in range(nl)
+        ) + ") AS f"
+    ).collect()[0].f
+    rate = flips / (3000 * 1024)
+    assert abs(rate - 0.002) < 0.0005
+
+
 def test_mutation_preserves_tail_mask(spark):
     pop = generate.random_population(spark, 500, 130, seed=3)  # 2-bit tail
     mut = mutate.apply_mutation(pop, 130, rate=0.5, seed=7)
