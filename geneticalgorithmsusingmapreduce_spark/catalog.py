@@ -42,6 +42,23 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
 
+def _gstr(col: str) -> F.Column:
+    """array<bigint> genome → canonical comma-joined string.
+
+    The driver's correctness harness canonicalizes results with a pandas
+    sort, which cannot sort list-valued cells (round-1 finding: every
+    entry emitting a raw array<bigint> column errs with "unhashable type:
+    'list'"). So the *query surface* projects genomes through this scalar
+    form; the library API keeps the array form. DuckDB twin:
+    ``array_to_string(genome, ',')`` — both engines format int64 (incl.
+    negatives) identically."""
+    return F.array_join(F.col(col).cast("array<string>"), ",")
+
+
+def _duck_gstr(expr: str) -> str:
+    return f"array_to_string({expr}, ',')"
+
+
 def register(name: str, oracle: str | None = None):
     def deco(fn):
         QUERIES[name] = fn
@@ -89,7 +106,7 @@ _DUCK_FIT = bits.popcount_sql("genome", "duckdb")
            count(*) AS pop,
            max(fitness) AS best_fitness,
            cast(sum(fitness) as bigint) AS sum_fitness,
-           arg_max(genome, fitness * 4294967296 + (iid % 2147483648)) AS best_genome
+           {_duck_gstr("arg_max(genome, fitness * 4294967296 + (iid % 2147483648))")} AS best_genome
     FROM fit GROUP BY l_returnflag
     """,
 )
@@ -106,7 +123,7 @@ def flagship_best_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by(
             "genome", F.expr("fitness * 4294967296 + (iid % 2147483648)")
         ).alias("best_genome"),
-    )
+    ).withColumn("best_genome", _gstr("best_genome"))
 
 
 # --- G1: pure generator --------------------------------------------------
@@ -114,7 +131,7 @@ def flagship_best_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "population_generate",
     f"""
-    SELECT id, genome, {_DUCK_FIT} AS fitness
+    SELECT id, {_duck_gstr("genome")} AS genome, {_DUCK_FIT} AS fitness
     FROM {generate.population_gen_duckdb_sql(4096, GENOME_BITS, SEED)} _p
     """,
 )
@@ -122,7 +139,9 @@ def population_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G1 seeded: 4096 individuals from spark.range — no input files (the
     reference needs dummy seed records S3; range() replaces them)."""
     pop = generate.random_population(spark, 4096, GENOME_BITS, SEED)
-    return fit_ops.with_fitness(pop, nl=NL)
+    return fit_ops.with_fitness(pop, nl=NL).select(
+        "id", _gstr("genome").alias("genome"), "fitness"
+    )
 
 
 # --- G2: probability-vector init ----------------------------------------
@@ -175,7 +194,7 @@ def sga_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sga_tournament",
     f"""
-    SELECT part, pos, parent, parent_fitness FROM
+    SELECT part, pos, {_duck_gstr("parent")} AS parent, parent_fitness FROM
     {selection_ops.duck_tournament_sql(
         "(SELECT id, genome, fitness, skey, part FROM "
         + shuffle_ops.duck_shuffle_query(_duck_pop_fit(), SEED * 1_000_033, n_buckets=32)
@@ -189,7 +208,9 @@ def sga_tournament(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = shuffle_ops.with_shuffle_key(
         _pop_with_fitness(spark, sf_dir), SEED * 1_000_033, n_buckets=32
     )
-    return selection_ops.tournament_parents(sh)
+    return selection_ops.tournament_parents(sh).withColumn(
+        "parent", _gstr("parent")
+    )
 
 
 @register(
@@ -199,7 +220,7 @@ def sga_tournament(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT id, genome FROM
       {sga_plan.duck_generation_sql(_duck_pop_fit(), GENOME_BITS, SEED)} _g
     )
-    SELECT id, genome, {_DUCK_FIT} AS fitness FROM ch
+    SELECT id, {_duck_gstr("genome")} AS genome, {_DUCK_FIT} AS fitness FROM ch
     """,
 )
 def sga_generation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -210,7 +231,9 @@ def sga_generation(spark: SparkSession, sf_dir: str) -> DataFrame:
     children = sga_plan.next_generation(
         _pop_with_fitness(spark, sf_dir), GENOME_BITS, SEED, generation=0
     )
-    return fit_ops.with_fitness(children, nl=NL)
+    return fit_ops.with_fitness(children, nl=NL).select(
+        "id", _gstr("genome").alias("genome"), "fitness"
+    )
 
 
 # --- cGA pipeline: G3/P3 → A3 → J1/J2+P5 → P6 ---------------------------
@@ -300,7 +323,9 @@ def sga_tournament_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = shuffle_ops.with_shuffle_key(
         _pop_with_fitness(spark, sf_dir), SEED * 1_000_033, n_buckets=32
     )
-    return selection_ops.tournament_parents_pandas(sh)
+    return selection_ops.tournament_parents_pandas(sh).withColumn(
+        "parent", _gstr("parent")
+    )
 
 
 @register("cga_update_join", ORACLES.get("cga_generation"))
@@ -316,7 +341,7 @@ def cga_update_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_genomes",
-    "SELECT * FROM "
+    f"SELECT id, {_duck_gstr('genome')} AS genome FROM "
     + dedup_ops.duck_dedup_genomes_sql(
         f"(SELECT iid AS id, genome FROM {lineitem_population_duck()} _dg)"
     )
@@ -330,7 +355,9 @@ def dedup_genomes(spark: SparkSession, sf_dir: str) -> DataFrame:
     pop = lineitem_population(spark, sf_dir).select(
         F.col("iid").alias("id"), "genome"
     )
-    return dedup_ops.dedup_genomes(pop)
+    return dedup_ops.dedup_genomes(pop).select(
+        "id", _gstr("genome").alias("genome")
+    )
 
 
 @register(
@@ -802,7 +829,9 @@ def sga_mutation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("iid").alias("id"), "genome"
     )
     mut = mutate_ops.apply_mutation(pop, GENOME_BITS, MUTATION_RATE, SEED)
-    return fit_ops.with_fitness(mut, nl=NL)
+    return fit_ops.with_fitness(mut, nl=NL).select(
+        "id", _gstr("genome").alias("genome"), "fitness"
+    )
 
 
 ORACLES["sga_mutation"] = f"""
@@ -812,7 +841,7 @@ ORACLES["sga_mutation"] = f"""
         SEED, GENOME_BITS, MUTATION_RATE,
       )} _m
     )
-    SELECT id, genome, {_DUCK_FIT} AS fitness FROM mut
+    SELECT id, {_duck_gstr("genome")} AS genome, {_DUCK_FIT} AS fitness FROM mut
 """
 
 
@@ -883,7 +912,9 @@ def incremental_sga(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = incremental.start_incremental_sga(
         spark, n_bits=128, pop_size=512, generations=2, seed=17, n_buckets=4
     )
-    return st.population
+    return st.population.select(
+        "id", _gstr("genome").alias("genome"), "fitness"
+    )
 
 
 @register(

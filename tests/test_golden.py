@@ -16,8 +16,11 @@ GOLDEN_ROWS = 5986
 
 
 def test_sga_generation_golden(spark):
+    # queries() emits the genome as a comma-joined string (driver-
+    # canonicalizer contract); parse back to ints so the pinned pre-change
+    # hash still proves the underlying semantics are untouched
     rows = sorted(
-        (r.id, tuple(r.genome), r.fitness)
+        (r.id, tuple(int(x) for x in r.genome.split(",")), r.fitness)
         for r in catalog.QUERIES["sga_generation"](
             spark, "/root/testdata/sf0.001"
         ).collect()
