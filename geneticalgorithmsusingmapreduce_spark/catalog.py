@@ -786,18 +786,23 @@ def skew_salted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            count(*) AS n,
-           cast(sum(json_extract_string(props, '$.k')::BIGINT) as bigint) AS k_sum,
-           max(json_extract_string(props, '$.k')::BIGINT) AS k_max
+           cast(sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) as bigint) AS k_sum,
+           max(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
     FROM events
-    WHERE json_extract_string(props, '$.k') IS NOT NULL
+    WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
     GROUP BY event_type
     """,
 )
 def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON scalar functions over the events.props payload column
-    (extension — the reference has no strings, let alone JSON)."""
+    (extension — the reference has no strings, let alone JSON).
+
+    try_cast on BOTH sides: a plain cast of a non-numeric payload throws
+    under Spark ANSI mode and errors in DuckDB, so parity on malformed
+    payloads requires the NULL-yielding cast everywhere — both engines
+    then agree to drop the row."""
     ev = read_events(spark, sf_dir)
-    k = "cast(get_json_object(props, '$.k') as bigint)"
+    k = "try_cast(get_json_object(props, '$.k') as bigint)"
     return (
         ev.filter(F.expr(f"{k} IS NOT NULL"))
         .groupBy("event_type")

@@ -45,6 +45,23 @@ def last_long_mask(n_bits: int) -> int:
     return (1 << used) - 1
 
 
+def spark_random_long_sql(n_bits_out: int = 64) -> str:
+    """Full-entropy random integer with ``n_bits_out`` uniform bits (64 →
+    signed full-range int64), composed from two 32-bit ``rand()`` draws.
+
+    A single ``floor((rand()-0.5) * 2^64)`` draw passes through a double's
+    53-bit mantissa, so for magnitudes ≥ 2^62 the low ~10 bits are always
+    zero: genome low bits never set (ONEMAX fitness depressed ~8%),
+    crossover masks never recombine those positions, and ``skey % 2^k``
+    bucketing collapses. Two 32-bit draws keep every output bit uniform;
+    shiftleft wraps bitwise (no ANSI overflow)."""
+    assert 33 <= n_bits_out <= 64
+    hi_span = 2 ** (n_bits_out - 32)
+    hi = f"shiftleft(cast(floor(rand() * {hi_span}) as bigint), 32)"
+    lo = "cast(floor(rand() * 4294967296) as bigint)"
+    return f"({hi} | {lo})"
+
+
 # --------------------------------------------------------------------------
 # ONEMAX fitness (P1)
 # --------------------------------------------------------------------------

@@ -198,7 +198,10 @@ def ivf_topk(
         )
         .groupBy("vec_id")
         .agg(
-            F.expr("max_by(cent_id, cdot * 8192 - cent_id)").alias("cent_id"),
+            # struct ordering, not cdot*8192 - cent_id: the scalar key
+            # multiplies an int64 dot by 8192, which throws on overflow
+            # under ANSI once embedding magnitudes grow
+            F.expr("max_by(cent_id, struct(cdot, -cent_id))").alias("cent_id"),
             F.first("qv").alias("qv"),
         )
     )
@@ -245,9 +248,14 @@ def duck_ivf_topk_sql(
         SELECT vec_id AS cent_id, embedding FROM {table}
         WHERE vec_id < {n_centroids}
       ), assigned AS (
-        SELECT v.vec_id,
-               arg_max(c.cent_id, {dot_vc} * 8192 - c.cent_id) AS cent_id
-        FROM {table} v CROSS JOIN cents c GROUP BY v.vec_id
+        -- two-key row_number ordering (DuckDB arg_max takes only scalar
+        -- keys; a composed cdot*8192 key can overflow int64)
+        SELECT vec_id, cent_id FROM (
+          SELECT v.vec_id, c.cent_id,
+                 row_number() OVER (PARTITION BY v.vec_id
+                   ORDER BY {dot_vc} DESC, c.cent_id ASC) AS arn
+          FROM {table} v CROSS JOIN cents c
+        ) _a WHERE arn = 1
       ), probes AS (
         SELECT * FROM (
           SELECT q.vec_id AS query_id, c.cent_id,

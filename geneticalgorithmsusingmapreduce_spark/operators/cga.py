@@ -80,10 +80,17 @@ def member_fitness(samples: DataFrame) -> DataFrame:
 def winner_loser(fits: DataFrame) -> tuple[int, int]:
     """A3 final: argmax/argmin member, ties to the smaller member id
     (deterministic; the reference's scan order does the same,
-    ``reference src/edu/illinois/ga/CGA.java:245-254``)."""
+    ``reference src/edu/illinois/ga/CGA.java:245-254``).
+
+    Struct ordering keys, not ``fitness * 8192 ± member``: a scalar-
+    composed key silently corrupts the ordering once t_size ≥ 8192 (the
+    member term overwhelms a 1-unit fitness difference — the same
+    magnitude-coupling failure the SGA tournament _ORD key had). The
+    DuckDB oracle keeps the scalar form (its arg_max takes scalar keys
+    only); equivalent there because oracle runs use t_size = 4."""
     row = fits.agg(
-        F.expr("max_by(member, fitness * 8192 - member)").alias("w"),
-        F.expr("min_by(member, fitness * 8192 + member)").alias("l"),
+        F.expr("max_by(member, struct(fitness, -member))").alias("w"),
+        F.expr("min_by(member, struct(fitness, member))").alias("l"),
     ).collect()[0]
     return int(row.w), int(row.l)
 

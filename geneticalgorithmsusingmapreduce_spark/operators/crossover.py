@@ -52,7 +52,7 @@ def crossover_children(
         mask_elems = []
         m = bits.last_long_mask(n_bits)
         for j in range(nl):
-            e = "cast(floor((rand() - 0.5) * 1.844674407e19) as bigint)"
+            e = bits.spark_random_long_sql()
             mask_elems.append(f"({e} & {m})" if j == nl - 1 and m != -1 else e)
         mask_sql = "array(" + ", ".join(mask_elems) + ")"
     else:

@@ -72,7 +72,7 @@ def random_population(
         mask = bits.last_long_mask(n_bits)
         elems = []
         for j in range(nl):
-            e = "cast(floor((rand() - 0.5) * 1.844674407e19) as bigint)"
+            e = bits.spark_random_long_sql()
             if j == nl - 1 and mask != -1:
                 e = f"({e} & {mask})"
             elems.append(e)

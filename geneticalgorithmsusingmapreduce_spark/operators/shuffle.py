@@ -32,7 +32,10 @@ def with_shuffle_key(
     """Adds skey (random sort key in [0, 2^63)) and part (bucket in
     [0, n_buckets))."""
     if seed is None:
-        skey = "cast(floor(rand() * 9.223372036854775e18) as bigint)"
+        # 63 uniform bits from two 32-bit draws — a single rand()·2^63 draw
+        # has only a 53-bit mantissa, leaving the low ~10 bits zero, which
+        # collapses `skey % n_buckets` routing for power-of-two buckets
+        skey = bits.spark_random_long_sql(63)
     else:
         h = prng.spark_hash(str(bits.seed_salt(seed, bits.SALT_SHUFFLE)), id_col)
         skey = prng.spark_unit_bits(h, 63)

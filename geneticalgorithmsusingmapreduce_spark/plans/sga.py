@@ -103,6 +103,14 @@ def run_sga(
     reference's telemetry line GA:<it>:<bits>:<pop>:<best>:<ms>
     (``:432``) per generation."""
     res = SgaResult()
+    # seed=None mutation still needs a *fresh* deterministic stream per
+    # generation — a literal-0 fallback reapplied the identical mask keyed
+    # by child id every generation (bits toggling back and forth instead of
+    # independent flips), so draw one random base seed per run and fold the
+    # generation index into it exactly like the seeded path
+    import random as _random
+
+    mut_base = _random.getrandbits(32) if seed is None else seed
     pop = evaluate(
         generate.random_population(spark, pop_size, n_bits, seed), n_bits
     ).persist()
@@ -126,9 +134,7 @@ def run_sga(
                 # therefore plateaus near the optimum as diversity depletes)
                 from ..operators import mutate
 
-                gen_seed = (
-                    None if seed is None else seed * 1_000_033 + it
-                ) or 0
+                gen_seed = mut_base * 1_000_033 + it
                 if mutation_rate * n_bits <= 8:
                     # low-rate: sparse Poisson-count mutation (~5 hashes
                     # per row instead of n_bits/3 — the at-scale shape)
