@@ -57,6 +57,30 @@ def ga_loop_benchmarks(spark) -> dict[str, float]:
     pop.unpersist()
     cur.unpersist()
 
+    # incr_ga's hardcoded scale: 64,000-bit genomes (1,000 longs), pop
+    # 6,000 (reference src/edu/illinois/incr_ga/MapReduce.java:31-32) —
+    # exercises the Arrow kernel paths at 6.4x the 10k-bit width
+    n_bits, pop_size = 64_000, 6_000
+    nl = bits.n_longs(n_bits)
+    pop = fit_ops.with_fitness(
+        generate.random_population(spark, pop_size, n_bits, 42, 32), nl=nl
+    ).persist()
+    pop.count()
+    cur = pop
+    for it in range(2):  # gen 0 warms; gen 1 measured
+        t0 = time.perf_counter()
+        ch = fit_ops.with_fitness(
+            sga.next_generation(cur, n_bits, 42, it, 32), nl=nl
+        ).localCheckpoint(eager=True)
+        ch.count()
+        dt = time.perf_counter() - t0
+        if cur is not pop:
+            cur.unpersist()
+        cur = ch
+    out["sga_64kbit_gen_sec"] = round(dt, 4)
+    pop.unpersist()
+    cur.unpersist()
+
     vec = generate.init_prob_vectors(spark, 2, 500).persist()  # 1000 bits
     vec.count()
     for it in range(2):
