@@ -515,6 +515,18 @@ def dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_exact_digest",
+    f"SELECT * FROM {dedup_ops.duck_dedup_exact_digest_sql()} _q",
+)
+def dedup_exact_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via 128-bit content digest — the 100 TB shape: the
+    exchange carries 16-byte binary keys instead of document bodies."""
+    return dedup_ops.dedup_exact_digest(
+        read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+
+
+@register(
     "minhash_signatures",
     f"SELECT * FROM {textops.duck_minhash_sql(textops.DUCK_AUG)} _q",
 )

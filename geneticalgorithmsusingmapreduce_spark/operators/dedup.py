@@ -55,3 +55,37 @@ def duck_dedup_exact_text_sql(table: str = "documents") -> str:
         f"(SELECT min(doc_id) AS doc_id, count(*) AS dup_count "
         f"FROM {table} GROUP BY text)"
     )
+
+
+def dedup_exact_digest(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup, 100 TB shape: pre-hash every document to a 128-bit
+    md5 digest and group on the 16-byte *binary* digest, so the exchange
+    moves fixed-width keys instead of document bodies (the scan projects
+    to (digest, doc_id) before the shuffle — at 100 TB the shuffle is
+    ~24 B/row regardless of document size). md5-equality stands in for
+    content-equality: at 1e11 documents the birthday collision odds are
+    ~1e-17; callers needing certainty re-verify within digest groups,
+    which are tiny. Output digest as lowercase hex for the query surface."""
+    d = docs.select(
+        F.unhex(F.md5(F.col(text_col).cast("binary"))).alias("digest_bin"),
+        "doc_id",
+    )
+    return (
+        d.groupBy("digest_bin")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+        .select(
+            F.lower(F.hex("digest_bin")).alias("digest"), "doc_id", "dup_count"
+        )
+    )
+
+
+def duck_dedup_exact_digest_sql(table: str = "documents") -> str:
+    # DuckDB md5() already yields lowercase hex of the UTF-8 bytes —
+    # identical to Spark's md5(cast(text as binary)).
+    return (
+        f"(SELECT md5(text) AS digest, min(doc_id) AS doc_id, "
+        f"count(*) AS dup_count FROM {table} GROUP BY md5(text))"
+    )
