@@ -31,7 +31,10 @@ from .operators import selection as selection_ops, shuffle as shuffle_ops
 from .operators import skew as skew_ops
 from .operators import textops
 from .plans import sga as sga_plan
-from .sources.registry import read_events, read_table
+from .sources.registry import (
+    read_events, read_sequencefile_population, read_table,
+    write_sequencefile_population,
+)
 from .streaming import windows as win_ops
 
 GENOME_BITS = 256  # flagship genome width (4 longs)
@@ -142,6 +145,32 @@ def population_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fit_ops.with_fitness(pop, nl=NL).select(
         "id", _gstr("genome").alias("genome"), "fitness"
     )
+
+
+# --- S1 literal fidelity: SequenceFile interchange ----------------------
+
+@register(
+    "sequencefile_roundtrip",
+    f"""
+    SELECT {_duck_gstr("genome")} AS genome, {_DUCK_FIT} AS fitness
+    FROM {generate.population_gen_duckdb_sql(512, GENOME_BITS, SEED)} _p
+    """,
+)
+def sequencefile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/S2 migration fidelity: a seeded population written as the
+    reference's literal (genome, fitness) SequenceFile records and read
+    back via sc.sequenceFile. The round-trip drops nothing (big-endian
+    int64 packing is exact), so the oracle is the generator's own SQL —
+    hash-equality proves the interchange is lossless."""
+    import tempfile
+
+    pop = fit_ops.with_fitness(
+        generate.random_population(spark, 512, GENOME_BITS, SEED), nl=NL
+    )
+    path = tempfile.mkdtemp(prefix="gamr_seq_") + "/pop"
+    write_sequencefile_population(pop, path)
+    back = read_sequencefile_population(spark, path)
+    return back.select(_gstr("genome").alias("genome"), "fitness")
 
 
 # --- G2: probability-vector init ----------------------------------------

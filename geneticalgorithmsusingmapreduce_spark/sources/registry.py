@@ -79,6 +79,48 @@ def read_any(
     return r.format(fmt).load(path)
 
 
+def write_sequencefile_population(df: DataFrame, path: str) -> None:
+    """Literal SequenceFile interchange (S1/S2 migration fidelity): encode
+    each individual as (BytesWritable genome, LongWritable fitness),
+    mirroring the reference's ``(LongArrayWritable, LongWritable)`` record
+    (``reference src/edu/illinois/ga/MapReduce.java:284-285``;
+    ``LongArrayWritable.java:36-50`` serializes big-endian int64s, which is
+    exactly ``struct.pack('>Nq')`` here — the length prefix becomes the
+    BytesWritable byte count). This is an ingest/egress shim for porting
+    existing SequenceFile generations, not a hot path: the per-record
+    Python encode is distributed (rdd.map, no driver materialization) but
+    parquet remains the performance format (columnar, prunable)."""
+    import struct
+
+    def enc(row):
+        g = row[0]
+        return (bytearray(struct.pack(f">{len(g)}q", *g)), row[1])
+
+    df.select("genome", "fitness").rdd.map(enc).saveAsSequenceFile(path)
+
+
+def read_sequencefile_population(spark: SparkSession, path: str) -> DataFrame:
+    """Inverse shim: SequenceFile dir → DataFrame[genome array<bigint>,
+    fitness bigint]. Accepts any file written by the encoding above (or by
+    a rewritten reference job emitting raw big-endian longs)."""
+    import struct
+
+    from pyspark.sql.types import (
+        ArrayType, LongType, StructField, StructType,
+    )
+
+    def dec(kv):
+        b = bytes(kv[0])
+        return (list(struct.unpack(f">{len(b) // 8}q", b)), int(kv[1]))
+
+    schema = StructType([
+        StructField("genome", ArrayType(LongType(), False), False),
+        StructField("fitness", LongType(), False),
+    ])
+    rdd = spark.sparkContext.sequenceFile(path).map(dec)
+    return spark.createDataFrame(rdd, schema)
+
+
 def write_generation(df: DataFrame, base_dir: str, generation: int) -> str:
     """S2: sink for generation state. Overwrite semantics replace the
     reference's manual recursive-delete (S6, ``reference

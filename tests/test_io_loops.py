@@ -31,6 +31,29 @@ def test_generation_write_read_roundtrip(spark):
         assert spark.read.parquet(p0).count() == 256
 
 
+def test_sequencefile_roundtrip(spark):
+    # literal S1/S2 interchange: (genome, fitness) survives the
+    # BytesWritable/LongWritable encoding bit-exactly, including negative
+    # longs (sign bit set) and the full int64 range
+    from geneticalgorithmsusingmapreduce_spark.sources.registry import (
+        read_sequencefile_population, write_sequencefile_population,
+    )
+
+    pop = fit_ops.with_fitness(
+        generate.random_population(spark, 200, 192, seed=9), nl=3
+    )
+    with tempfile.TemporaryDirectory() as d:
+        write_sequencefile_population(pop, f"{d}/seq")
+        back = read_sequencefile_population(spark, f"{d}/seq")
+        assert dict(back.dtypes) == {
+            "genome": "array<bigint>", "fitness": "bigint"
+        }
+        a = sorted((tuple(r.genome), r.fitness) for r in pop.collect())
+        b = sorted((tuple(r.genome), r.fitness) for r in back.collect())
+        assert a == b
+        assert any(x < 0 for g, _ in a for x in g)  # sign bits exercised
+
+
 def test_csv_json_roundtrip(spark):
     from geneticalgorithmsusingmapreduce_spark.sources.registry import (
         read_any, read_table, write_table,
