@@ -95,6 +95,18 @@ def winner_loser(fits: DataFrame) -> tuple[int, int]:
     return int(row.w), int(row.l)
 
 
+def winner_loser_best(fits: DataFrame) -> tuple[int, int, int]:
+    """winner_loser + the generation's best fitness in the same T-row agg
+    — the iterative driver needs all three, and the winner's fitness IS
+    the max, so a separate best-collect job is pure overhead."""
+    row = fits.agg(
+        F.expr("max_by(member, struct(fitness, -member))").alias("w"),
+        F.expr("min_by(member, struct(fitness, member))").alias("l"),
+        F.max("fitness").alias("best"),
+    ).collect()[0]
+    return int(row.w), int(row.l), int(row.best)
+
+
 def update_vectors(
     vectors: DataFrame, w: int, l: int, gen_seed: int, pop: int
 ) -> DataFrame:

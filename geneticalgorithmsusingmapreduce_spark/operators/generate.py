@@ -91,12 +91,19 @@ def population_gen_duckdb_sql(pop: int, n_bits: int, seed: int) -> str:
 
 
 def init_prob_vectors(
-    spark: SparkSession, num_splits: int, bits_per_split: int = 704
+    spark: SparkSession, num_splits: int, bits_per_split: int = 704,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """G2 → DataFrame[split_id: bigint, bit: bigint, p64: bigint], exploded
-    model layout, all probabilities at the reference's fixed-point 0.5."""
+    model layout, all probabilities at the reference's fixed-point 0.5.
+
+    num_partitions sizes the model's partitioning to the model, not the
+    session default — a 1,000-bit demo model in 32 partitions of ~30 rows
+    pays 32 tasks of scheduling per generation for no parallelism (the
+    iterative driver passes ~64k bits/partition); a billion-bit model
+    still fans out."""
     return (
-        spark.range(num_splits * bits_per_split)
+        spark.range(0, num_splits * bits_per_split, 1, num_partitions)
         .select(
             (F.col("id") / bits_per_split).cast("bigint").alias("split_id"),
             (F.col("id") % bits_per_split).alias("bit"),

@@ -17,7 +17,7 @@ import math
 import time
 from dataclasses import dataclass, field
 
-from pyspark.sql import SparkSession, functions as F
+from pyspark.sql import SparkSession
 
 from ..operators import cga, generate
 
@@ -55,13 +55,33 @@ def run_cga(
     max_generations: int = 200,
     pop: int | None = None,
     bits_per_split: int = cga.BITS_PER_SPLIT,
+    checkpoint_every: int = 2,
+    check_every: int = 1,
+    verbose: bool = True,
 ) -> CgaResult:
     """Iterative cGA. Note the model update is *deterministic* given the
-    seed — each generation folds the iteration index into its stream."""
+    seed — each generation folds the iteration index into its stream.
+
+    Driver-overhead policy (the model is tiny per generation — at 1,000
+    bits each Spark job is ~all scheduling): the only per-generation job
+    that the algorithm *requires* is the T-row (winner, loser, best) agg —
+    the next update depends on it. That job also materializes the previous
+    update's persisted model as a side effect, so steady state is ONE job
+    per generation. The convergence stats collect runs every `check_every`
+    generations (the reference checks every generation — identical stop
+    semantics, just coarser polling: a converged model stays converged
+    under further updates' outward drift, and we only ever stop on a read
+    of 0). Lineage is truncated by a *lazy* localCheckpoint every
+    `checkpoint_every` generations riding whichever job materializes it."""
     if pop is None:
         pop = reference_pop_size(num_splits, bits_per_split)
     res = CgaResult()
-    vectors = generate.init_prob_vectors(spark, num_splits, bits_per_split)
+    # partition the model by its size: ~64k bits/partition, so tiny demo
+    # models run 1-task generations while a 10^9-bit model still fans out
+    parts = max(1, -(-num_splits * bits_per_split // 65_536))
+    vectors = generate.init_prob_vectors(
+        spark, num_splits, bits_per_split, num_partitions=parts
+    )
     vectors = vectors.persist()
     vectors.count()
     try:
@@ -70,22 +90,27 @@ def run_cga(
             gen_seed = seed * 1_000_033 + it
             samples = cga.sample_members(vectors, t_size, gen_seed)
             fits = cga.member_fitness(samples)
-            w, l = cga.winner_loser(fits)
-            best = fits.agg(F.max("fitness")).collect()[0][0]
-            new_vectors = cga.update_vectors(
-                vectors, w, l, gen_seed, pop
-            ).localCheckpoint(eager=True)
-            unconv = cga.convergence_stats(new_vectors).collect()[0].unconverged
+            w, l, best = cga.winner_loser_best(fits)
+            new_vectors = cga.update_vectors(vectors, w, l, gen_seed, pop)
+            if (it + 1) % checkpoint_every == 0:
+                new_vectors = new_vectors.localCheckpoint(eager=False)
+            new_vectors = new_vectors.persist()
+            unconv = -1
+            if (it + 1) % check_every == 0 or it == max_generations - 1:
+                unconv = (
+                    cga.convergence_stats(new_vectors).collect()[0].unconverged
+                )
+                res.final_unconverged = unconv
             ms = int((time.perf_counter() - t0) * 1000)
             res.stats.append(CgaGenStats(it, best, unconv, ms))
-            print(
-                f"CGA:{it}:{pop}:{best}:{num_splits * bits_per_split}:"
-                f"{bits_per_split}:{unconv}:{ms}"
-            )
+            if verbose:
+                print(
+                    f"CGA:{it}:{pop}:{best}:{num_splits * bits_per_split}:"
+                    f"{bits_per_split}:{unconv}:{ms}"
+                )
             vectors.unpersist()
             vectors = new_vectors
             res.generations = it
-            res.final_unconverged = unconv
             if unconv == 0:
                 res.converged = True
                 break
