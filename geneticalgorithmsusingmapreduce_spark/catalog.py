@@ -587,6 +587,32 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_token_stats",
+    f"SELECT * FROM {textops.duck_token_stats_sql('documents')} _q",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting at both pipeline granularities: whitespace words +
+    BPE-ish sub-word pieces (character-class regex, engine-portable)."""
+    return textops.token_stats(
+        read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"SELECT * FROM {textops.duck_ngram_jaccard_sql(textops.DUCK_AUG)} _q",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone n-gram Jaccard dedup: df-pruned inverted shingle index
+    → candidate equi-join on the shingle → exact Jaccard ≥ 0.5 verify
+    over full shingle sets (same known-answer corpus as the LSH path —
+    the two entries must agree on true near-dups)."""
+    return textops.ngram_jaccard_pairs(
+        textops.augmented_corpus(spark, sf_dir)
+    )
+
+
+@register(
     "dedup_simhash",
     f"""SELECT * FROM {textops.duck_simhash_pairs_sql(
         text_fns.duck_simhash_query(

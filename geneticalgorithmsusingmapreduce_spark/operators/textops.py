@@ -161,6 +161,43 @@ def duck_fingerprint_sql(docs_sql: str) -> str:
     )
 
 
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Token counting, both granularities an LLM-data pipeline uses:
+    whitespace words and BPE-ish sub-word pieces (letter runs / single
+    digits / single punctuation marks — the shape of a GPT-2-style
+    pre-tokenizer, without a merges table). Pure character-class regex so
+    Java regex (Spark) and RE2 (DuckDB) count identically."""
+    toks = "filter(split(lower(text), ' '), t -> t != '')"
+    bpe = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+    return docs.select(
+        "doc_id",
+        F.expr(f"cast(size({toks}) as bigint)").alias("n_ws_tokens"),
+        F.expr(
+            f"cast(size(regexp_extract_all(text, '{bpe}', 0)) as bigint)"
+        ).alias("n_bpe_tokens"),
+        F.expr(
+            f"CASE WHEN size({toks}) > 0 THEN "
+            f"cast(size(regexp_extract_all(text, '{bpe}', 0)) as bigint) "
+            f"* 1000 div size({toks}) ELSE 0 END"
+        ).alias("bpe_per_word_milli"),
+    )
+
+
+def duck_token_stats_sql(docs_sql: str) -> str:
+    toks = text.DUCK_TOKENS
+    bpe = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+    return f"""(
+      SELECT doc_id,
+             len({toks}) AS n_ws_tokens,
+             len(regexp_extract_all(text, '{bpe}')) AS n_bpe_tokens,
+             CASE WHEN len({toks}) > 0 THEN
+               cast(len(regexp_extract_all(text, '{bpe}')) as bigint)
+               * 1000 // len({toks})
+             ELSE 0 END AS bpe_per_word_milli
+      FROM {docs_sql} _ts
+    )"""
+
+
 # --------------------------------------------------------------------------
 # MinHash + LSH near-dup
 # --------------------------------------------------------------------------
@@ -290,6 +327,55 @@ def duck_jaccard_pairs_sql(docs_sql: str, cand_sql: str,
       JOIN sizes zb ON zb.doc_id = i.doc_b
       WHERE i.inter * 1000 // (za.sz + zb.sz - i.inter) >= {tau_milli}
     )"""
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, tau_milli: int = 500, max_df: int = 50
+) -> DataFrame:
+    """Standalone n-gram Jaccard dedup (no MinHash): inverted shingle
+    index → candidate pairs → exact Jaccard verify.
+
+    Scale shape: candidates come from an equi-join on the shingle itself,
+    and shingles with document frequency > max_df are dropped from the
+    *index only* — a ubiquitous shingle contributes ~df² candidate pairs
+    and almost no Jaccard evidence, so df-pruning is what keeps the join
+    sub-quadratic at 100 TB (the standard inverted-index/prefix-filter
+    economics). The verify recomputes |∩| over the FULL shingle sets, so
+    pruning costs recall only for pairs sharing nothing but ubiquitous
+    shingles — which cannot reach a 0.5 Jaccard threshold anyway unless
+    the docs are near-all-boilerplate."""
+    sh = text.shingle_rows(docs).select("doc_id", "shingle").distinct()
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("shingle")
+    )
+    idx = sh.join(rare, "shingle")
+    cand = (
+        idx.select(F.col("doc_id").alias("doc_a"), "shingle")
+        .join(idx.select(F.col("doc_id").alias("doc_b"), "shingle"), "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return jaccard_pairs(docs, cand, tau_milli, shingles=sh)
+
+
+def duck_ngram_jaccard_sql(
+    docs_sql: str, tau_milli: int = 500, max_df: int = 50
+) -> str:
+    sh = text.duck_shingle_rows_sql(docs_sql)
+    cand = f"""(
+      WITH shd AS (SELECT DISTINCT doc_id, shingle FROM {sh} _s),
+      rare AS (SELECT shingle FROM shd GROUP BY shingle
+               HAVING count(*) <= {max_df}),
+      idx AS (SELECT s.doc_id, s.shingle FROM shd s JOIN rare USING (shingle))
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM idx a JOIN idx b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    )"""
+    return duck_jaccard_pairs_sql(docs_sql, cand, tau_milli)
 
 
 # --------------------------------------------------------------------------

@@ -140,6 +140,14 @@ def test_simhash_band_bucket_join(spark):
     assert _join_on(p, "band")
 
 
+def test_ngram_jaccard_shingle_keyed_join(spark):
+    # candidate generation must be an equi-join on the shingle (inverted
+    # index), never an all-pairs product; df-pruning keys the same join
+    p = _plan(catalog.QUERIES["dedup_ngram_jaccard"](spark, SF))
+    assert "CartesianProduct" not in p
+    assert _join_on(p, "shingle")
+
+
 def test_topk_dot_is_broadcast_nlj_baseline(spark):
     # the exact baseline deliberately broadcasts the Q=5 query rows; it
     # must be a *broadcast* NLJ (small side shipped), never a cartesian
