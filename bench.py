@@ -134,11 +134,17 @@ def main():
 
     timings: dict[str, float] = {}
     for name, fn in catalog.QUERIES.items():
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()  # warm (JIT+cache)
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best = float("inf")
+        for run in range(3):  # run 0 warms JIT; min of runs 1-2 recorded
+            # entries that persist() a shared subtree (LSH/ngram dedup)
+            # would otherwise leak one cached copy per invocation, and a
+            # single reading can spike ~4x under GC — both made numbers lie
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            if run > 0:
+                best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
 
     timings.update(ga_loop_benchmarks(spark))
     # the full-convergence GA runs are reported separately (generations +

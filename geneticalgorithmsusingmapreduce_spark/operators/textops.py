@@ -330,21 +330,26 @@ def duck_jaccard_pairs_sql(docs_sql: str, cand_sql: str,
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, tau_milli: int = 500, max_df: int = 50
+    docs: DataFrame, tau_milli: int = 500, max_df: int = 50,
+    min_shared: int = 2,
 ) -> DataFrame:
     """Standalone n-gram Jaccard dedup (no MinHash): inverted shingle
     index → candidate pairs → exact Jaccard verify.
 
     Scale shape: candidates come from an equi-join on the shingle itself,
-    and shingles with document frequency > max_df are dropped from the
-    *index only* — a ubiquitous shingle contributes ~df² candidate pairs
-    and almost no Jaccard evidence, so df-pruning is what keeps the join
-    sub-quadratic at 100 TB (the standard inverted-index/prefix-filter
-    economics). The verify recomputes |∩| over the FULL shingle sets, so
-    pruning costs recall only for pairs sharing nothing but ubiquitous
-    shingles — which cannot reach a 0.5 Jaccard threshold anyway unless
-    the docs are near-all-boilerplate."""
-    sh = text.shingle_rows(docs).select("doc_id", "shingle").distinct()
+    kept sub-quadratic by two standard inverted-index prunings — shingles
+    with document frequency > max_df are dropped from the *index only*
+    (a ubiquitous shingle contributes ~df² candidate pairs and almost no
+    Jaccard evidence), and a pair must share ≥ min_shared indexed
+    shingles (the count rides the same exchange a distinct would need,
+    and pairs sharing exactly one rare shingle dominate the candidate
+    volume ~10:1 while a true J ≥ 0.5 near-dup shares dozens). The
+    verify recomputes |∩| over the FULL shingle sets, so pruning costs
+    recall only for pairs whose overlap is almost entirely boilerplate."""
+    sh = (
+        text.shingle_rows(docs).select("doc_id", "shingle")
+        .distinct().persist()
+    )
     rare = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -356,14 +361,17 @@ def ngram_jaccard_pairs(
         idx.select(F.col("doc_id").alias("doc_a"), "shingle")
         .join(idx.select(F.col("doc_id").alias("doc_b"), "shingle"), "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
         .select("doc_a", "doc_b")
-        .distinct()
     )
     return jaccard_pairs(docs, cand, tau_milli, shingles=sh)
 
 
 def duck_ngram_jaccard_sql(
-    docs_sql: str, tau_milli: int = 500, max_df: int = 50
+    docs_sql: str, tau_milli: int = 500, max_df: int = 50,
+    min_shared: int = 2,
 ) -> str:
     sh = text.duck_shingle_rows_sql(docs_sql)
     cand = f"""(
@@ -371,9 +379,11 @@ def duck_ngram_jaccard_sql(
       rare AS (SELECT shingle FROM shd GROUP BY shingle
                HAVING count(*) <= {max_df}),
       idx AS (SELECT s.doc_id, s.shingle FROM shd s JOIN rare USING (shingle))
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM idx a JOIN idx b
         ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING count(*) >= {min_shared}
     )"""
     return duck_jaccard_pairs_sql(docs_sql, cand, tau_milli)
 
