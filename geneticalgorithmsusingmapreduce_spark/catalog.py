@@ -35,6 +35,7 @@ from .sources.registry import (
     read_events, read_sequencefile_population, read_table,
     write_sequencefile_population,
 )
+from .streaming import stateful as stateful_ops
 from .streaming import windows as win_ops
 
 GENOME_BITS = 256  # flagship genome width (4 longs)
@@ -171,6 +172,66 @@ def sequencefile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_sequencefile_population(pop, path)
     back = read_sequencefile_population(spark, path)
     return back.select(_gstr("genome").alias("genome"), "fitness")
+
+
+# --- A2/S5 as a stream: custom stateful operator ------------------------
+
+@register(
+    "streaming_running_best",
+    f"""
+    WITH p AS (
+      SELECT id, {_DUCK_FIT} AS fitness
+      FROM {generate.population_gen_duckdb_sql(512, GENOME_BITS, SEED)} _p
+    ), m AS (
+      SELECT id % 4 AS run_id, max(fitness) AS best_fitness,
+             count(*) AS rows_seen
+      FROM p GROUP BY id % 4
+    )
+    SELECT m.run_id, m.best_fitness, min(p.id) AS best_id, m.rows_seen
+    FROM m JOIN p ON p.id % 4 = m.run_id AND p.fitness = m.best_fitness
+    GROUP BY m.run_id, m.best_fitness, m.rows_seen
+    """,
+)
+def streaming_running_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState running-best fold (the reference's A2/S5
+    side-file gather as a keyed stateful stream): a seeded population
+    arrives in 4 micro-batches; the state store carries each run's
+    (best_fitness, best_id, rows_seen) across batches. The final emitted
+    row per run must equal the batch argmax — which is what the oracle
+    computes, so the cross-batch state machinery is hash-checked, not
+    just row-counted."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import Window
+
+    pop = fit_ops.with_fitness(
+        generate.random_population(spark, 512, GENOME_BITS, SEED), nl=NL
+    ).select((F.col("id") % 4).alias("run_id"), "id", "fitness")
+    d = tempfile.mkdtemp(prefix="gamr_stream_")
+    pop.repartition(4).write.parquet(f"{d}/in")
+    stream = (
+        spark.readStream.schema(pop.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{d}/in")
+    )
+    name = "rb_" + uuid.uuid4().hex[:8]
+    q = (
+        stateful_ops.running_best_stream(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    w = Window.partitionBy("run_id").orderBy(F.desc("rows_seen"))
+    return (
+        spark.table(name)
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .drop("rn")
+    )
 
 
 # --- G2: probability-vector init ----------------------------------------

@@ -89,6 +89,57 @@ def test_watermark_drops_late_rows(spark):
         assert 0 < emitted <= total
 
 
+def test_stateful_running_best_advances_across_batches(spark):
+    # the applyInPandasWithState fold must carry state across micro-
+    # batches: each key emits one refreshed row per batch, rows_seen
+    # strictly increases, and the final row equals the batch argmax
+    from geneticalgorithmsusingmapreduce_spark.operators import (
+        fitness as fit_ops, generate,
+    )
+    from geneticalgorithmsusingmapreduce_spark.streaming import stateful
+
+    pop = fit_ops.with_fitness(
+        generate.random_population(spark, 300, 128, seed=5), nl=2
+    ).select((F.col("id") % 3).alias("run_id"), "id", "fitness")
+    with tempfile.TemporaryDirectory() as d:
+        pop.repartition(5).write.parquet(f"{d}/in")
+        stream = (
+            spark.readStream.schema(pop.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{d}/in")
+        )
+        q = (
+            stateful.running_best_stream(stream)
+            .writeStream.format("memory")
+            .queryName("rb_test")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.sql("SELECT * FROM rb_test").collect()
+    per_key = {}
+    for r in rows:
+        per_key.setdefault(r.run_id, []).append(r)
+    want = {
+        r.run_id: (r.best_fitness, r.best_id, r.rows_seen)
+        for r in pop.groupBy("run_id").agg(
+            F.max("fitness").alias("best_fitness"),
+            F.expr("min_by(id, struct(-fitness, id))").alias("best_id"),
+            F.count(F.lit(1)).alias("rows_seen"),
+        ).collect()
+    }
+    assert set(per_key) == set(want)
+    for k, emitted in per_key.items():
+        assert len(emitted) >= 2  # state advanced over multiple batches
+        seen = [r.rows_seen for r in sorted(emitted, key=lambda r: r.rows_seen)]
+        assert seen == sorted(set(seen))  # strictly increasing
+        fits = [r.best_fitness for r in sorted(emitted, key=lambda r: r.rows_seen)]
+        assert fits == sorted(fits)  # running best is monotone
+        final = max(emitted, key=lambda r: r.rows_seen)
+        assert (final.best_fitness, final.best_id, final.rows_seen) == want[k]
+
+
 def test_incremental_sga_advances(spark):
     st = incremental.start_incremental_sga(
         spark, n_bits=64, pop_size=256, generations=3, seed=13, n_buckets=4
