@@ -187,7 +187,9 @@ def np_xxhash64(cols: list, seed: int = SPARK_XXH_SEED):
             v = np.asarray(c).astype(np.int64).view(np.uint64) \
                 if not np.isscalar(c) else np.uint64(c % M64)
             if h is None:
-                h = np.uint64(seed)
+                # mask before converting: np.uint64(-1) relies on numpy's
+                # deprecated wrap-around int conversion (error in numpy 2)
+                h = np.uint64(seed % M64)
             k = rotl(v * u64(P2), 31) * u64(P1)
             acc = (h + u64((P5 + 8) % M64)) ^ k
             acc = rotl(acc, 27) * u64(P1) + u64(P4)
