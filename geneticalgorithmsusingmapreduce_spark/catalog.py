@@ -674,6 +674,20 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_embedding_cosine",
+    f"SELECT * FROM {ann_ops.duck_cosine_near_pairs_sql()} _q",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup over a known-answer corpus (every 10th
+    vector gets a float-exact perturbed copy): sign-LSH buckets →
+    exact integer cosine ≥ 0.8 verify in decimal(38,0)/HUGEINT — no
+    float sqrt, so boundary pairs cannot flip between engines."""
+    return ann_ops.cosine_near_pairs(
+        ann_ops.augmented_embeddings(spark, sf_dir)
+    )
+
+
+@register(
     "dedup_simhash",
     f"""SELECT * FROM {textops.duck_simhash_pairs_sql(
         text_fns.duck_simhash_query(

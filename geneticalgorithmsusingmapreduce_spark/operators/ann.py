@@ -348,3 +348,109 @@ def duck_lsh_near_pairs_sql(
       FROM b a JOIN b b ON a.bucket = b.bucket
       WHERE a.vec_id < b.vec_id AND {dot} > {min_dot}
     )"""
+
+
+# --------------------------------------------------------------------------
+# Embedding-cosine near-dup (exact-integer cosine threshold)
+# --------------------------------------------------------------------------
+
+def augmented_embeddings(spark, sf_dir: str) -> DataFrame:
+    """Known-answer near-dup corpus for the embeddings table (same trick
+    as textops.augmented_corpus): every 10th vector gets a perturbed
+    copy under vec_id+1,000,000 — component (vec_id mod 64) shifted by
+    +0.125. The shift is exactly representable in binary float, so Spark
+    and DuckDB produce bit-identical perturbed vectors."""
+    import os
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    pert = emb.filter(F.expr("vec_id % 10 = 0")).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, i) -> CASE WHEN i = cast(vec_id % 64"
+            " as int) THEN cast(cast(x as double) + 0.125 as float) ELSE x"
+            " END)"
+        ).alias("embedding"),
+    )
+    return emb.select("vec_id", "embedding").unionByName(pert)
+
+
+DUCK_AUG_EMB = """(
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  -- e.vec_id qualified throughout: DuckDB lateral aliases must not
+  -- capture the +1000000 output alias
+  SELECT e.vec_id + 1000000 AS vec_id,
+         e.embedding[1:cast(e.vec_id % 64 as int)]
+           || [cast(cast(e.embedding[cast(e.vec_id % 64 as int) + 1]
+                as double) + 0.125 as float)]
+           || e.embedding[cast(e.vec_id % 64 as int) + 2:64] AS embedding
+  FROM embeddings e WHERE e.vec_id % 10 = 0
+)"""
+
+
+def cosine_near_pairs(
+    emb: DataFrame, tau_milli: int = 800, seed: int = 7
+) -> DataFrame:
+    """Embedding-cosine near-duplicates: sign-LSH bucket candidates +
+    EXACT cosine-threshold verification in integer arithmetic.
+
+    cos(a,b) ≥ τ  ⟺  dot ≥ 0 ∧ 10⁶·dot² ≥ τ_milli²·|a|²·|b|² — all
+    quantities exact integers. dot² overflows int64 at SCALE=10⁶, so the
+    comparison runs in decimal(38,0) (HUGEINT in the DuckDB twin); no
+    float sqrt ever executes, so a boundary pair cannot flip between
+    engines. Output carries the int64-safe certificate (dot, na2, nb2).
+
+    Scale shape: one narrow quantize+norm projection, one self-join on
+    the 8-bit bucket key, per-pair verify arithmetic — same economics as
+    lsh_near_pairs."""
+    qz = emb.select("vec_id", F.expr(quantize_expr()).alias("qv"))
+    b = qz.select(
+        "vec_id", "qv",
+        F.expr(lsh_bucket_from_q("qv", seed)).alias("bucket"),
+        F.expr(qdot_sql("qv", "qv")).alias("n2"),
+    )
+    a, c = b.alias("a"), b.alias("b")
+    t2 = tau_milli * tau_milli
+    keep = (
+        "dot >= 0 AND na2 > 0 AND nb2 > 0 AND "
+        "cast(1000000 as decimal(38,0)) * cast(dot as decimal(38,0))"
+        " * cast(dot as decimal(38,0)) >= "
+        f"cast({t2} as decimal(38,0)) * cast(na2 as decimal(38,0))"
+        " * cast(nb2 as decimal(38,0))"
+    )
+    return (
+        a.join(c, "bucket")
+        .filter(F.expr("a.vec_id < b.vec_id"))
+        .select(
+            F.expr("a.vec_id").alias("vec_a"),
+            F.expr("b.vec_id").alias("vec_b"),
+            F.expr(qdot_sql("a.qv", "b.qv")).alias("dot"),
+            F.expr("a.n2").alias("na2"),
+            F.expr("b.n2").alias("nb2"),
+        )
+        .filter(F.expr(keep))
+    )
+
+
+def duck_cosine_near_pairs_sql(
+    tau_milli: int = 800, seed: int = 7, table: str = DUCK_AUG_EMB
+) -> str:
+    bucket = lsh_bucket_expr("embedding", seed, "duckdb")
+    n2 = dot_sql("embedding", "embedding", "duckdb")
+    dot = dot_sql("a.embedding", "b.embedding", "duckdb")
+    t2 = tau_milli * tau_milli
+    return f"""(
+      WITH b AS (
+        SELECT vec_id, embedding, {bucket} AS bucket, {n2} AS n2
+        FROM {table} _e
+      )
+      SELECT vec_a, vec_b, dot, na2, nb2 FROM (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {dot} AS dot,
+               a.n2 AS na2, b.n2 AS nb2
+        FROM b a JOIN b b ON a.bucket = b.bucket
+        WHERE a.vec_id < b.vec_id
+      ) _p
+      WHERE dot >= 0 AND na2 > 0 AND nb2 > 0
+        AND 1000000::HUGEINT * dot::HUGEINT * dot::HUGEINT
+            >= {t2}::HUGEINT * na2::HUGEINT * nb2::HUGEINT
+    )"""

@@ -128,6 +128,12 @@ def test_lsh_pairs_bucketed_join(spark):
     assert _join_on(p, "bucket")
 
 
+def test_cosine_near_dup_bucketed_join(spark):
+    p = _plan(catalog.QUERIES["dedup_embedding_cosine"](spark, SF))
+    assert "CartesianProduct" not in p
+    assert _join_on(p, "bucket")
+
+
 def test_minhash_lsh_band_bucket_join(spark):
     p = _plan(catalog.QUERIES["dedup_minhash_lsh"](spark, SF))
     assert "CartesianProduct" not in p
