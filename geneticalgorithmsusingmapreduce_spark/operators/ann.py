@@ -388,6 +388,56 @@ DUCK_AUG_EMB = """(
 )"""
 
 
+def _sign_matrix(seed: int):
+    """±1 hyperplane components, same (seed, p·DIMS+j) xxhash64 stream the
+    SQL bucket expressions fold to literals."""
+    import numpy as np
+
+    s = np.empty((N_PLANES, DIMS), dtype=np.int64)
+    for p in range(N_PLANES):
+        for j in range(DIMS):
+            s[p, j] = 1 if prng.py_xxhash64([seed, p * DIMS + j]) > 0 else -1
+    return s
+
+
+def quantize_bucket_norm(emb: DataFrame, seed: int) -> DataFrame:
+    """(vec_id, qv, bucket, n2) via one Arrow/numpy kernel.
+
+    The SQL form of this projection (quantize array + 8-plane bucket +
+    self-norm) collapses into a single Project whose generated Java blows
+    janino's 64 KB method limit — whole-stage codegen then silently falls
+    back to interpreted for the entire map stage. Above-codegen-limit
+    widths dispatch to numpy per house rule: float32 → float64 cast first
+    (identical to ``cast(x as double)``), then ``floor(x·10⁶ + 0.5)`` in
+    float64 and pure int64 matmuls — bit-identical to the SQL/DuckDB
+    expressions, which remain the oracle."""
+    import numpy as np
+    import pandas as pd
+
+    s_t = _sign_matrix(seed).T  # (DIMS, N_PLANES)
+    pw = 1 << np.arange(N_PLANES, dtype=np.int64)
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            e = np.stack(
+                [np.asarray(v, dtype=np.float32) for v in pdf["embedding"]]
+            ).astype(np.float64)
+            q = np.floor(e * float(SCALE) + 0.5).astype(np.int64)
+            bucket = ((q @ s_t > 0) * pw).sum(axis=1)
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"].to_numpy(),
+                "qv": list(q),
+                "bucket": bucket,
+                "n2": np.einsum("ij,ij->i", q, q),
+            })
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        kernel, schema="vec_id long, qv array<long>, bucket long, n2 long"
+    )
+
+
 def cosine_near_pairs(
     emb: DataFrame, tau_milli: int = 800, seed: int = 7
 ) -> DataFrame:
@@ -400,36 +450,56 @@ def cosine_near_pairs(
     float sqrt ever executes, so a boundary pair cannot flip between
     engines. Output carries the int64-safe certificate (dot, na2, nb2).
 
-    Scale shape: one narrow quantize+norm projection, one self-join on
-    the 8-bit bucket key, per-pair verify arithmetic — same economics as
-    lsh_near_pairs."""
-    qz = emb.select("vec_id", F.expr(quantize_expr()).alias("qv"))
-    b = qz.select(
-        "vec_id", "qv",
-        F.expr(lsh_bucket_from_q("qv", seed)).alias("bucket"),
-        F.expr(qdot_sql("qv", "qv")).alias("n2"),
-    )
+    Scale shape: one narrow quantize+bucket+norm kernel projection
+    (Arrow/numpy — see quantize_bucket_norm), a self-join on the 8-bit
+    bucket key with only cheap conditions (bucket equality + id order),
+    ONE vectorized pairwise-dot kernel, then the decimal verify over
+    plain columns. The SQL form inlined the 64-term dot expression three
+    times into the join condition (alias substitution during predicate
+    pushdown) and blew the 64 KB codegen limit — the whole join stage ran
+    interpreted. The Arrow kernel computes the dot once per candidate and
+    is itself a pushdown barrier, so the decimal filter above it stays a
+    3-column comparison inside whole-stage codegen."""
+    import numpy as np
+
+    b = quantize_bucket_norm(emb, seed).filter(F.col("n2") > 0)
     a, c = b.alias("a"), b.alias("b")
-    t2 = tau_milli * tau_milli
-    keep = (
-        "dot >= 0 AND na2 > 0 AND nb2 > 0 AND "
-        "cast(1000000 as decimal(38,0)) * cast(dot as decimal(38,0))"
-        " * cast(dot as decimal(38,0)) >= "
-        f"cast({t2} as decimal(38,0)) * cast(na2 as decimal(38,0))"
-        " * cast(nb2 as decimal(38,0))"
-    )
-    return (
+    cand = (
         a.join(c, "bucket")
         .filter(F.expr("a.vec_id < b.vec_id"))
         .select(
             F.expr("a.vec_id").alias("vec_a"),
             F.expr("b.vec_id").alias("vec_b"),
-            F.expr(qdot_sql("a.qv", "b.qv")).alias("dot"),
+            F.expr("a.qv").alias("qa"),
+            F.expr("b.qv").alias("qb"),
             F.expr("a.n2").alias("na2"),
             F.expr("b.n2").alias("nb2"),
         )
-        .filter(F.expr(keep))
     )
+
+    def dot_kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            qa = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["qa"]])
+            qb = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["qb"]])
+            out = pdf[["vec_a", "vec_b", "na2", "nb2"]].copy()
+            out.insert(2, "dot", np.einsum("ij,ij->i", qa, qb))
+            yield out
+
+    verified = cand.mapInPandas(
+        dot_kernel,
+        schema="vec_a long, vec_b long, dot long, na2 long, nb2 long",
+    )
+    t2 = tau_milli * tau_milli
+    keep = (
+        "dot >= 0 AND "
+        "cast(1000000 as decimal(38,0)) * cast(dot as decimal(38,0))"
+        " * cast(dot as decimal(38,0)) >= "
+        f"cast({t2} as decimal(38,0)) * cast(na2 as decimal(38,0))"
+        " * cast(nb2 as decimal(38,0))"
+    )
+    return verified.filter(F.expr(keep))
 
 
 def duck_cosine_near_pairs_sql(

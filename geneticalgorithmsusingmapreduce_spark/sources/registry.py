@@ -33,16 +33,25 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The events fixture stores parquet TIMESTAMP(NANOS), which Spark
-    rejects natively; read ns-as-long (runtime legacy conf) and floor to
-    microsecond timestamps. ``ts_ns`` (bigint) is kept alongside for exact
+    """Events scan, robust to the fixture's timestamp physical type.
+
+    The fixture has shipped both parquet TIMESTAMP(NANOS) — which Spark
+    can only read ns-as-long via a legacy conf — and plain TIMESTAMP(µs)
+    (read natively, as TIMESTAMP_NTZ wall-clock). Normalize either to
+    ``ts`` = microsecond TIMESTAMP (session TZ is UTC, so NTZ wall-clock
+    → instant is identity) plus ``ts_ns`` (bigint epoch nanos) for exact
     integer arithmetic; DuckDB mirrors with epoch_ns(ts) // 1000."""
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(table_path(sf_dir, "events"))
-    return raw.withColumn("ts_ns", F.col("ts")).withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    ts_type = dict(raw.dtypes)["ts"]
+    if ts_type == "bigint":  # TIMESTAMP(NANOS) fixture, ns-as-long
+        return raw.withColumn("ts_ns", F.col("ts")).withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return raw.withColumn("ts", F.col("ts").cast("timestamp")).withColumn(
+        "ts_ns", F.unix_micros(F.col("ts")) * F.lit(1000)
     )
 
 
