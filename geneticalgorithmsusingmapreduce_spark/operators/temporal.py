@@ -1,0 +1,172 @@
+"""Temporal joins over the events stream table (scale extensions — the
+reference has no time semantics at all, SURVEY.md §2.11 'Absent', but a
+complete engine feeding a training-data pipeline needs point-in-time
+joins: feature snapshots "as of" a label timestamp, attribution windows,
+session stitching).
+
+Two shapes, both deliberately shuffle-minimal:
+
+* **as-of join** (trades↔quotes pattern): for each left event, the most
+  recent right event of the same key at or before the left timestamp.
+  Implemented as the classic union-tag + keyed window fill — ONE shuffle
+  on the key, no range self-join, no per-row subquery. This is the shape
+  that survives 100 TB: a sort-merge as-of via range join would shuffle
+  both sides *and* risk quadratic bucket overlap under hot keys; the
+  union form is a single exchange + per-key sort, and Spark's window
+  last(ignorenulls) is a codegen'd running state, not a frame rescan.
+  (DuckDB's native ASOF JOIN computes the same result but leaves
+  equal-timestamp ties engine-defined; the oracle uses the explicit
+  union+window SQL so the tie-break — views before purchases at equal
+  ts, max event_id among equal views — is pinned in both engines.)
+
+* **range join** (attribution window): events within (t, t+gap] of each
+  anchor event, same key. Implemented as an equi-join on the key with
+  the range as a residual join predicate — Catalyst keys the exchange on
+  user_id (no cartesian), the range filters inside each key group. At
+  100 TB the gap bound keeps per-key candidate sets small; a skewed key
+  would take the salted-agg treatment (operators/skew.py).
+
+All compared columns are exact integers (epoch micros, milli-quantized
+values) per the repo-wide oracle discipline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+MILLI = "cast(round(value * 1000) as bigint)"
+
+
+def asof_view_before_purchase(events: DataFrame) -> DataFrame:
+    """For each purchase event: the most recent view event of the same
+    user at or before the purchase timestamp (left as-of join — purchases
+    with no prior view keep NULLs).
+
+    Output: [event_id, user_id, purchase_ts_us, view_event_id,
+    view_ts_us, wait_us]."""
+    ev = events.select(
+        "event_id", "user_id",
+        F.unix_micros("ts").alias("ts_us"), "event_type",
+    )
+    v = ev.filter("event_type = 'view'").select(
+        "user_id", "ts_us", F.lit(0).alias("side"), "event_id",
+        F.col("event_id").alias("v_eid"), F.col("ts_us").alias("v_ts"),
+    )
+    p = ev.filter("event_type = 'purchase'").select(
+        "user_id", "ts_us", F.lit(1).alias("side"), "event_id",
+        F.lit(None).cast("long").alias("v_eid"),
+        F.lit(None).cast("long").alias("v_ts"),
+    )
+    # side orders views before purchases at equal ts (ties take the view:
+    # "at or before"); event_id breaks ties among equal-ts views (max wins
+    # under last()). One exchange on user_id; both fills share the sort.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        v.unionByName(p)
+        .select(
+            "user_id", "ts_us", "side", "event_id",
+            F.last("v_eid", ignorenulls=True).over(w).alias("view_event_id"),
+            F.last("v_ts", ignorenulls=True).over(w).alias("view_ts_us"),
+        )
+        .filter("side = 1")
+        .select(
+            "event_id", "user_id",
+            F.col("ts_us").alias("purchase_ts_us"),
+            "view_event_id", "view_ts_us",
+            (F.col("ts_us") - F.col("view_ts_us")).alias("wait_us"),
+        )
+    )
+
+
+def duck_asof_sql(table: str = "events") -> str:
+    """Union+window twin of asof_view_before_purchase (equivalent to
+    DuckDB's ASOF LEFT JOIN up to its engine-defined tie-break)."""
+    return f"""(
+      WITH ev AS (
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type
+        FROM {table}
+      ), tagged AS (
+        SELECT user_id, ts_us, 0 AS side, event_id,
+               event_id AS v_eid, ts_us AS v_ts
+        FROM ev WHERE event_type = 'view'
+        UNION ALL
+        SELECT user_id, ts_us, 1 AS side, event_id, NULL, NULL
+        FROM ev WHERE event_type = 'purchase'
+      ), filled AS (
+        SELECT user_id, ts_us, side, event_id,
+               last_value(v_eid IGNORE NULLS) OVER w AS view_event_id,
+               last_value(v_ts IGNORE NULLS) OVER w AS view_ts_us
+        FROM tagged
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, side, event_id
+                     ROWS UNBOUNDED PRECEDING)
+      )
+      SELECT event_id, user_id, ts_us AS purchase_ts_us,
+             view_event_id, view_ts_us,
+             ts_us - view_ts_us AS wait_us
+      FROM filled WHERE side = 1
+    )"""
+
+
+def follow_window_stats(events: DataFrame, gap_sec: int = 3600) -> DataFrame:
+    """Attribution range join: per signup event, count + milli-value sum
+    of the same user's events in (signup_ts, signup_ts + gap].
+
+    Output: [event_id, user_id, signup_ts_us, n_follow, value_milli]."""
+    gap_us = gap_sec * 1_000_000
+    ev = events.select(
+        "event_id", "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_type", F.expr(MILLI).alias("vm"),
+    )
+    s = ev.filter("event_type = 'signup'").select(
+        F.col("event_id").alias("s_eid"),
+        F.col("user_id").alias("s_uid"),
+        F.col("ts_us").alias("s_ts"),
+    )
+    f = ev.select("user_id", "ts_us", "vm")
+    return (
+        s.join(
+            f,
+            (s.s_uid == f.user_id)
+            & (f.ts_us > s.s_ts)
+            & (f.ts_us <= s.s_ts + F.lit(gap_us)),
+            "left",
+        )
+        .groupBy("s_eid", "s_uid", "s_ts")
+        .agg(
+            F.count("ts_us").alias("n_follow"),
+            F.coalesce(F.sum("vm"), F.lit(0)).alias("value_milli"),
+        )
+        .select(
+            F.col("s_eid").alias("event_id"),
+            F.col("s_uid").alias("user_id"),
+            F.col("s_ts").alias("signup_ts_us"),
+            "n_follow", "value_milli",
+        )
+    )
+
+
+def duck_follow_window_sql(table: str = "events", gap_sec: int = 3600) -> str:
+    gap_us = gap_sec * 1_000_000
+    return f"""(
+      WITH ev AS (
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+               event_type, {MILLI} AS vm
+        FROM {table}
+      ), s AS (
+        SELECT event_id AS s_eid, user_id AS s_uid, ts_us AS s_ts
+        FROM ev WHERE event_type = 'signup'
+      )
+      SELECT s.s_eid AS event_id, s.s_uid AS user_id,
+             s.s_ts AS signup_ts_us,
+             count(f.ts_us) AS n_follow,
+             cast(coalesce(sum(f.vm), 0) as bigint) AS value_milli
+      FROM s LEFT JOIN ev f
+        ON s.s_uid = f.user_id
+       AND f.ts_us > s.s_ts AND f.ts_us <= s.s_ts + {gap_us}
+      GROUP BY s.s_eid, s.s_uid, s.s_ts
+    )"""

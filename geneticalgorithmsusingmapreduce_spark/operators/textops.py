@@ -350,16 +350,21 @@ def ngram_jaccard_pairs(
         text.shingle_rows(docs).select("doc_id", "shingle")
         .distinct().persist()
     )
-    rare = (
+    # posting lists in ONE shuffle: collect_set per shingle computes df
+    # (the filter) and the candidate universe together, and the df cap
+    # bounds every list at max_df — so the pair expansion below is an
+    # explode over ≤ max_df² combinations per shingle, not a second
+    # shuffle-heavy self-join of the whole index. (The earlier join form
+    # shuffled the index three more times: df agg, join with `rare`, and
+    # the a⋈b candidate join.)
+    postings = (
         sh.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= max_df)
-        .select("shingle")
+        .agg(F.collect_set("doc_id").alias("docs"))
+        .filter(F.size("docs").between(2, max_df))
     )
-    idx = sh.join(rare, "shingle")
     cand = (
-        idx.select(F.col("doc_id").alias("doc_a"), "shingle")
-        .join(idx.select(F.col("doc_id").alias("doc_b"), "shingle"), "shingle")
+        postings.select(F.explode("docs").alias("doc_a"), "docs")
+        .select("doc_a", F.explode("docs").alias("doc_b"))
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("shared"))

@@ -1,0 +1,51 @@
+"""Bucketed-table co-located join: the zero-exchange fact⋈fact path
+(sources/bucketing.py). Asserts BOTH the plan property (no Exchange in
+join or post-join agg on the bucket key) and result parity with the
+plain shuffled join."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from geneticalgorithmsusingmapreduce_spark.sources import bucketing
+from geneticalgorithmsusingmapreduce_spark.sources.registry import read_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_bucketed_join_and_agg_no_exchange(spark, tmp_path):
+    o = read_table(spark, SF, "orders").select("o_orderkey", "o_custkey")
+    li = read_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    bucketing.write_bucketed(o, "b_orders", str(tmp_path / "o"), 8, "o_orderkey")
+    bucketing.write_bucketed(
+        li, "b_lineitem", str(tmp_path / "li"), 8, "l_orderkey"
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = bucketing.read_bucketed(spark, "b_orders")
+        b = bucketing.read_bucketed(spark, "b_lineitem")
+        j = (
+            a.join(b, a.o_orderkey == b.l_orderkey)
+            .groupBy("o_orderkey")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        rows = j.collect()
+        p = j._jdf.queryExecution().executedPlan().toString()
+        p = p.split("== Initial Plan ==")[0]
+        assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
+        assert "Exchange" not in p  # join AND agg ride the bucketing
+
+        want = (
+            o.join(li, o.o_orderkey == li.l_orderkey)
+            .groupBy("o_orderkey")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        assert sorted((r.o_orderkey, r.n) for r in rows) == sorted(
+            (r.o_orderkey, r.n) for r in want
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")

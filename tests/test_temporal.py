@@ -1,0 +1,77 @@
+"""As-of + range join semantics and plan shapes (operators/temporal.py)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from geneticalgorithmsusingmapreduce_spark.operators import temporal
+from geneticalgorithmsusingmapreduce_spark.sources.registry import read_events
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_asof_matches_bruteforce(spark):
+    ev = read_events(spark, SF)
+    got = {
+        r.event_id: (r.view_event_id, r.view_ts_us, r.wait_us)
+        for r in temporal.asof_view_before_purchase(ev).collect()
+    }
+    rows = ev.select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"),
+        "event_type",
+    ).collect()
+    views = {}
+    for r in rows:
+        if r.event_type == "view":
+            views.setdefault(r.user_id, []).append((r.ts_us, r.event_id))
+    purchases = [r for r in rows if r.event_type == "purchase"]
+    assert purchases and any(v is not None for v, _, _ in got.values())
+    for p in purchases:
+        cands = [
+            (ts, eid) for ts, eid in views.get(p.user_id, [])
+            if ts <= p.ts_us
+        ]
+        if not cands:
+            assert got[p.event_id] == (None, None, None)
+        else:
+            ts, eid = max(cands)  # latest ts, then max event_id
+            assert got[p.event_id] == (eid, ts, p.ts_us - ts)
+
+
+def test_range_join_matches_bruteforce(spark):
+    ev = read_events(spark, SF)
+    got = {
+        r.event_id: (r.n_follow, r.value_milli)
+        for r in temporal.follow_window_stats(ev).collect()
+    }
+    rows = ev.select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"),
+        "event_type", F.expr(temporal.MILLI).alias("vm"),
+    ).collect()
+    signups = [r for r in rows if r.event_type == "signup"]
+    assert len(got) == len(signups)
+    gap = 3600 * 1_000_000
+    for s in signups:
+        f = [
+            r.vm for r in rows
+            if r.user_id == s.user_id and s.ts_us < r.ts_us <= s.ts_us + gap
+        ]
+        assert got[s.event_id] == (len(f), sum(f))
+
+
+def test_asof_single_exchange_no_join(spark):
+    # union-tag form: one exchange on user_id, no join operator at all
+    df = temporal.asof_view_before_purchase(read_events(spark, SF))
+    df.collect()
+    p = df._jdf.queryExecution().executedPlan().toString()
+    p = p.split("== Initial Plan ==")[0]
+    assert "Join" not in p and "CartesianProduct" not in p
+    assert p.count("Exchange hashpartitioning") <= 1
+
+
+def test_range_join_keyed_not_cartesian(spark):
+    df = temporal.follow_window_stats(read_events(spark, SF))
+    df.collect()
+    p = df._jdf.queryExecution().executedPlan().toString()
+    p = p.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
