@@ -29,6 +29,7 @@ from .operators import multimodal as mm_ops
 from .operators import mutate as mutate_ops
 from .operators import selection as selection_ops, shuffle as shuffle_ops
 from .operators import skew as skew_ops
+from .operators import split as split_ops
 from .operators import temporal as temporal_ops
 from .operators import textops
 from .plans import sga as sga_plan
@@ -688,6 +689,54 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = textops.minhash_signatures(docs, shingles=shingles)
     cands = textops.lsh_candidate_pairs(sigs)
     return textops.jaccard_pairs(docs, cands, shingles=shingles)
+
+
+@register(
+    "doc_train_val_test",
+    f"""
+    SELECT doc_id, pm, split
+    FROM {split_ops.duck_assign_splits_sql("SELECT doc_id FROM documents")} _q
+    """,
+)
+def doc_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-keyed train/val/test split (80/10/10):
+    assignment is a pure function of (seed, doc_id) — stable across
+    re-partitioning, re-reads, appends, and engines. Map-only."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    return split_ops.assign_splits(docs).select("doc_id", "pm", "split")
+
+
+@register(
+    "order_price_quartiles",
+    """
+    SELECT o_orderstatus,
+           count(*) AS n,
+           quantile_cont(cents, 0.25) AS q25,
+           quantile_cont(cents, 0.50) AS q50,
+           quantile_cont(cents, 0.75) AS q75
+    FROM (SELECT o_orderstatus,
+                 cast(round(o_totalprice * 100) as bigint) AS cents
+          FROM orders) _c
+    GROUP BY o_orderstatus
+    """,
+)
+def order_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quartiles per order status. Fractions are
+    dyadic (0.25/0.5/0.75) over integer cents, so the interpolation
+    x_lo + frac·Δ is exact in float64 and both engines agree bit-for-bit
+    (a 0.9 quantile would differ in the last ulp). Spark executes one
+    sort-based agg per group; at scale the approx_percentile sketch is
+    the cheap variant (not oracle-matchable — different sketches)."""
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        F.expr("cast(round(o_totalprice * 100) as bigint)").alias("cents"),
+    )
+    return o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("percentile(cents, 0.25)").alias("q25"),
+        F.expr("percentile(cents, 0.50)").alias("q50"),
+        F.expr("percentile(cents, 0.75)").alias("q75"),
+    )
 
 
 @register(

@@ -1,0 +1,70 @@
+"""Deterministic dataset splitting (train/val/test) — a core
+training-data-pipeline operation (scale extension; the reference's only
+randomness is its population bootstrap).
+
+Why hash-based, not ``randomSplit``: a split assigned by
+``rand() < 0.8`` changes whenever the data is re-partitioned, re-read,
+or appended to — at 100 TB you cannot afford (and must never need) a
+materialized assignment table just to keep train/test stable. Hashing
+the record key through the engine-wide seeded xxhash64 stream makes the
+assignment a pure function of (seed, key): reproducible across runs,
+engines (DuckDB oracle), cluster sizes, and incremental arrivals —
+appending new documents never reassigns old ones. This is the standard
+content-addressed split used by large corpus pipelines.
+
+Mechanics: per-mille bucket = top-20 hash bits mod 1000 (the mod bias at
+2^20/1000 is < 0.1% and identical in both engines — the contract is
+determinism + mirror-exactness, not perfect uniformity), then threshold
+into train/val/test. Map-only: no shuffle, no state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions import bits, prng
+
+SALT_SPLIT = 6  # distinct stream from genome/mask/shuffle/sample/pair
+
+
+def assign_splits(
+    df: DataFrame,
+    key: str = "doc_id",
+    seed: int = 42,
+    train_pm: int = 800,
+    val_pm: int = 100,
+) -> DataFrame:
+    """Adds [pm, split] to ``df``: pm ∈ [0,1000) from the seeded hash of
+    ``key``; split ∈ {train, val, test} by per-mille thresholds."""
+    ss = bits.seed_salt(seed, SALT_SPLIT)
+    h = prng.spark_hash(str(ss), key)
+    pm = f"({prng.spark_unit_bits(h, 20)} % 1000)"
+    return df.withColumn("pm", F.expr(pm)).withColumn(
+        "split",
+        F.expr(
+            f"CASE WHEN pm < {train_pm} THEN 'train' "
+            f"WHEN pm < {train_pm + val_pm} THEN 'val' "
+            "ELSE 'test' END"
+        ),
+    )
+
+
+def duck_assign_splits_sql(
+    source_sql: str,
+    key: str = "doc_id",
+    seed: int = 42,
+    train_pm: int = 800,
+    val_pm: int = 100,
+) -> str:
+    ss = bits.seed_salt(seed, SALT_SPLIT)
+    return prng.duck_hash_query(
+        source_sql,
+        [str(ss), key],
+        "__sp",
+        extra=[
+            f"({prng.duck_unit_bits('__sp', 20)} % 1000) AS pm",
+            f"CASE WHEN ({prng.duck_unit_bits('__sp', 20)} % 1000) < {train_pm}"
+            f" THEN 'train' WHEN ({prng.duck_unit_bits('__sp', 20)} % 1000) <"
+            f" {train_pm + val_pm} THEN 'val' ELSE 'test' END AS split",
+        ],
+    )

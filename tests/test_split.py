@@ -1,0 +1,40 @@
+"""Deterministic split properties (operators/split.py): assignment is a
+pure function of (seed, key) — stable under subsetting/append — and the
+per-mille thresholds produce roughly the requested proportions."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from geneticalgorithmsusingmapreduce_spark.operators import split
+from geneticalgorithmsusingmapreduce_spark.sources.registry import read_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_split_stable_under_subset(spark):
+    docs = read_table(spark, SF, "documents").select("doc_id")
+    full = {
+        r.doc_id: (r.pm, r.split)
+        for r in split.assign_splits(docs).collect()
+    }
+    sub = docs.filter(F.col("doc_id") % 3 == 0)
+    for r in split.assign_splits(sub).collect():
+        assert full[r.doc_id] == (r.pm, r.split)
+
+
+def test_split_proportions_and_seed_sensitivity(spark):
+    docs = read_table(spark, SF, "documents").select("doc_id")
+    counts = dict(
+        (r.split, r.n)
+        for r in split.assign_splits(docs)
+        .groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    n = sum(counts.values())
+    assert 0.7 < counts["train"] / n < 0.9
+    assert 0.03 < counts["val"] / n < 0.2
+    assert 0.03 < counts["test"] / n < 0.2
+
+    a = {r.doc_id: r.split for r in split.assign_splits(docs, seed=1).collect()}
+    b = {r.doc_id: r.split for r in split.assign_splits(docs, seed=2).collect()}
+    assert any(a[k] != b[k] for k in a)  # seed actually feeds the hash
