@@ -140,6 +140,42 @@ def test_stateful_running_best_advances_across_batches(spark):
         assert (final.best_fitness, final.best_id, final.rows_seen) == want[k]
 
 
+def test_streaming_dedup_across_batches(spark):
+    # incremental ingestion dedup: dropDuplicates on a content digest must
+    # hold its state across micro-batches — re-arrivals of already-seen
+    # documents in a later batch are dropped, new ones pass
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", F.md5("text").alias("digest"))
+    )
+    first = docs.filter("doc_id % 2 = 0").limit(60).cache()
+    second = first.limit(30).unionByName(  # 30 re-arrivals...
+        docs.filter("doc_id % 2 = 1").limit(40)  # ...plus 40 unseen
+    ).cache()
+    n_distinct = first.unionByName(second).select("digest").distinct().count()
+    with tempfile.TemporaryDirectory() as d:
+        first.coalesce(1).write.parquet(f"{d}/in")
+        second.coalesce(1).write.mode("append").parquet(f"{d}/in")
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{d}/in")
+        )
+        q = (
+            stream.dropDuplicates(["digest"])
+            .writeStream.format("memory")
+            .queryName("dedup_stream")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+        out = spark.sql("SELECT digest FROM dedup_stream").collect()
+    assert len(out) == n_distinct  # re-arrivals deduped across batches
+    assert len({r.digest for r in out}) == len(out)  # each emitted once
+
+
 def test_incremental_sga_advances(spark):
     st = incremental.start_incremental_sga(
         spark, n_bits=64, pop_size=256, generations=3, seed=13, n_buckets=4
