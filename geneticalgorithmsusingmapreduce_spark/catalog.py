@@ -27,6 +27,7 @@ from .functions import text as text_fns
 from .operators import ann as ann_ops
 from .operators import multimodal as mm_ops
 from .operators import mutate as mutate_ops
+from .operators import pipeline as pipeline_ops
 from .operators import selection as selection_ops, shuffle as shuffle_ops
 from .operators import skew as skew_ops
 from .operators import split as split_ops
@@ -658,6 +659,31 @@ def dedup_exact_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.dedup_exact_digest(
         read_table(spark, sf_dir, "documents").select("doc_id", "text")
     )
+
+
+_DUP_DOCS_DUCK = """(
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+  WHERE doc_id % 7 = 0
+)"""
+
+
+@register(
+    "corpus_curation",
+    f"SELECT * FROM {pipeline_ops.duck_curate_corpus_sql(_DUP_DOCS_DUCK)} _q",
+)
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-corpus curation path as one declarative plan:
+    language + quality gates (map-side, pre-shuffle) → exact-digest
+    dedup (the pipeline's single exchange, 16-byte keys) → deterministic
+    split. Every 7th doc is planted as an exact duplicate so the dedup
+    stage provably collapses cross-partition copies."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.filter("doc_id % 7 = 0").select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    return pipeline_ops.curate_corpus(docs.unionByName(dups))
 
 
 @register(

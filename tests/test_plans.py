@@ -177,3 +177,24 @@ def test_minhash_signatures_single_exchange(spark):
     p = _plan(catalog.QUERIES["minhash_signatures"](spark, SF))
     assert p.count("Exchange hashpartitioning") == 1
     assert "partial_min" in p.split("Exchange")[1]
+
+
+def test_corpus_curation_single_exchange(spark):
+    # the composed curation pipeline (gates → digest dedup → split) has
+    # exactly ONE shuffle, keyed on the digest, with map-side partial
+    # aggregation and the document text never crossing the exchange
+    p = _plan(catalog.QUERIES["corpus_curation"](spark, SF))
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Exchange hashpartitioning(digest" in p
+    partial = next(
+        l for l in p.splitlines() if "partial_min" in l
+    )
+    assert "text#" not in partial  # shuffled rows are (digest, id, tokens)
+
+
+def test_asof_and_range_extend_plan_suite(spark):
+    # temporal joins keep their scale shapes under composition with scans
+    p = _plan(catalog.QUERIES["events_asof_join"](spark, SF))
+    assert "CartesianProduct" not in p
+    p2 = _plan(catalog.QUERIES["events_range_join"](spark, SF))
+    assert "CartesianProduct" not in p2 and "BroadcastNestedLoopJoin" not in p2
