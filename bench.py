@@ -133,7 +133,16 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
 
     timings: dict[str, float] = {}
-    for name, fn in catalog.QUERIES.items():
+    # run entries that spin up heavyweight machinery (streaming state
+    # stores, RDD sequence-file codecs, foreachBatch loops) LAST: their
+    # executor-side residue (state maintenance, memory-sink retention,
+    # GC pressure) measurably inflates whatever large sort/window job
+    # runs next — observed as a phantom 4x on the first query after the
+    # stateful stream. Ordering is measurement isolation, not a speedup.
+    heavy_tail = (
+        "sequencefile_roundtrip", "streaming_running_best", "incremental_sga",
+    )
+    def run_one(name, fn):
         best = float("inf")
         for run in range(3):  # run 0 warms JIT; min of runs 1-2 recorded
             # entries that persist() a shared subtree (LSH/ngram dedup)
@@ -146,7 +155,13 @@ def main():
                 best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
 
-    timings.update(ga_loop_benchmarks(spark))
+    for name, fn in catalog.QUERIES.items():
+        if name not in heavy_tail:
+            run_one(name, fn)
+    timings.update(ga_loop_benchmarks(spark))  # before the heavy tail too
+    for name in heavy_tail:
+        if name in catalog.QUERIES:
+            run_one(name, catalog.QUERIES[name])
     # the full-convergence GA runs are reported separately (generations +
     # sec/gen, not a per-query timing) so the round-over-round headline
     # total stays comparable

@@ -37,6 +37,57 @@ from pyspark.sql import DataFrame, Window, functions as F
 MILLI = "cast(round(value * 1000) as bigint)"
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    tie: str,
+    right_vals: dict[str, str],
+) -> DataFrame:
+    """Generic backward as-of LEFT join: every left row picks the latest
+    right row of the same ``key`` with ``right.ts <= left.ts`` (ties at
+    equal ts take the right row; among equal-ts right rows the max
+    ``tie`` wins — a pinned total order, unlike engine-native ASOF).
+
+    ``right_vals`` maps output column name → right column to carry.
+    Left rows with no earlier right row keep NULLs.
+
+    Shape: union-tag + keyed window fill. ONE exchange on ``key``, one
+    per-key sort shared by all fills — no range self-join (whose bucket
+    overlap goes quadratic under hot keys), no per-row subquery. All
+    left columns pass through."""
+    out_names = list(right_vals)
+    lhs = left.select(
+        "*", F.lit(1).alias("__side"),
+        *[
+            F.lit(None).cast(dict(right.dtypes)[src]).alias(f"__rv_{o}")
+            for o, src in right_vals.items()
+        ],
+    )
+    # right side carries only (key, ts, tie, values); left payload nulls
+    rhs = right.select(
+        F.col(key), F.col(ts), F.col(tie), F.lit(0).alias("__side"),
+        *[F.col(src).alias(f"__rv_{o}") for o, src in right_vals.items()],
+    )
+    for c in left.columns:
+        if c not in (key, ts, tie):
+            rhs = rhs.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+    w = (
+        Window.partitionBy(key)
+        .orderBy(ts, "__side", tie)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = rhs.unionByName(lhs).select(
+        *left.columns, "__side",
+        *[
+            F.last(f"__rv_{o}", ignorenulls=True).over(w).alias(o)
+            for o in out_names
+        ],
+    )
+    return filled.filter("__side = 1").select(*left.columns, *out_names)
+
+
 def asof_view_before_purchase(events: DataFrame) -> DataFrame:
     """For each purchase event: the most recent view event of the same
     user at or before the purchase timestamp (left as-of join — purchases
@@ -48,37 +99,20 @@ def asof_view_before_purchase(events: DataFrame) -> DataFrame:
         "event_id", "user_id",
         F.unix_micros("ts").alias("ts_us"), "event_type",
     )
-    v = ev.filter("event_type = 'view'").select(
-        "user_id", "ts_us", F.lit(0).alias("side"), "event_id",
-        F.col("event_id").alias("v_eid"), F.col("ts_us").alias("v_ts"),
-    )
     p = ev.filter("event_type = 'purchase'").select(
-        "user_id", "ts_us", F.lit(1).alias("side"), "event_id",
-        F.lit(None).cast("long").alias("v_eid"),
-        F.lit(None).cast("long").alias("v_ts"),
+        "event_id", "user_id", "ts_us"
     )
-    # side orders views before purchases at equal ts (ties take the view:
-    # "at or before"); event_id breaks ties among equal-ts views (max wins
-    # under last()). One exchange on user_id; both fills share the sort.
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts_us", "side", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    v = ev.filter("event_type = 'view'").select(
+        "event_id", "user_id", "ts_us"
     )
-    return (
-        v.unionByName(p)
-        .select(
-            "user_id", "ts_us", "side", "event_id",
-            F.last("v_eid", ignorenulls=True).over(w).alias("view_event_id"),
-            F.last("v_ts", ignorenulls=True).over(w).alias("view_ts_us"),
-        )
-        .filter("side = 1")
-        .select(
-            "event_id", "user_id",
-            F.col("ts_us").alias("purchase_ts_us"),
-            "view_event_id", "view_ts_us",
-            (F.col("ts_us") - F.col("view_ts_us")).alias("wait_us"),
-        )
+    return asof_join(
+        p, v, key="user_id", ts="ts_us", tie="event_id",
+        right_vals={"view_event_id": "event_id", "view_ts_us": "ts_us"},
+    ).select(
+        "event_id", "user_id",
+        F.col("ts_us").alias("purchase_ts_us"),
+        "view_event_id", "view_ts_us",
+        (F.col("ts_us") - F.col("view_ts_us")).alias("wait_us"),
     )
 
 

@@ -59,6 +59,27 @@ def test_range_join_matches_bruteforce(spark):
         assert got[s.event_id] == (len(f), sum(f))
 
 
+def test_generic_asof_payload_and_ties(spark):
+    left = spark.createDataFrame(
+        [(1, 10, 100, "a"), (1, 20, 101, "b"), (2, 5, 102, "c")],
+        "k int, t int, tid int, payload string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 201), (1, 10, 204), (1, 15, 202), (2, 99, 203)],
+        "k int, t int, tid int",
+    )
+    out = {
+        (r.k, r.t): (r.payload, r.r_tid, r.r_t)
+        for r in temporal.asof_join(
+            left, right, key="k", ts="t", tie="tid",
+            right_vals={"r_tid": "tid", "r_t": "t"},
+        ).collect()
+    }
+    assert out[(1, 10)] == ("a", 204, 10)  # equal-ts taken; max tie wins
+    assert out[(1, 20)] == ("b", 202, 15)  # latest earlier right row
+    assert out[(2, 5)] == ("c", None, None)  # nothing at-or-before
+
+
 def test_asof_single_exchange_no_join(spark):
     # union-tag form: one exchange on user_id, no join operator at all
     df = temporal.asof_view_before_purchase(read_events(spark, SF))
