@@ -331,7 +331,7 @@ def duck_jaccard_pairs_sql(docs_sql: str, cand_sql: str,
 
 def ngram_jaccard_pairs(
     docs: DataFrame, tau_milli: int = 500, max_df: int = 50,
-    min_shared: int = 2,
+    min_shared: int = 6,
 ) -> DataFrame:
     """Standalone n-gram Jaccard dedup (no MinHash): inverted shingle
     index → candidate pairs → exact Jaccard verify.
@@ -376,7 +376,7 @@ def ngram_jaccard_pairs(
 
 def duck_ngram_jaccard_sql(
     docs_sql: str, tau_milli: int = 500, max_df: int = 50,
-    min_shared: int = 2,
+    min_shared: int = 6,
 ) -> str:
     sh = text.duck_shingle_rows_sql(docs_sql)
     cand = f"""(
