@@ -410,15 +410,22 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
 
 def simhash_pairs(sigs: DataFrame, max_hamming: int = 6) -> DataFrame:
     """Candidate pairs via 4×16-bit band buckets (any equal band →
-    candidate), verified by exact Hamming distance ≤ max_hamming."""
-    bands = None
-    for b in range(4):
-        one = sigs.select(
-            "doc_id", "simhash",
-            F.lit(b).alias("band"),
-            F.expr(f"(shiftright(simhash, {b * 16}) & 65535)").alias("bucket"),
-        )
-        bands = one if bands is None else bands.unionByName(one)
+    candidate), verified by exact Hamming distance ≤ max_hamming.
+
+    Band rows come from ONE explode over the signature (not a 4-way
+    union: a union re-evaluates the 64-vote signature aggregation once
+    per branch, and the self-join doubles that to 8 recomputes), and the
+    banded relation is persisted so both join sides read the same
+    materialization — the signature agg runs exactly once."""
+    structs = ", ".join(
+        f"struct({b} as band,"
+        f" (shiftright(simhash, {b * 16}) & 65535) as bucket)"
+        for b in range(4)
+    )
+    bands = sigs.select(
+        "doc_id", "simhash",
+        F.explode(F.expr(f"array({structs})")).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band", "bb.bucket").persist()
     a, bb = bands.alias("a"), bands.alias("b")
     return (
         a.join(bb, ["band", "bucket"])
