@@ -233,15 +233,21 @@ def lsh_candidate_pairs(sigs: DataFrame, k: int = MINHASH_K,
     """Band → bucket → self-join: docs sharing any band bucket become
     candidate pairs (a < b)."""
     r = k // bands
-    band_rows = None
-    for b in range(bands):
-        cols = ", ".join(f"mh{b * r + i}" for i in range(r))
-        one = sigs.select(
-            "doc_id",
-            F.lit(b).alias("band"),
-            F.expr(prng.spark_hash(*cols.split(", "), str(b))).alias("bucket"),
+    # one explode, not a bands-way union: each union branch re-evaluated
+    # the k-min signature aggregation, and the self-join doubled it (2b
+    # recomputes); persist so both join sides share one materialization
+    structs = ", ".join(
+        "struct({b} as band, {h} as bucket)".format(
+            b=b,
+            h=prng.spark_hash(
+                *[f"mh{b * r + i}" for i in range(r)], str(b)
+            ),
         )
-        band_rows = one if band_rows is None else band_rows.unionByName(one)
+        for b in range(bands)
+    )
+    band_rows = sigs.select(
+        "doc_id", F.explode(F.expr(f"array({structs})")).alias("bb")
+    ).select("doc_id", "bb.band", "bb.bucket").persist()
     a = band_rows.alias("a")
     bb = band_rows.alias("b")
     return (
