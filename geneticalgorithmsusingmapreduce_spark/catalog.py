@@ -871,6 +871,17 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm_ops.sample_frames(mm_ops.asset_table(spark, sf_dir))
 
 
+@register(
+    "multimodal_resize",
+    f"SELECT * FROM {mm_ops.duck_resize_sql()} _q",
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing for image assets: payload + source dims →
+    224×224 target metadata (resample stubbed deterministically;
+    Arrow-batch kernel and metadata flow oracle-checked)."""
+    return mm_ops.resize_assets(mm_ops.asset_table(spark, sf_dir))
+
+
 # --- general relational surface (engine extensions; the reference has no
 # joins/rollups/analytic windows over real tables — SURVEY.md §2.5/2.6
 # 'Absent' — but a complete engine must) --------------------------------

@@ -138,6 +138,73 @@ def sample_frames(assets: DataFrame, n_frames: int = 4) -> DataFrame:
     )
 
 
+RESIZE_W, RESIZE_H = 224, 224
+
+
+def resize_assets(
+    assets: DataFrame, tw: int = RESIZE_W, th: int = RESIZE_H
+) -> DataFrame:
+    """Resize plumbing for image assets: payload + source dims in, target
+    dims + resized-payload metadata out. The pixel resample itself is the
+    sanctioned stub (no codec libs — a real deployment swaps the body of
+    the loop for PIL/cv2): the fake output is a pure function of
+    (payload bytes, dims), so DuckDB recomputes it exactly and the
+    Arrow-batch plumbing — binary column in, struct metadata flattened
+    before the kernel, narrow integer columns out — is what's tested."""
+    import pandas as pd
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "asset_id": [], "out_w": [], "out_h": [],
+                "resized_len": [], "resized_hash": [],
+            }
+            for aid, payload, w, h in zip(
+                pdf["asset_id"], pdf["payload"], pdf["w"], pdf["h"]
+            ):
+                ch = _hash64_bytes(payload)
+                # stubbed resample: output size scales by pixel ratio
+                rlen = len(payload) * (tw * th) // max(int(w) * int(h), 1)
+                rows["asset_id"].append(aid)
+                rows["out_w"].append(tw)
+                rows["out_h"].append(th)
+                rows["resized_len"].append(rlen)
+                rows["resized_hash"].append(
+                    prng.py_xxhash64([ch, tw, th, rlen])
+                )
+            yield pd.DataFrame(rows)
+
+    return (
+        assets.filter(F.col("media_type") == "image")
+        .select(
+            "asset_id", "payload",
+            F.col("meta.width").alias("w"), F.col("meta.height").alias("h"),
+        )
+        .mapInPandas(
+            kernel,
+            schema="asset_id long, out_w long, out_h long, "
+                   "resized_len long, resized_hash long",
+        )
+    )
+
+
+def duck_resize_sql(tw: int = RESIZE_W, th: int = RESIZE_H) -> str:
+    base = (
+        f"SELECT asset_id, {tw} AS out_w, {th} AS out_h, "
+        f"('0x' || substring(md5(payload::VARCHAR), 1, 15))::BIGINT AS ch, "
+        f"octet_length(payload)::BIGINT * {tw * th} // "
+        f"greatest((asset_id % 1920) * (asset_id % 1080), 1) AS resized_len "
+        f"FROM {DUCK_ASSETS} _a WHERE media_type = 'image'"
+    )
+    hq = prng.duck_hash_query(
+        base, ["ch", "out_w", "out_h", "resized_len"], "resized_hash"
+    )
+    return (
+        f"(SELECT asset_id, out_w, out_h, resized_len, resized_hash "
+        f"FROM {hq} _r)"
+    )
+
+
 def duck_frames_sql(n_frames: int = 4) -> str:
     base = (
         f"SELECT asset_id, "
