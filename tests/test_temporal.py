@@ -59,6 +59,37 @@ def test_range_join_matches_bruteforce(spark):
         assert got[s.event_id] == (len(f), sum(f))
 
 
+def test_asof_property_random_inputs(spark):
+    # randomized as-of semantics vs a brute-force reference: one drawn
+    # input set with many keys/ties exercises NULL fills, equal-ts
+    # preference, and max-tie ordering beyond the fixture's shapes
+    import random
+
+    rng = random.Random(1234)
+    lrows = [
+        (rng.randrange(6), rng.randrange(30), i)
+        for i in range(120)
+    ]
+    rrows = [
+        (rng.randrange(6), rng.randrange(30), 1000 + i)
+        for i in range(150)
+    ]
+    left = spark.createDataFrame(lrows, "k int, t int, tid int")
+    right = spark.createDataFrame(rrows, "k int, t int, tid int")
+    got = {
+        r.tid: (r.r_tid, r.r_t)
+        for r in temporal.asof_join(
+            left, right, key="k", ts="t", tie="tid",
+            right_vals={"r_tid": "tid", "r_t": "t"},
+        ).collect()
+    }
+    assert len(got) == len(lrows)
+    for k, t, tid in lrows:
+        cands = [(rt, rtid) for rk, rt, rtid in rrows if rk == k and rt <= t]
+        want = max(cands) if cands else None
+        assert got[tid] == ((want[1], want[0]) if want else (None, None)), tid
+
+
 def test_generic_asof_payload_and_ties(spark):
     left = spark.createDataFrame(
         [(1, 10, 100, "a"), (1, 20, 101, "b"), (2, 5, 102, "c")],
