@@ -111,23 +111,28 @@ def run_sga(
     import random as _random
 
     mut_base = _random.getrandbits(32) if seed is None else seed
+    t0 = time.perf_counter()
     pop = evaluate(
         generate.random_population(spark, pop_size, n_bits, seed), n_bits
     ).persist()
+    pop.count()  # materialize so generation 0's ms covers its production
+    gen_ms = int((time.perf_counter() - t0) * 1000)
     try:
         for it in range(max_generations):
-            t0 = time.perf_counter()
             best, n = pop.agg(
                 F.max("fitness"), F.count(F.lit(1))
             ).collect()[0]
-            ms = int((time.perf_counter() - t0) * 1000)
-            res.stats.append(GenStats(it, best, n, ms))
-            print(f"GA:{it}:{n_bits}:{n}:{best}:{ms}")
+            # ms = wall time to PRODUCE this generation (generate/evaluate
+            # + checkpoint), matching the reference's per-job GA:<ms> line
+            # (MapReduce.java:432) — not just the 1-row stat query
+            res.stats.append(GenStats(it, best, n, gen_ms))
+            print(f"GA:{it}:{n_bits}:{n}:{best}:{gen_ms}")
             res.best_fitness = max(res.best_fitness, best)
             res.generations = it
             if best >= n_bits - target_slack:
                 res.converged = True
                 break
+            t0 = time.perf_counter()
             children = next_generation(pop, n_bits, seed, it, n_buckets)
             if mutation_rate:
                 # extension beyond the reference (which has no mutation and
@@ -148,6 +153,7 @@ def run_sga(
             children = evaluate(children, n_bits)
             # materialize + truncate lineage, then release the old gen
             new_pop = children.localCheckpoint(eager=True)
+            gen_ms = int((time.perf_counter() - t0) * 1000)
             pop.unpersist()
             pop = new_pop
     finally:
