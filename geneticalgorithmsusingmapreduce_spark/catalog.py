@@ -1237,6 +1237,103 @@ def set_ops_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "orders_by_month",
+    """
+    SELECT cast(date_trunc('month', o_orderdate) as date)::VARCHAR AS month,
+           extract(year FROM o_orderdate) AS yr,
+           count(*) AS n,
+           cast(sum(cast(round(o_totalprice * 100) as bigint)) as bigint)
+             AS total_cents
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-dimension rollup: month truncation + year extraction — the
+    date_trunc/extract surface every warehouse query leans on, grouped
+    in one shuffle. Month emitted as an ISO date string (dtype-stable
+    across engines)."""
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.date_trunc("month", "o_orderdate").cast("date").cast("string")
+            .alias("month"),
+            F.expr("extract(year FROM o_orderdate)").cast("bigint").alias("yr"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.expr("cast(round(o_totalprice * 100) as bigint)")
+            ).alias("total_cents"),
+        )
+    )
+
+
+@register(
+    "orders_id_arrays",
+    """
+    SELECT o_custkey,
+           count(*) AS n,
+           array_to_string(list_sort(list(o_orderkey)), ',') AS order_ids
+    FROM orders
+    GROUP BY o_custkey
+    HAVING count(*) >= 12
+    """,
+)
+def orders_id_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation surface: per-customer order-id list. collect_
+    list's element order is partition-dependent in Spark (and list() in
+    DuckDB is insertion-ordered) — sort_array before emitting is what
+    makes array aggregation oracle-stable; the string join is the
+    canonicalizer-safe projection (same rule as genome arrays)."""
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.array_join(
+                F.sort_array(F.collect_list("o_orderkey")).cast(
+                    "array<string>"
+                ),
+                ",",
+            ).alias("order_ids"),
+        )
+        .filter(F.col("n") >= 12)
+    )
+
+
+@register(
+    "set_ops_all_custkeys",
+    """
+    SELECT 'both_all' AS bucket, count(*) AS n FROM (
+      SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+      INTERSECT ALL
+      SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'
+    ) _i
+    UNION ALL
+    SELECT 'f_only_all' AS bucket, count(*) AS n FROM (
+      SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+      EXCEPT ALL
+      SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'
+    ) _e
+    """,
+)
+def set_ops_all_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL / EXCEPT ALL — multiset semantics (each duplicate
+    counted; completes the set-op family next to the distinct forms)."""
+    o = read_table(spark, sf_dir, "orders")
+    f = o.filter("o_orderstatus = 'F'").select(F.col("o_custkey").alias("k"))
+    op = o.filter("o_orderstatus = 'O'").select(F.col("o_custkey").alias("k"))
+    both = f.intersectAll(op).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("both_all").alias("bucket"), "n"
+    )
+    f_only = f.exceptAll(op).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("f_only_all").alias("bucket"), "n"
+    )
+    return both.unionByName(f_only)
+
+
+@register(
     "pivot_status_by_flag",
     """
     SELECT l_returnflag,
