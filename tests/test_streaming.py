@@ -140,6 +140,57 @@ def test_stateful_running_best_advances_across_batches(spark):
         assert (final.best_fitness, final.best_id, final.rows_seen) == want[k]
 
 
+def test_session_stream_matches_batch(spark):
+    # session_window is the hardest streaming state shape: per-key
+    # sessions must MERGE when a new event bridges two open windows
+    # across micro-batches; with availableNow + watermark the closed
+    # sessions must equal the batch gaps-and-islands result
+    events = read_events(spark, SF).select("ts", "user_id", "value")
+    with tempfile.TemporaryDirectory() as d:
+        src = f"{d}/in"
+        # chronological arrival (real log replay): three time-range chunks
+        # written sequentially so the file source replays them in order —
+        # random batching would make the watermark legitimately drop
+        # "late" events and the comparison would test arrival order, not
+        # session merging
+        lo, hi = events.agg(
+            F.min("ts").alias("a"), F.max("ts").alias("b")
+        ).collect()[0]
+        cuts = [lo + (hi - lo) * i / 3 for i in (1, 2)]
+        chunks = [
+            events.filter(F.col("ts") < cuts[0]),
+            events.filter((F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1])),
+            events.filter(F.col("ts") >= cuts[1]),
+        ]
+        for ch in chunks:
+            ch.coalesce(1).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = (
+            windows.session(stream.withWatermark("ts", "30 minutes"))
+            .writeStream.format("memory")
+            .queryName("session_out")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+        got = {
+            (r.session_start, r.user_id): (r.n, r.value_milli)
+            for r in spark.sql("SELECT * FROM session_out").collect()
+        }
+        spark.catalog.dropTempView("session_out")
+    want = {
+        (r.session_start, r.user_id): (r.n, r.value_milli)
+        for r in windows.session(events).collect()
+    }
+    assert got == want and len(want) > 0
+
+
 def test_streaming_dedup_across_batches(spark):
     # incremental ingestion dedup: dropDuplicates on a content digest must
     # hold its state across micro-batches — re-arrivals of already-seen
