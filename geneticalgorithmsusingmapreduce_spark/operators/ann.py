@@ -172,25 +172,105 @@ N_CENTROIDS = 8
 N_PROBES = 2
 
 
+def train_centroids(
+    emb: DataFrame, n_centroids: int = N_CENTROIDS, iters: int = 3,
+):
+    """Lloyd's k-means over the quantized vectors — the training step
+    that turns ivf_topk's deterministic seed centroids into real ones.
+
+    Same iterative-driver shape as the GA loops: per iteration, ONE
+    broadcast-join assignment pass over the distributed vectors (argmin
+    ||x−c||² via |c|²−2x·c — |x|² is constant per vector), a per-
+    dimension mean aggregation (posexplode → avg → regroup), and a
+    driver collect of C×D ints (tiny — the J2 broadcast-scalars
+    pattern). Empty clusters keep their previous centroid. Returns
+    (centroids DataFrame [cent_id, cv], inertia history list) — inertia
+    is monotonically non-increasing, which the tests pin.
+
+    At 100 TB you'd train on a sample (`emb.sample(...)`) — assignment
+    cost is the same broadcast-join scan ivf_topk pays once."""
+    from pyspark.sql import Window  # noqa: F401  (parity with ivf_topk)
+
+    spark = emb.sparkSession
+    qz = emb.select("vec_id", F.expr(quantize_expr()).alias("qv"))
+    qz = qz.persist()
+    cents = qz.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cent_id"), F.col("qv").alias("cv")
+    )
+    history: list[float] = []
+    for _ in range(iters):
+        prev = {r.cent_id: r.cv for r in cents.collect()}
+        scored = (
+            qz.crossJoin(F.broadcast(cents))
+            .select(
+                "vec_id", "qv", "cent_id",
+                # argmin distance == argmax (2x·c − |c|²); decimal head-
+                # room not needed: |2x·c| ≤ 2·64·(1e6)² ≪ int64
+                (
+                    2 * F.expr(qdot_sql("qv", "cv"))
+                    - F.expr(qdot_sql("cv", "cv"))
+                ).alias("score"),
+            )
+        )
+        assigned = scored.groupBy("vec_id").agg(
+            F.expr("max_by(cent_id, struct(score, -cent_id))").alias("cent_id"),
+            F.first("qv").alias("qv"),
+            F.max("score").alias("score"),
+        )
+        # inertia = Σ (|x|² − best_score); |x|² via one more qdot
+        inert = assigned.select(
+            (F.expr(qdot_sql("qv", "qv")) - F.col("score")).alias("d2")
+        ).agg(F.sum("d2")).collect()[0][0]
+        history.append(float(inert))
+        means = (
+            assigned.select("cent_id", F.posexplode("qv").alias("pos", "val"))
+            .groupBy("cent_id", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cent_id")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos,"
+                    " cast(round(m) as bigint) as v))), s -> s.v)"
+                ).alias("cv")
+            )
+        )
+        new = {r.cent_id: r.cv for r in means.collect()}
+        rows = [
+            (cid, [int(x) for x in new.get(cid, prev[cid])])
+            for cid in sorted(prev)
+        ]
+        cents = spark.createDataFrame(
+            rows, "cent_id long, cv array<long>"
+        )
+    qz.unpersist()
+    return cents, history
+
+
 def ivf_topk(
     emb: DataFrame, n_queries: int = 5, k: int = 10,
     n_centroids: int = N_CENTROIDS, n_probes: int = N_PROBES,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style ANN: vectors are assigned to their nearest of
     ``n_centroids`` centroid vectors (deterministically the first C
-    vectors — a stand-in for trained centroids); queries probe only their
-    ``n_probes`` nearest centroid lists. Fully relational: assignment is
-    a broadcast join + grouped argmax — the shape that scales (the vector
-    table shuffles once, on the centroid id).
+    vectors when ``centroids`` is None — the oracle-checkable baseline;
+    pass train_centroids(...)[0] for Lloyd's-trained lists); queries
+    probe only their ``n_probes`` nearest centroid lists. Fully
+    relational: assignment is a broadcast join + grouped argmax — the
+    shape that scales (the vector table shuffles once, on the centroid
+    id).
 
     Output: [query_id, vec_id, dot, rank] — approximate (recall < 1 vs
     emb_topk_dot when the true neighbor lives in an unprobed list)."""
     from pyspark.sql import Window
 
     qz = emb.select("vec_id", F.expr(quantize_expr()).alias("qv"))
-    cents = qz.filter(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("cent_id"), F.col("qv").alias("cv")
-    )
+    if centroids is not None:
+        cents = centroids.select("cent_id", "cv")
+    else:
+        cents = qz.filter(F.col("vec_id") < n_centroids).select(
+            F.col("vec_id").alias("cent_id"), F.col("qv").alias("cv")
+        )
     # assignment: argmax dot over centroids (broadcast NLJ, one shuffle)
     assigned = (
         qz.crossJoin(F.broadcast(cents))

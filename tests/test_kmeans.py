@@ -1,0 +1,37 @@
+"""Lloyd's k-means centroid training for IVF (operators/ann.py):
+inertia must be monotonically non-increasing, trained centroids must
+plug into ivf_topk, and the trained index must not lose recall against
+the deterministic seed centroids."""
+
+from __future__ import annotations
+
+from geneticalgorithmsusingmapreduce_spark.operators import ann
+from geneticalgorithmsusingmapreduce_spark.sources.registry import read_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_kmeans_inertia_monotone_and_ivf_pluggable(spark):
+    emb = read_table(spark, SF, "embeddings")
+    cents, hist = ann.train_centroids(emb, n_centroids=8, iters=3)
+    assert len(hist) == 3
+    assert all(b <= a * (1 + 1e-9) for a, b in zip(hist, hist[1:]))
+
+    rows = cents.collect()
+    assert len(rows) == 8 and all(len(r.cv) == ann.DIMS for r in rows)
+
+    out = ann.ivf_topk(emb, centroids=cents)
+    got = out.groupBy("query_id").count().collect()
+    assert len(got) == 5 and all(r["count"] == 10 for r in got)
+
+    # recall vs exact top-10: trained lists must match or beat the
+    # first-C seed centroids (both probe 2 of 8 lists)
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in ann.topk_dot(emb).collect()
+    }
+    trained = {(r.query_id, r.vec_id) for r in out.collect()}
+    seeded = {
+        (r.query_id, r.vec_id) for r in ann.ivf_topk(emb).collect()
+    }
+    assert len(trained & exact) >= len(seeded & exact)
