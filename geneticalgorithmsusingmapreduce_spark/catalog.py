@@ -661,6 +661,19 @@ def dedup_exact_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "doc_chunking",
+    f"SELECT * FROM {pipeline_ops.duck_chunk_documents_sql('documents')} _q",
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (32-token windows, stride 16)
+    — documents → fixed-budget training samples, map-side only
+    (sequence + explode + slice; no shuffle, no UDF)."""
+    return pipeline_ops.chunk_documents(
+        read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+
+
 _DUP_DOCS_DUCK = """(
   SELECT doc_id, text FROM documents
   UNION ALL

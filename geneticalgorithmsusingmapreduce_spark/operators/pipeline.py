@@ -36,6 +36,73 @@ def _lang_guess_expr(dialect: str) -> str:
     return guess + "END"
 
 
+def chunk_documents(
+    docs: DataFrame, chunk_tokens: int = 32, stride: int = 16
+) -> DataFrame:
+    """Overlapping token-window chunking — the standard training-prep
+    step that turns documents into fixed-budget training samples.
+
+    Map-side only: tokenization, chunk-count arithmetic, and a
+    sequence+explode per document (no shuffle, no UDF). Chunk count =
+    ⌈max(n − chunk, 0) / stride⌉ + 1, so every token lands in ≥ 1 chunk
+    and the last window may be short — the common "keep the tail"
+    policy. Output: [doc_id, chunk_id, n_chunk_tokens, chunk_text]."""
+    toks = "filter(split(text, ' '), t -> t != '')"
+    n_chunks = (
+        f"(cast(ceil(greatest(size({toks}) - {chunk_tokens}, 0) / "
+        f"{stride}.0) as int) + 1)"
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.expr(f"{toks}").alias("toks"),
+            F.explode(
+                F.expr(f"sequence(0, {n_chunks} - 1)")
+            ).alias("chunk_id"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("bigint").alias("chunk_id"),
+            F.expr(
+                f"slice(toks, chunk_id * {stride} + 1, {chunk_tokens})"
+            ).alias("ctoks"),
+        )
+        .select(
+            "doc_id", "chunk_id",
+            F.expr("cast(size(ctoks) as bigint)").alias("n_chunk_tokens"),
+            F.array_join("ctoks", " ").alias("chunk_text"),
+        )
+    )
+
+
+def duck_chunk_documents_sql(
+    docs_sql: str, chunk_tokens: int = 32, stride: int = 16
+) -> str:
+    toks = "list_filter(string_split(text, ' '), t -> t != '')"
+    n_chunks = (
+        f"(cast(ceil(greatest(len({toks}) - {chunk_tokens}, 0) / "
+        f"{stride}.0) as int) + 1)"
+    )
+    return f"""(
+      WITH base AS (
+        SELECT doc_id, {toks} AS toks, {n_chunks} AS nc
+        FROM {docs_sql} _c
+      ), ex AS (
+        SELECT doc_id, toks, cast(i as bigint) AS chunk_id
+        FROM base CROSS JOIN range(0, 10000) _r(i)
+        WHERE i < nc
+      )
+      SELECT doc_id, chunk_id,
+             cast(len(toks[chunk_id * {stride} + 1 :
+                       chunk_id * {stride} + {chunk_tokens}]) as bigint)
+               AS n_chunk_tokens,
+             array_to_string(toks[chunk_id * {stride} + 1 :
+                                  chunk_id * {stride} + {chunk_tokens}], ' ')
+               AS chunk_text
+      FROM ex
+    )"""
+
+
 def curate_corpus(
     docs: DataFrame,
     lang: str = "en",
