@@ -674,6 +674,23 @@ def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "chunk_packing",
+    f"""SELECT * FROM {pipeline_ops.duck_pack_chunks_sql(
+        pipeline_ops.duck_chunk_documents_sql('documents')
+    )} _q""",
+)
+def chunk_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: chunks → fixed-256-token training bins via a
+    per-shard cumulative-sum window (one exchange on the shard key; a
+    global greedy pack would serialize on one task at scale)."""
+    return pipeline_ops.pack_chunks(
+        pipeline_ops.chunk_documents(
+            read_table(spark, sf_dir, "documents").select("doc_id", "text")
+        )
+    )
+
+
 _DUP_DOCS_DUCK = """(
   SELECT doc_id, text FROM documents
   UNION ALL

@@ -103,6 +103,61 @@ def duck_chunk_documents_sql(
     )"""
 
 
+def pack_chunks(
+    chunks: DataFrame, budget_tokens: int = 256, n_shards: int = 8
+) -> DataFrame:
+    """Greedy sequence packing: assign chunks to fixed-token-budget bins
+    (training batches) by cumulative token count.
+
+    Packing is inherently sequential, so it runs per SHARD (doc_id mod
+    n_shards): one exchange on the shard key, a running-sum window
+    inside each shard, bin = ⌊(cumsum − n) / budget⌋. A global greedy
+    pack would serialize on one task at 100 TB; per-shard packing keeps
+    every core busy and only pads the last bin of each shard. Output:
+    [shard, doc_id, chunk_id, bin_id, n_chunk_tokens]."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id", "chunk_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        chunks.withColumn("shard", F.col("doc_id") % n_shards)
+        .select(
+            "shard", "doc_id", "chunk_id", "n_chunk_tokens",
+            F.sum("n_chunk_tokens").over(w).alias("cum"),
+        )
+        .select(
+            "shard", "doc_id", "chunk_id",
+            F.expr(
+                f"cast((cum - n_chunk_tokens) div {budget_tokens} as bigint)"
+            ).alias("bin_id"),
+            "n_chunk_tokens",
+        )
+    )
+
+
+def duck_pack_chunks_sql(
+    chunks_sql: str, budget_tokens: int = 256, n_shards: int = 8
+) -> str:
+    return f"""(
+      WITH c AS (
+        SELECT doc_id % {n_shards} AS shard, doc_id, chunk_id,
+               n_chunk_tokens
+        FROM {chunks_sql} _p
+      )
+      SELECT shard, doc_id, chunk_id,
+             cast((sum(n_chunk_tokens) OVER
+                     (PARTITION BY shard ORDER BY doc_id, chunk_id
+                      ROWS UNBOUNDED PRECEDING)
+                   - n_chunk_tokens) // {budget_tokens} as bigint)
+               AS bin_id,
+             n_chunk_tokens
+      FROM c
+    )"""
+
+
 def curate_corpus(
     docs: DataFrame,
     lang: str = "en",
