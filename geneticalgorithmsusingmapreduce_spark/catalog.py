@@ -1434,6 +1434,35 @@ def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "regex_funcs",
+    r"""
+    SELECT p_partkey,
+           regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
+           regexp_replace(p_type, '[aeiou]', '_') AS type_devoweled,
+           CASE WHEN regexp_matches(p_brand, '[0-9]{2}$') THEN 1 ELSE 0 END
+             AS brand_2digit,
+           len(regexp_extract_all(p_name, '[a-z]+')) AS n_words
+    FROM part
+    """,
+)
+def regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex scalar surface (extract/replace/match/extract_all) with
+    character-class-only patterns — the subset on which Java regex
+    (Spark) and RE2 (DuckDB) are semantically identical; lookarounds or
+    backreferences would not be engine-portable."""
+    p = read_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", r"^([a-z]+)", 1).alias("first_word"),
+        F.regexp_replace("p_type", r"[aeiou]", "_").alias("type_devoweled"),
+        F.expr(r"CASE WHEN p_brand rlike '[0-9]{2}$' THEN 1 ELSE 0 END")
+        .cast("bigint").alias("brand_2digit"),
+        F.expr(r"cast(size(regexp_extract_all(p_name, '[a-z]+', 0)) as bigint)")
+        .alias("n_words"),
+    )
+
+
+@register(
     "string_funcs",
     """
     SELECT p_partkey,
