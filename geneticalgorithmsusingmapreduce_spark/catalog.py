@@ -917,6 +917,63 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 'Absent' — but a complete engine must) --------------------------------
 
 @register(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           cast(sum(cast(l_quantity as bigint)) as bigint) AS sum_qty,
+           cast(sum(cast(round(l_extendedprice * 100) as bigint)) as bigint)
+             AS sum_base_cents,
+           cast(sum(cast(round(l_extendedprice * (1 - l_discount) * 100)
+                    as bigint)) as bigint) AS sum_disc_cents,
+           cast(sum(cast(round(l_extendedprice * (1 - l_discount)
+                    * (1 + l_tax) * 100) as bigint)) as bigint)
+             AS sum_charge_cents,
+           count(*) AS n,
+           cast(sum(cast(l_quantity as bigint)) * 1000 // count(*) as bigint)
+             AS avg_qty_milli,
+           cast(sum(cast(round(l_discount * 1000) as bigint)) // count(*)
+             as bigint) AS avg_disc_milli
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic pricing-summary report (TPC-H Q1 shape): one scan
+    with a pushed date filter, partial+final hash agg over 2 low-
+    cardinality keys, 7 aggregates in one pass. Money in cents, averages
+    as exact milli-integer ratios — no float-summation-order hazards."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= "1998-09-01"
+    )
+    cents = "cast(round(l_extendedprice * 100) as bigint)"
+    disc = "cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)"
+    charge = (
+        "cast(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100)"
+        " as bigint)"
+    )
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.expr("cast(l_quantity as bigint)")).alias("sum_qty"),
+            F.sum(F.expr(cents)).alias("sum_base_cents"),
+            F.sum(F.expr(disc)).alias("sum_disc_cents"),
+            F.sum(F.expr(charge)).alias("sum_charge_cents"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.expr("cast(round(l_discount * 1000) as bigint)")
+            ).alias("sum_disc_milli"),
+        )
+        .select(
+            "l_returnflag", "l_linestatus", "sum_qty", "sum_base_cents",
+            "sum_disc_cents", "sum_charge_cents", "n",
+            F.expr("sum_qty * 1000 div n").alias("avg_qty_milli"),
+            F.expr("sum_disc_milli div n").alias("avg_disc_milli"),
+        )
+    )
+
+
+@register(
     "join_broadcast_revenue",
     """
     SELECT n_name,
