@@ -639,6 +639,44 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "word_counts",
+    """
+    SELECT tok, count(*) AS n, count(DISTINCT doc_id) AS df
+    FROM (
+      SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+                                        t -> t != '')) AS tok
+      FROM documents
+    ) _t
+    GROUP BY tok
+    ORDER BY n DESC, tok ASC
+    LIMIT 100
+    """,
+)
+def word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word count — the canonical MapReduce program, on the platform the
+    reference was built for — as one explode + hash-agg with map-side
+    partials, plus document frequency in the same pass and a
+    deterministic top-100 (ORDER BY n, tok LIMIT → per-partition top-k,
+    k-row final merge, no global sort)."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr("filter(split(lower(text), ' '), t -> t != '')")
+            ).alias("tok"),
+        )
+        .groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(100)
+    )
+
+
+@register(
     "dedup_exact_text",
     f"SELECT * FROM {dedup_ops.duck_dedup_exact_text_sql()} _q",
 )
