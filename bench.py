@@ -171,13 +171,26 @@ def main():
     }
 
     total = round(sum(timings.values()), 4)
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # detailed per-query line first (for humans / local diffing) ...
     print(json.dumps({
-        "metric": "headline_queries_total_sec",
+        "metric": "headline_queries_detail",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "ga_convergence": convergence,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf_val,
+    }))
+    # ... then a compact FINAL line: the driver captures the tail of
+    # stdout, and r2's single 2.5 KB line was truncated mid-JSON
+    # ("parsed": null — the headline number was lost). Keep this line
+    # small and last so it always fits the capture window.
+    print(json.dumps({
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "sf": sf_val,
+        "n_queries": len(timings),
     }))
     spark.stop()
 

@@ -1251,6 +1251,23 @@ def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_ops.ivf_topk(read_table(spark, sf_dir, "embeddings"))
 
 
+@register(
+    "emb_ivf_topk_trained",
+    f"SELECT * FROM {ann_ops.duck_trained_ivf_sql()} _q",
+)
+def emb_ivf_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained IVF path a real user runs: Lloyd's k-means list
+    training (3 iterations, broadcast-join assignment + integer-exact
+    per-dim means) feeding ivf_topk. Training is fully deterministic, so
+    the DuckDB oracle replays every iteration as unrolled CTEs and
+    hash-matches the final ranking — the strongest check an iterative
+    operator can get. Same iterative-driver shape as the GA loops
+    (reference src/edu/illinois/ga/MapReduce.java:275-438)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents, _ = ann_ops.train_centroids(emb)
+    return ann_ops.ivf_topk(emb, centroids=cents)
+
+
 MUTATION_RATE = 0.01
 
 

@@ -222,15 +222,20 @@ def train_centroids(
             (F.expr(qdot_sql("qv", "qv")) - F.col("score")).alias("d2")
         ).agg(F.sum("d2")).collect()[0][0]
         history.append(float(inert))
+        # mean rounded half-up via exact int64 sum + one IEEE double
+        # divide + floor — the same three ops in DuckDB, so the oracle
+        # can replay training bit-for-bit (avg()+round() half-way and
+        # internal-precision behavior is engine-specific)
         means = (
             assigned.select("cent_id", F.posexplode("qv").alias("pos", "val"))
             .groupBy("cent_id", "pos")
-            .agg(F.avg("val").alias("m"))
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("c"))
             .groupBy("cent_id")
             .agg(
                 F.expr(
                     "transform(array_sort(collect_list(struct(pos,"
-                    " cast(round(m) as bigint) as v))), s -> s.v)"
+                    " cast(floor(cast(s as double) / c + 0.5) as bigint)"
+                    " as v))), x -> x.v)"
                 ).alias("cv")
             )
         )
@@ -353,6 +358,98 @@ def duck_ivf_topk_sql(
         JOIN {table} q ON q.vec_id = p.query_id
         WHERE p.query_id != a.vec_id
       )
+      SELECT query_id, vec_id, dot, cast(rank as bigint) AS rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY dot DESC, vec_id ASC) AS rank
+        FROM hits
+      ) _r WHERE rank <= {k}
+    )"""
+
+
+def _duck_qlist(arr: str) -> str:
+    """Quantized int64 list literal (DuckDB twin of quantize_expr)."""
+    return "[" + ", ".join(_duck_q(arr, j) for j in range(DIMS)) + "]"
+
+
+def _duck_ldot(a: str, b: str) -> str:
+    """Dot product over two pre-quantized DuckDB lists (1-based index)."""
+    return "(" + " + ".join(
+        f"{a}[{j + 1}] * {b}[{j + 1}]" for j in range(DIMS)
+    ) + ")"
+
+
+def duck_trained_ivf_sql(
+    n_queries: int = 5, k: int = 10,
+    n_centroids: int = N_CENTROIDS, n_probes: int = N_PROBES,
+    iters: int = 3, table: str = "embeddings",
+) -> str:
+    """Oracle twin of ivf_topk(emb, centroids=train_centroids(emb)[0]):
+    replays the ENTIRE Lloyd's training deterministically as unrolled
+    CTEs — seed centroids = first C quantized vectors, per iteration a
+    min-distance assignment (argmax 2x·c − |c|², ties to the lowest
+    cent_id) and a per-dimension mean rounded half-up via exact int64
+    sums + one IEEE double divide + floor (the same arithmetic
+    train_centroids performs), empty clusters keeping their previous
+    centroid — then runs the same probe/search query as duck_ivf_topk_sql
+    against the trained centroids."""
+    ctes = [
+        f"qz AS (SELECT vec_id, {_duck_qlist('embedding')} AS qv "
+        f"FROM {table})",
+        f"cents0 AS (SELECT vec_id AS cent_id, qv AS cv FROM qz "
+        f"WHERE vec_id < {n_centroids})",
+    ]
+    prev = "cents0"
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"sc{i} AS (SELECT v.vec_id, v.qv, c.cent_id, "
+            f"2 * {_duck_ldot('v.qv', 'c.cv')} - "
+            f"{_duck_ldot('c.cv', 'c.cv')} AS score "
+            f"FROM qz v CROSS JOIN {prev} c)"
+        )
+        ctes.append(
+            f"ag{i} AS (SELECT vec_id, qv, cent_id FROM ("
+            f"SELECT *, row_number() OVER (PARTITION BY vec_id "
+            f"ORDER BY score DESC, cent_id ASC) AS rn FROM sc{i}) _x "
+            f"WHERE rn = 1)"
+        )
+        ctes.append(
+            f"mn{i} AS (SELECT cent_id, list(v ORDER BY pos) AS cv FROM ("
+            f"SELECT cent_id, j AS pos, "
+            f"cast(floor(cast(sum(qv[j + 1]) as double) / count(*) + 0.5) "
+            f"as bigint) AS v "
+            f"FROM ag{i} CROSS JOIN range(0, {DIMS}) r(j) "
+            f"GROUP BY cent_id, j) _m GROUP BY cent_id)"
+        )
+        ctes.append(
+            f"cents{i} AS (SELECT p.cent_id, coalesce(m.cv, p.cv) AS cv "
+            f"FROM {prev} p LEFT JOIN mn{i} m USING (cent_id))"
+        )
+        prev = f"cents{i}"
+    # the ivf_topk query itself (assignment by max DOT, as ivf_topk does)
+    ctes.append(
+        f"asgn AS (SELECT vec_id, qv, cent_id FROM ("
+        f"SELECT v.vec_id, v.qv, c.cent_id, "
+        f"row_number() OVER (PARTITION BY v.vec_id "
+        f"ORDER BY {_duck_ldot('v.qv', 'c.cv')} DESC, c.cent_id ASC) AS arn "
+        f"FROM qz v CROSS JOIN {prev} c) _a WHERE arn = 1)"
+    )
+    ctes.append(
+        f"probes AS (SELECT query_id, qe, cent_id FROM ("
+        f"SELECT q.vec_id AS query_id, q.qv AS qe, c.cent_id, "
+        f"row_number() OVER (PARTITION BY q.vec_id "
+        f"ORDER BY {_duck_ldot('q.qv', 'c.cv')} DESC, c.cent_id ASC) AS pr "
+        f"FROM asgn q CROSS JOIN {prev} c WHERE q.vec_id < {n_queries}) _p "
+        f"WHERE pr <= {n_probes})"
+    )
+    ctes.append(
+        f"hits AS (SELECT p.query_id, a.vec_id, "
+        f"{_duck_ldot('p.qe', 'a.qv')} AS dot "
+        f"FROM probes p JOIN asgn a ON a.cent_id = p.cent_id "
+        f"WHERE p.query_id != a.vec_id)"
+    )
+    body = ",\n      ".join(ctes)
+    return f"""(
+      WITH {body}
       SELECT query_id, vec_id, dot, cast(rank as bigint) AS rank FROM (
         SELECT *, row_number() OVER (PARTITION BY query_id
                  ORDER BY dot DESC, vec_id ASC) AS rank

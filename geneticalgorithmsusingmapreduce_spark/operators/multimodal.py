@@ -51,11 +51,17 @@ def asset_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# width/height mirror the Spark meta struct so downstream oracle SQL reads
+# the same columns both engines consume (rather than re-deriving dims from
+# the synthesis formula, which would silently decouple if asset_table
+# changes)
 DUCK_ASSETS = """(
   SELECT doc_id AS asset_id,
          ['image', 'audio', 'video'][(doc_id % 3 + 1)::INT] AS media_type,
          encode(text) AS payload,
-         n_chars AS orig_size
+         n_chars AS orig_size,
+         doc_id % 1920 AS width,
+         doc_id % 1080 AS height
   FROM documents
 )"""
 
@@ -193,7 +199,7 @@ def duck_resize_sql(tw: int = RESIZE_W, th: int = RESIZE_H) -> str:
         f"SELECT asset_id, {tw} AS out_w, {th} AS out_h, "
         f"('0x' || substring(md5(payload::VARCHAR), 1, 15))::BIGINT AS ch, "
         f"octet_length(payload)::BIGINT * {tw * th} // "
-        f"greatest((asset_id % 1920) * (asset_id % 1080), 1) AS resized_len "
+        f"greatest(width * height, 1) AS resized_len "
         f"FROM {DUCK_ASSETS} _a WHERE media_type = 'image'"
     )
     hq = prng.duck_hash_query(

@@ -88,9 +88,11 @@ def duck_chunk_documents_sql(
         SELECT doc_id, {toks} AS toks, {n_chunks} AS nc
         FROM {docs_sql} _c
       ), ex AS (
-        SELECT doc_id, toks, cast(i as bigint) AS chunk_id
-        FROM base CROSS JOIN range(0, 10000) _r(i)
-        WHERE i < nc
+        -- per-row unnest(range(...)) mirrors Spark's explode(sequence(...))
+        -- exactly; a CROSS JOIN range(0, K) constant would silently cap
+        -- chunks-per-document at K for very long documents
+        SELECT doc_id, toks, cast(unnest(range(0, nc)) as bigint) AS chunk_id
+        FROM base
       )
       SELECT doc_id, chunk_id,
              cast(len(toks[chunk_id * {stride} + 1 :

@@ -58,6 +58,16 @@ def asof_join(
     overlap goes quadratic under hot keys), no per-row subquery. All
     left columns pass through."""
     out_names = list(right_vals)
+    # fail loudly on name collisions: an output name or a reserved
+    # __-prefixed working column that already exists on the left would
+    # otherwise produce duplicate/ambiguous columns or silently wrong fills
+    reserved = {"__side", *(f"__rv_{o}" for o in out_names)}
+    clash = (set(out_names) | reserved) & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"asof_join: left columns collide with output/reserved names: "
+            f"{sorted(clash)}"
+        )
     lhs = left.select(
         "*", F.lit(1).alias("__side"),
         *[

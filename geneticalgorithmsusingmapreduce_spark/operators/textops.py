@@ -351,11 +351,20 @@ def ngram_jaccard_pairs(
     and pairs sharing exactly one rare shingle dominate the candidate
     volume ~10:1 while a true J ≥ 0.5 near-dup shares dozens). The
     verify recomputes |∩| over the FULL shingle sets, so pruning costs
-    recall only for pairs whose overlap is almost entirely boilerplate."""
+    recall only for pairs whose overlap is almost entirely boilerplate.
+
+    min_shared is capped per-pair at the Jaccard-implied intersection
+    bound ⌈τ·(|A|+|B|)/(1+τ)⌉: two SHORT documents can satisfy J ≥ τ
+    while sharing fewer than min_shared shingles outright, so a flat cut
+    silently loses exactly the pairs the operator exists to find. The
+    cap makes the cut lossless whenever the bound < min_shared (short
+    docs) and leaves the flat min_shared in force for long ones, where
+    the ~10:1 candidate-volume argument holds."""
     sh = (
         text.shingle_rows(docs).select("doc_id", "shingle")
         .distinct().persist()
     )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     # posting lists in ONE shuffle: collect_set per shingle computes df
     # (the filter) and the candidate universe together, and the df cap
     # bounds every list at max_df — so the pair expansion below is an
@@ -368,13 +377,21 @@ def ngram_jaccard_pairs(
         .agg(F.collect_set("doc_id").alias("docs"))
         .filter(F.size("docs").between(2, max_df))
     )
+    den = 1000 + tau_milli
     cand = (
         postings.select(F.explode("docs").alias("doc_a"), "docs")
         .select("doc_a", F.explode("docs").alias("doc_b"))
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("shared"))
-        .filter(F.col("shared") >= min_shared)
+        .join(sizes.select(F.col("doc_id").alias("doc_a"),
+                           F.col("sz").alias("sza")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"),
+                           F.col("sz").alias("szb")), "doc_b")
+        .filter(F.expr(
+            f"shared >= least({min_shared}, "
+            f"({tau_milli} * (sza + szb) + {den} - 1) div {den})"
+        ))
         .select("doc_a", "doc_b")
     )
     return jaccard_pairs(docs, cand, tau_milli, shingles=sh)
@@ -385,16 +402,25 @@ def duck_ngram_jaccard_sql(
     min_shared: int = 6,
 ) -> str:
     sh = text.duck_shingle_rows_sql(docs_sql)
+    den = 1000 + tau_milli
     cand = f"""(
       WITH shd AS (SELECT DISTINCT doc_id, shingle FROM {sh} _s),
+      sizes AS (SELECT doc_id, count(*) AS sz FROM shd GROUP BY doc_id),
       rare AS (SELECT shingle FROM shd GROUP BY shingle
                HAVING count(*) <= {max_df}),
-      idx AS (SELECT s.doc_id, s.shingle FROM shd s JOIN rare USING (shingle))
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM idx a JOIN idx b
-        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id
-      HAVING count(*) >= {min_shared}
+      idx AS (SELECT s.doc_id, s.shingle FROM shd s JOIN rare USING (shingle)),
+      cand0 AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+        FROM idx a JOIN idx b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+      )
+      SELECT doc_a, doc_b
+      FROM cand0
+      JOIN sizes za ON za.doc_id = doc_a
+      JOIN sizes zb ON zb.doc_id = doc_b
+      WHERE shared >= least({min_shared},
+        ({tau_milli} * (za.sz + zb.sz) + {den} - 1) // {den})
     )"""
     return duck_jaccard_pairs_sql(docs_sql, cand, tau_milli)
 

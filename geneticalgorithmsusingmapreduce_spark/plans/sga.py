@@ -35,6 +35,23 @@ def evaluate(pop: DataFrame, n_bits: int) -> DataFrame:
     return fit_ops.with_fitness(pop, nl=bits.n_longs(n_bits))
 
 
+def pop_from_multiplier(n_bits: int, x: float) -> int:
+    """Population sizing from the reference CLI: pop = ceil(x·n·log2 n)
+    (``reference src/edu/illinois/ga/MapReduce.java:454`` — the 5th CLI arg
+    is the multiplier x; same formula for cGA at ``CGA.java:331-335``)."""
+    import math
+
+    return math.ceil(x * n_bits * math.log2(n_bits))
+
+
+def default_n_buckets(spark: SparkSession) -> int:
+    """Tournament bucket count scaled to the cluster, not a literal:
+    O(cores·4) keeps every bucket's window sort core-local while bounding
+    the wrap-around head re-read (see operators/selection.py module doc).
+    On 1000 executors this tracks total cores automatically."""
+    return spark.sparkContext.defaultParallelism * 4
+
+
 def next_generation(
     pop: DataFrame,
     n_bits: int,
@@ -95,7 +112,7 @@ def run_sga(
     seed: int | None = 42,
     max_generations: int = 100,
     target_slack: int = 10,
-    n_buckets: int = 32,
+    n_buckets: int | None = None,
     mutation_rate: float | None = None,
 ) -> SgaResult:
     """Iterative driver (P7 stop rule: best ≥ n_bits − target_slack,
@@ -111,6 +128,8 @@ def run_sga(
     import random as _random
 
     mut_base = _random.getrandbits(32) if seed is None else seed
+    if n_buckets is None:
+        n_buckets = default_n_buckets(spark)
     t0 = time.perf_counter()
     pop = evaluate(
         generate.random_population(spark, pop_size, n_bits, seed), n_bits

@@ -25,6 +25,12 @@ def build_session(app: str = "gamr-spark", cpus: int | None = None) -> SparkSess
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.sql.session.timeZone", "UTC")
+        # the reference enables speculative execution on every job
+        # (reference src/edu/illinois/ga/MapReduce.java:281, CGA.java:341)
+        # to mask straggler tasks; same knob, Spark spelling. No effect in
+        # local mode (one JVM — nothing to speculate against), matters on
+        # a real cluster where one slow executor would gate a generation.
+        .config("spark.speculation", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
