@@ -846,6 +846,34 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_repetition",
+    f"SELECT * FROM {textops.duck_repetition_sql('documents')} _q",
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals (Gopher-rules family): duplicate
+    word-bigram fraction + most-frequent-bigram share per document, as
+    integer per-mille. One exchange on (doc_id, gram)."""
+    return textops.repetition_stats(
+        read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+
+
+@register(
+    "doc_importance_sample",
+    f"SELECT * FROM "
+    f"{split_ops.duck_importance_sample_sql('SELECT * FROM documents')} _q",
+)
+def doc_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted deterministic sampling: keep probability =
+    stopword ratio clamped to [100, 900] per-mille, decided by the
+    seeded hash of doc_id — map-only, stable under repartition/appends
+    (the curation step that downsamples rather than hard-drops)."""
+    return split_ops.importance_sample(
+        read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+
+
+@register(
     "dedup_ngram_jaccard",
     f"SELECT * FROM {textops.duck_ngram_jaccard_sql(textops.DUCK_AUG)} _q",
 )
@@ -1264,8 +1292,23 @@ def emb_ivf_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator can get. Same iterative-driver shape as the GA loops
     (reference src/edu/illinois/ga/MapReduce.java:275-438)."""
     emb = read_table(spark, sf_dir, "embeddings")
-    cents, _ = ann_ops.train_centroids(emb)
+    cents, _ = ann_ops.train_centroids(emb, compute_inertia=False)
     return ann_ops.ivf_topk(emb, centroids=cents)
+
+
+@register(
+    "emb_kmeans_clusters",
+    f"SELECT * FROM {ann_ops.duck_kmeans_stats_sql()} _q",
+)
+def emb_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-training cluster diagnostics: per-centroid member count and
+    exact min/max squared distance after 3 Lloyd's iterations — the
+    monitoring query of the IVF training loop, with the oracle replaying
+    the full training (same unrolled-CTE machinery as
+    emb_ivf_topk_trained)."""
+    return ann_ops.kmeans_cluster_stats(
+        read_table(spark, sf_dir, "embeddings")
+    )
 
 
 MUTATION_RATE = 0.01

@@ -174,6 +174,7 @@ N_PROBES = 2
 
 def train_centroids(
     emb: DataFrame, n_centroids: int = N_CENTROIDS, iters: int = 3,
+    compute_inertia: bool = True,
 ):
     """Lloyd's k-means over the quantized vectors — the training step
     that turns ivf_topk's deterministic seed centroids into real ones.
@@ -217,11 +218,16 @@ def train_centroids(
             F.first("qv").alias("qv"),
             F.max("score").alias("score"),
         )
-        # inertia = Σ (|x|² − best_score); |x|² via one more qdot
-        inert = assigned.select(
-            (F.expr(qdot_sql("qv", "qv")) - F.col("score")).alias("d2")
-        ).agg(F.sum("d2")).collect()[0][0]
-        history.append(float(inert))
+        if compute_inertia:
+            # inertia = Σ (|x|² − best_score); |x|² via one more qdot.
+            # persist: inertia and the means below are two actions over
+            # the same assignment subtree — without this the broadcast
+            # crossJoin + grouped argmax runs twice per iteration
+            assigned = assigned.persist()
+            inert = assigned.select(
+                (F.expr(qdot_sql("qv", "qv")) - F.col("score")).alias("d2")
+            ).agg(F.sum("d2")).collect()[0][0]
+            history.append(float(inert))
         # mean rounded half-up via exact int64 sum + one IEEE double
         # divide + floor — the same three ops in DuckDB, so the oracle
         # can replay training bit-for-bit (avg()+round() half-way and
@@ -240,6 +246,8 @@ def train_centroids(
             )
         )
         new = {r.cent_id: r.cv for r in means.collect()}
+        if compute_inertia:
+            assigned.unpersist()
         rows = [
             (cid, [int(x) for x in new.get(cid, prev[cid])])
             for cid in sorted(prev)
@@ -378,20 +386,18 @@ def _duck_ldot(a: str, b: str) -> str:
     ) + ")"
 
 
-def duck_trained_ivf_sql(
-    n_queries: int = 5, k: int = 10,
-    n_centroids: int = N_CENTROIDS, n_probes: int = N_PROBES,
-    iters: int = 3, table: str = "embeddings",
-) -> str:
-    """Oracle twin of ivf_topk(emb, centroids=train_centroids(emb)[0]):
-    replays the ENTIRE Lloyd's training deterministically as unrolled
-    CTEs — seed centroids = first C quantized vectors, per iteration a
+def _duck_kmeans_ctes(
+    n_centroids: int = N_CENTROIDS, iters: int = 3,
+    table: str = "embeddings",
+) -> tuple[list, str]:
+    """Unrolled Lloyd's-training CTEs replaying train_centroids exactly:
+    seed centroids = first C quantized vectors; per iteration a
     min-distance assignment (argmax 2x·c − |c|², ties to the lowest
     cent_id) and a per-dimension mean rounded half-up via exact int64
     sums + one IEEE double divide + floor (the same arithmetic
-    train_centroids performs), empty clusters keeping their previous
-    centroid — then runs the same probe/search query as duck_ivf_topk_sql
-    against the trained centroids."""
+    train_centroids performs); empty clusters keep their previous
+    centroid. Returns (ctes, name-of-final-centroid-CTE); qz holds the
+    quantized vectors."""
     ctes = [
         f"qz AS (SELECT vec_id, {_duck_qlist('embedding')} AS qv "
         f"FROM {table})",
@@ -425,6 +431,19 @@ def duck_trained_ivf_sql(
             f"FROM {prev} p LEFT JOIN mn{i} m USING (cent_id))"
         )
         prev = f"cents{i}"
+    return ctes, prev
+
+
+def duck_trained_ivf_sql(
+    n_queries: int = 5, k: int = 10,
+    n_centroids: int = N_CENTROIDS, n_probes: int = N_PROBES,
+    iters: int = 3, table: str = "embeddings",
+) -> str:
+    """Oracle twin of ivf_topk(emb, centroids=train_centroids(emb)[0]):
+    replays the ENTIRE training via _duck_kmeans_ctes, then runs the same
+    probe/search query as duck_ivf_topk_sql against the trained
+    centroids."""
+    ctes, prev = _duck_kmeans_ctes(n_centroids, iters, table)
     # the ivf_topk query itself (assignment by max DOT, as ivf_topk does)
     ctes.append(
         f"asgn AS (SELECT vec_id, qv, cent_id FROM ("
@@ -455,6 +474,75 @@ def duck_trained_ivf_sql(
                  ORDER BY dot DESC, vec_id ASC) AS rank
         FROM hits
       ) _r WHERE rank <= {k}
+    )"""
+
+
+def kmeans_cluster_stats(
+    emb: DataFrame, n_centroids: int = N_CENTROIDS, iters: int = 3,
+) -> DataFrame:
+    """Training diagnostics as a relational query: train the IVF
+    centroids, then one assignment pass (broadcast join + grouped
+    argmax, the same shape assignment always takes) aggregated per
+    cluster. Output: [cent_id, n_members, d2_min, d2_max] — all exact
+    int64 per-row stats (no big-sum columns, which would need int128 at
+    scale and hash differently across engines).
+
+    At 100 TB this is the monitoring query you run after each training
+    round: one scan of the vector table, one tiny exchange keyed on
+    cent_id."""
+    cents, _ = train_centroids(emb, n_centroids, iters, compute_inertia=False)
+    qz = emb.select("vec_id", F.expr(quantize_expr()).alias("qv"))
+    scored = qz.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "qv", "cent_id",
+        (
+            2 * F.expr(qdot_sql("qv", "cv")) - F.expr(qdot_sql("cv", "cv"))
+        ).alias("score"),
+    )
+    assigned = scored.groupBy("vec_id").agg(
+        F.expr("max_by(cent_id, struct(score, -cent_id))").alias("cent_id"),
+        F.first("qv").alias("qv"),
+        F.max("score").alias("score"),
+    )
+    return (
+        assigned.select(
+            "cent_id",
+            (F.expr(qdot_sql("qv", "qv")) - F.col("score")).alias("d2"),
+        )
+        .groupBy("cent_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("d2").alias("d2_min"),
+            F.max("d2").alias("d2_max"),
+        )
+    )
+
+
+def duck_kmeans_stats_sql(
+    n_centroids: int = N_CENTROIDS, iters: int = 3,
+    table: str = "embeddings",
+) -> str:
+    """Oracle twin of kmeans_cluster_stats: replay training, assign,
+    aggregate."""
+    ctes, prev = _duck_kmeans_ctes(n_centroids, iters, table)
+    ctes.append(
+        f"fsc AS (SELECT v.vec_id, v.qv, c.cent_id, "
+        f"2 * {_duck_ldot('v.qv', 'c.cv')} - "
+        f"{_duck_ldot('c.cv', 'c.cv')} AS score "
+        f"FROM qz v CROSS JOIN {prev} c)"
+    )
+    ctes.append(
+        "fasg AS (SELECT vec_id, qv, cent_id, score FROM ("
+        "SELECT *, row_number() OVER (PARTITION BY vec_id "
+        "ORDER BY score DESC, cent_id ASC) AS rn FROM fsc) _x "
+        "WHERE rn = 1)"
+    )
+    body = ",\n      ".join(ctes)
+    return f"""(
+      WITH {body}
+      SELECT cent_id, count(*) AS n_members,
+             min({_duck_ldot('qv', 'qv')} - score) AS d2_min,
+             max({_duck_ldot('qv', 'qv')} - score) AS d2_max
+      FROM fasg GROUP BY cent_id
     )"""
 
 

@@ -25,6 +25,8 @@ from pyspark.sql import DataFrame, functions as F
 from ..functions import bits, prng
 
 SALT_SPLIT = 6  # distinct stream from genome/mask/shuffle/sample/pair
+SALT_IMPORTANCE = 8  # importance-sampling stream (7 unused; 6 doubles
+#                      as mutate's — different key domains, kept apart)
 
 
 def assign_splits(
@@ -46,6 +48,75 @@ def assign_splits(
             f"WHEN pm < {train_pm + val_pm} THEN 'val' "
             "ELSE 'test' END"
         ),
+    )
+
+
+def importance_sample(
+    docs: DataFrame,
+    seed: int = 42,
+    floor_pm: int = 100,
+    ceil_pm: int = 900,
+) -> DataFrame:
+    """Quality-weighted deterministic sampling — the corpus-curation step
+    that downsamples low-quality documents instead of hard-dropping them
+    (mixture re-weighting). Keep probability per-mille = the document's
+    English-stopword ratio clamped to [floor_pm, ceil_pm] (more natural
+    prose → higher keep rate; floor keeps a trickle of everything for
+    diversity), decided by comparing against the seeded hash of doc_id.
+
+    Same scale contract as assign_splits: a pure function of
+    (seed, doc_id, text) — map-only, no shuffle, no rand(), stable under
+    repartitioning and appends, so re-runs and incremental arrivals
+    never flip old decisions. Output: kept docs
+    [doc_id, keep_pm, pm]."""
+    from .textops import STOPWORDS, _count_in
+
+    toks = "filter(split(lower(text), ' '), t -> t != '')"
+    sw = _count_in(toks, STOPWORDS["en"], "spark")
+    keep = (
+        f"least({ceil_pm}, greatest({floor_pm}, "
+        f"CASE WHEN size({toks}) > 0 THEN cast({sw} as bigint) * 1000 "
+        f"div size({toks}) ELSE 0 END))"
+    )
+    ss = bits.seed_salt(seed, SALT_IMPORTANCE)
+    h = prng.spark_hash(str(ss), "doc_id")
+    pm = f"({prng.spark_unit_bits(h, 20)} % 1000)"
+    return (
+        docs.withColumn("keep_pm", F.expr(keep))
+        .withColumn("pm", F.expr(pm))
+        .filter(F.col("pm") < F.col("keep_pm"))
+        .select("doc_id", "keep_pm", "pm")
+    )
+
+
+def duck_importance_sample_sql(
+    source_sql: str,
+    seed: int = 42,
+    floor_pm: int = 100,
+    ceil_pm: int = 900,
+) -> str:
+    from .textops import STOPWORDS, _count_in
+    from ..functions import text
+
+    toks = text.DUCK_TOKENS
+    sw = _count_in(toks, STOPWORDS["en"], "duckdb")
+    keep = (
+        f"least({ceil_pm}, greatest({floor_pm}, "
+        f"CASE WHEN len({toks}) > 0 THEN cast({sw} as bigint) * 1000 "
+        f"// len({toks}) ELSE 0 END))"
+    )
+    ss = bits.seed_salt(seed, SALT_IMPORTANCE)
+    hq = prng.duck_hash_query(
+        source_sql,
+        [str(ss), "doc_id"],
+        "__is",
+        extra=[
+            f"{keep} AS keep_pm",
+            f"({prng.duck_unit_bits('__is', 20)} % 1000) AS pm",
+        ],
+    )
+    return (
+        f"(SELECT doc_id, keep_pm, pm FROM {hq} _i WHERE pm < keep_pm)"
     )
 
 

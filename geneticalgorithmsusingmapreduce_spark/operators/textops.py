@@ -198,6 +198,69 @@ def duck_token_stats_sql(docs_sql: str) -> str:
     )"""
 
 
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Repetition-based quality signals (the Gopher-rules family):
+    per document, the fraction of duplicate word bigrams and the share
+    of the single most-frequent bigram — high values flag boilerplate,
+    keyword stuffing, and degenerate generations. Integer per-mille
+    outputs so the oracle hash is exact.
+
+    Scale shape: explode bigrams → ONE exchange on (doc_id, gram) with
+    map-side partial counts → per-doc rollup rides the same partitioning
+    (doc_id is a prefix of the grouping key, so Catalyst needs no second
+    full shuffle of the gram rows). Documents with < 2 tokens have no
+    bigrams and are excluded (both engines)."""
+    toks = "filter(split(lower(text), ' '), t -> t != '')"
+    grams = (
+        f"CASE WHEN size({toks}) >= 2 THEN "
+        f"transform(sequence(1, size({toks}) - 1), "
+        f"i -> concat(element_at({toks}, i), ' ', element_at({toks}, i + 1))) "
+        f"ELSE array() END"
+    )
+    per = (
+        docs.select("doc_id", F.explode(F.expr(grams)).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        per.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("c").alias("top_c"),
+        )
+        .select(
+            "doc_id", "n_bigrams", "n_distinct",
+            F.expr(
+                "(n_bigrams - n_distinct) * 1000 div n_bigrams"
+            ).alias("dup_milli"),
+            F.expr("top_c * 1000 div n_bigrams").alias("top_milli"),
+        )
+    )
+
+
+def duck_repetition_sql(docs_sql: str) -> str:
+    toks = text.DUCK_TOKENS
+    return f"""(
+      WITH _t AS (SELECT doc_id, {toks} AS toks FROM {docs_sql} _r),
+      g AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks)),
+                      i -> toks[i] || ' ' || toks[i + 1])) AS gram
+        FROM _t
+      ),
+      per AS (
+        SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram
+      )
+      SELECT doc_id,
+             cast(sum(c) as bigint) AS n_bigrams,
+             cast(count(*) as bigint) AS n_distinct,
+             cast((sum(c) - count(*)) * 1000 // sum(c) as bigint) AS dup_milli,
+             cast(max(c) * 1000 // sum(c) as bigint) AS top_milli
+      FROM per GROUP BY doc_id
+    )"""
+
+
 # --------------------------------------------------------------------------
 # MinHash + LSH near-dup
 # --------------------------------------------------------------------------
