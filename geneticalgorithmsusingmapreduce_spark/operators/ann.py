@@ -189,73 +189,95 @@ def train_centroids(
     is monotonically non-increasing, which the tests pin.
 
     At 100 TB you'd train on a sample (`emb.sample(...)`) — assignment
-    cost is the same broadcast-join scan ivf_topk pays once."""
-    from pyspark.sql import Window  # noqa: F401  (parity with ivf_topk)
+    cost is the same one-scan shape ivf_topk pays once.
+
+    Physical shape: ONE mapInPandas action per iteration. The kernel
+    quantizes its Arrow batch, scores all centroids as a blocked int64
+    matmul (same integers the SQL expressions produce), and emits C
+    partial rows (count, per-dim sums, inertia part) — the driver folds
+    the C×n_batches tiny partials and computes the rounded means
+    locally, exactly the reference's J2 side-channel fold. An earlier
+    expression form (crossJoin + 128-term qdot + posexplode means) was
+    execution-equivalent but paid ~1.4 s of Catalyst/codegen per
+    iteration at tiny data sizes — the kernel plan is constant-size."""
+    import numpy as np
+    import pandas as pd
 
     spark = emb.sparkSession
-    qz = emb.select("vec_id", F.expr(quantize_expr()).alias("qv"))
-    qz = qz.persist()
-    cents = qz.filter(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("cent_id"), F.col("qv").alias("cv")
+    # seed centroids: first C quantized vectors
+    seed_rows = sorted(
+        (r.vec_id, list(r.embedding))
+        for r in emb.filter(F.col("vec_id") < n_centroids).collect()
     )
+    cents_np = np.floor(
+        np.array([e for _, e in seed_rows], dtype=np.float64) * SCALE + 0.5
+    ).astype(np.int64)  # (C, D)
+    cent_ids = [int(v) for v, _ in seed_rows]
     history: list[float] = []
+
+    src = emb.select("vec_id", "embedding")
     for _ in range(iters):
-        prev = {r.cent_id: r.cv for r in cents.collect()}
-        scored = (
-            qz.crossJoin(F.broadcast(cents))
-            .select(
-                "vec_id", "qv", "cent_id",
-                # argmin distance == argmax (2x·c − |c|²); decimal head-
-                # room not needed: |2x·c| ≤ 2·64·(1e6)² ≪ int64
-                (
-                    2 * F.expr(qdot_sql("qv", "cv"))
-                    - F.expr(qdot_sql("cv", "cv"))
-                ).alias("score"),
-            )
-        )
-        assigned = scored.groupBy("vec_id").agg(
-            F.expr("max_by(cent_id, struct(score, -cent_id))").alias("cent_id"),
-            F.first("qv").alias("qv"),
-            F.max("score").alias("score"),
-        )
+        cm = cents_np.copy()
+        cnorm = (cm * cm).sum(axis=1)  # (C,)
+
+        def partials(batches):
+            from ..functions import bits as _bits
+
+            for pdf in batches:
+                xm = np.floor(
+                    _bits.np_stack_cells(pdf["embedding"], dtype="float64")
+                    * SCALE + 0.5
+                ).astype(np.int64)  # (N, D)
+                scores = 2 * (xm @ cm.T) - cnorm  # (N, C)
+                # argmax with ties to the LOWEST cent index — np.argmax
+                # picks the first maximum, matching struct(score, -cent)
+                best = np.argmax(scores, axis=1)  # (N,)
+                out = {"cent": [], "cnt": [], "sums": [], "inert": []}
+                xnorm = (xm * xm).sum(axis=1)
+                for ci in range(len(cm)):
+                    mask = best == ci
+                    n = int(mask.sum())
+                    if n == 0:
+                        continue
+                    out["cent"].append(ci)
+                    out["cnt"].append(n)
+                    out["sums"].append(xm[mask].sum(axis=0).tolist())
+                    out["inert"].append(
+                        int((xnorm[mask] - scores[mask, ci]).sum())
+                    )
+                yield pd.DataFrame(out)
+
+        rows = src.mapInPandas(
+            partials,
+            schema="cent int, cnt long, sums array<long>, inert long",
+        ).collect()
+        # driver-side fold of the tiny partials (J2 pattern)
+        cnt = np.zeros(len(cm), dtype=np.int64)
+        sums = np.zeros_like(cm)
+        inert_total = 0
+        for r in rows:
+            cnt[r.cent] += r.cnt
+            sums[r.cent] += np.array(r.sums, dtype=np.int64)
+            inert_total += r.inert
         if compute_inertia:
-            # inertia = Σ (|x|² − best_score); |x|² via one more qdot.
-            # persist: inertia and the means below are two actions over
-            # the same assignment subtree — without this the broadcast
-            # crossJoin + grouped argmax runs twice per iteration
-            assigned = assigned.persist()
-            inert = assigned.select(
-                (F.expr(qdot_sql("qv", "qv")) - F.col("score")).alias("d2")
-            ).agg(F.sum("d2")).collect()[0][0]
-            history.append(float(inert))
-        # mean rounded half-up via exact int64 sum + one IEEE double
-        # divide + floor — the same three ops in DuckDB, so the oracle
-        # can replay training bit-for-bit (avg()+round() half-way and
-        # internal-precision behavior is engine-specific)
-        means = (
-            assigned.select("cent_id", F.posexplode("qv").alias("pos", "val"))
-            .groupBy("cent_id", "pos")
-            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("c"))
-            .groupBy("cent_id")
-            .agg(
-                F.expr(
-                    "transform(array_sort(collect_list(struct(pos,"
-                    " cast(floor(cast(s as double) / c + 0.5) as bigint)"
-                    " as v))), x -> x.v)"
-                ).alias("cv")
-            )
-        )
-        new = {r.cent_id: r.cv for r in means.collect()}
-        if compute_inertia:
-            assigned.unpersist()
-        rows = [
-            (cid, [int(x) for x in new.get(cid, prev[cid])])
-            for cid in sorted(prev)
-        ]
-        cents = spark.createDataFrame(
-            rows, "cent_id long, cv array<long>"
-        )
-    qz.unpersist()
+            history.append(float(inert_total))
+        # mean rounded half-up: exact int64 sum → IEEE double divide →
+        # floor, matching the DuckDB oracle's cast(s as double)/c + 0.5
+        # op-for-op; empty clusters keep their previous centroid
+        new = cents_np.copy()
+        for ci in range(len(cm)):
+            if cnt[ci] > 0:
+                new[ci] = np.floor(
+                    sums[ci].astype(np.float64) / float(cnt[ci]) + 0.5
+                ).astype(np.int64)
+        cents_np = new
+    cents = spark.createDataFrame(
+        [
+            (cid, [int(x) for x in cents_np[i]])
+            for i, cid in enumerate(cent_ids)
+        ],
+        "cent_id long, cv array<long>",
+    )
     return cents, history
 
 

@@ -205,20 +205,23 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
     keyword stuffing, and degenerate generations. Integer per-mille
     outputs so the oracle hash is exact.
 
-    Scale shape: explode bigrams → ONE exchange on (doc_id, gram) with
-    map-side partial counts → per-doc rollup rides the same partitioning
-    (doc_id is a prefix of the grouping key, so Catalyst needs no second
-    full shuffle of the gram rows). Documents with < 2 tokens have no
-    bigrams and are excluded (both engines)."""
+    Scale shape: posexplode tokens → ONE exchange on doc_id → window
+    lead() builds each bigram → both aggregations reuse that same
+    partitioning (doc_id is a subset of (doc_id, gram), so Catalyst
+    adds no further exchange — pinned in tests/test_plans.py). Token
+    rows cross the wire once; everything stays in whole-stage codegen
+    (a transform()-lambda bigram builder was 8× slower — HOFs are
+    interpreted). Documents with < 2 tokens have no bigrams and are
+    excluded (both engines)."""
+    from pyspark.sql import Window
+
     toks = "filter(split(lower(text), ' '), t -> t != '')"
-    grams = (
-        f"CASE WHEN size({toks}) >= 2 THEN "
-        f"transform(sequence(1, size({toks}) - 1), "
-        f"i -> concat(element_at({toks}, i), ' ', element_at({toks}, i + 1))) "
-        f"ELSE array() END"
-    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
     per = (
-        docs.select("doc_id", F.explode(F.expr(grams)).alias("gram"))
+        docs.select("doc_id", F.posexplode(F.expr(toks)).alias("pos", "tok"))
+        .withColumn("nxt", F.lead("tok", 1).over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select("doc_id", F.concat("tok", F.lit(" "), "nxt").alias("gram"))
         .groupBy("doc_id", "gram")
         .agg(F.count(F.lit(1)).alias("c"))
     )

@@ -198,3 +198,33 @@ def test_asof_and_range_extend_plan_suite(spark):
     assert "CartesianProduct" not in p
     p2 = _plan(catalog.QUERIES["events_range_join"](spark, SF))
     assert "CartesianProduct" not in p2 and "BroadcastNestedLoopJoin" not in p2
+
+
+def test_importance_sample_map_only(spark):
+    # deterministic sampling is a pure projection + filter: no exchange,
+    # no rand(), pushes the scan down to (doc_id, text)
+    p = _plan(catalog.QUERIES["doc_importance_sample"](spark, SF))
+    assert "Exchange" not in p
+    assert "rand(" not in p
+
+
+def test_repetition_single_exchange(spark):
+    # posexplode → ONE doc_id exchange → window lead() bigrams → both
+    # aggs reuse the window's partitioning (doc_id ⊂ (doc_id, gram)).
+    # A second exchange means the aggs stopped reusing it; any HOF
+    # lambda means the bigram builder fell out of codegen.
+    p = _plan(catalog.QUERIES["text_repetition"](spark, SF))
+    assert p.count("Exchange hashpartitioning") == 1
+    # bigram built by a codegen'd Project (window lead + concat), not a
+    # transform() lambda (the tokenizer's filter-lambda lives inside the
+    # one-off Generate and is fine — it is not the per-bigram hot path)
+    assert "Window [lead(tok" in p
+    assert "*(3) Project [doc_id" in p and "concat(tok" in p
+
+
+def test_kmeans_stats_broadcast_assignment(spark):
+    # the post-training assignment pass must broadcast the centroid table
+    # (8 rows) — never shuffle the vector table against it
+    p = _plan(catalog.QUERIES["emb_kmeans_clusters"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p

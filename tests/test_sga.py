@@ -86,3 +86,14 @@ def test_run_sga_converges(spark):
     # monotone-ish trend: late best ≥ early best (elitism-free GA can dip,
     # but the reference's telemetry expectation is an upward trend)
     assert res.stats[-1].best_fitness >= res.stats[0].best_fitness
+
+
+def test_pop_sizing_and_bucket_defaults(spark):
+    # reference CLI arithmetic: pop = ceil(x·n·log2 n)
+    # (reference src/edu/illinois/ga/MapReduce.java:454)
+    assert sga.pop_from_multiplier(10_000, 10) == 1_328_772
+    assert sga.pop_from_multiplier(10_000, 1) == 132_878
+    assert sga.pop_from_multiplier(256, 1) == 2048
+    # bucket default scales with the session's parallelism, not a literal
+    assert sga.default_n_buckets(spark) == \
+        spark.sparkContext.defaultParallelism * 4

@@ -38,3 +38,25 @@ def test_split_proportions_and_seed_sensitivity(spark):
     a = {r.doc_id: r.split for r in split.assign_splits(docs, seed=1).collect()}
     b = {r.doc_id: r.split for r in split.assign_splits(docs, seed=2).collect()}
     assert any(a[k] != b[k] for k in a)  # seed actually feeds the hash
+
+
+def test_importance_sample_stable_and_bounded(spark):
+    docs = read_table(spark, SF, "documents").select("doc_id", "text")
+    kept = {
+        r.doc_id: (r.keep_pm, r.pm)
+        for r in split.importance_sample(docs).collect()
+    }
+    n = docs.count()
+    # clamp bounds: keep rate must land within [floor, ceil] per-mille
+    assert 0.05 * n <= len(kept) <= 0.95 * n
+    assert all(100 <= k <= 900 and p < k for k, p in kept.values())
+    # decision is a pure function of (seed, doc_id, text): a re-read of a
+    # repartitioned subset keeps exactly the same documents
+    sub = docs.filter(F.col("doc_id") % 2 == 0).repartition(7)
+    sub_kept = {
+        r.doc_id: (r.keep_pm, r.pm)
+        for r in split.importance_sample(sub).collect()
+    }
+    assert sub_kept == {
+        k: v for k, v in kept.items() if k % 2 == 0
+    }

@@ -127,3 +127,14 @@ def test_range_join_keyed_not_cartesian(spark):
     p = df._jdf.queryExecution().executedPlan().toString()
     p = p.split("== Initial Plan ==")[0]
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_asof_rejects_colliding_left_columns(spark):
+    import pytest
+
+    left = spark.createDataFrame([(1, 10, 0, "x")], "k int, t int, tid int, r_v string")
+    right = spark.createDataFrame([(1, 5, 1, 7)], "k int, t int, tid int, v int")
+    with pytest.raises(ValueError, match="collide"):
+        temporal.asof_join(
+            left, right, key="k", ts="t", tie="tid", right_vals={"r_v": "v"}
+        )
