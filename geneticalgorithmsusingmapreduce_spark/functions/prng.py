@@ -160,13 +160,25 @@ def duck_hash_query(
     """Wrap ``source_sql`` (a SELECT or parenthesized subquery) in one
     nested projection per hash step, so the result relation exposes all
     source columns plus ``out`` / ``out_u``. ``extra`` appends final
-    computed columns (may reference ``out``/``out_u``)."""
+    computed columns (may reference ``out``/``out_u``).
+
+    The result is wrapped in a MATERIALIZED CTE: when an outer query
+    FILTERS on a chain-derived column, DuckDB's filter pushdown
+    substitutes the column's defining expression through every nested
+    projection level — each hash step references its predecessor 2-3×,
+    so the flattened predicate grows ~3^steps and a 500-row probe took
+    30+ s (measured; the whole correctness gate spent ~200 s in such
+    filters). The barrier pins each chain to one evaluation per row."""
     cur = f"({source_sql})"
     for name, expr in duck_hash_steps(cols, out):
         cur = f"(SELECT *, {expr} AS {name} FROM {cur} _q{next(_uid)})"
     if extra:
         cur = f"(SELECT *, {', '.join(extra)} FROM {cur} _q{next(_uid)})"
-    return cur
+    n = next(_uid)
+    return (
+        f"(WITH _mz{n} AS MATERIALIZED (SELECT * FROM {cur} _q{n}) "
+        f"SELECT * FROM _mz{n})"
+    )
 
 
 def np_xxhash64(cols: list, seed: int = SPARK_XXH_SEED):

@@ -120,6 +120,56 @@ def duck_importance_sample_sql(
     )
 
 
+def stratified_sample(
+    docs: DataFrame,
+    stratum: str = "source",
+    per_stratum: int = 50,
+    seed: int = 42,
+) -> DataFrame:
+    """Balanced corpus draw: keep (up to) ``per_stratum`` documents per
+    ``stratum`` value, chosen by ranking the seeded hash of doc_id
+    within each stratum — the deterministic replacement for
+    ``sampleBy``'s rand() (which re-draws on every re-read and cannot
+    hit an exact per-group count).
+
+    Scale shape: ONE exchange on the stratum key + an in-partition
+    window sort on the 64-bit hash; at 1000 executors a hot stratum is
+    the usual skew problem — the hash rank is salted by doc_id, so
+    pre-aggregating per (stratum, hash-bucket) top-k before the final
+    window is the documented mitigation if a stratum outgrows one task.
+    Output: [doc_id, stratum, rk]."""
+    from pyspark.sql import Window
+
+    ss = bits.seed_salt(seed, SALT_IMPORTANCE) + 99  # distinct stream
+    h = prng.spark_hash(str(ss), "doc_id")
+    w = Window.partitionBy("stratum").orderBy("hk", "doc_id")
+    return (
+        docs.select("doc_id", F.col(stratum).alias("stratum"),
+                    F.expr(h).alias("hk"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= per_stratum)
+        .select("doc_id", "stratum", F.col("rk").cast("bigint").alias("rk"))
+    )
+
+
+def duck_stratified_sample_sql(
+    source_sql: str,
+    stratum: str = "source",
+    per_stratum: int = 50,
+    seed: int = 42,
+) -> str:
+    ss = bits.seed_salt(seed, SALT_IMPORTANCE) + 99
+    hq = prng.duck_hash_query(source_sql, [str(ss), "doc_id"], "__st")
+    return f"""(
+      SELECT doc_id, stratum, rk FROM (
+        SELECT doc_id, {stratum} AS stratum,
+               row_number() OVER (PARTITION BY {stratum}
+                 ORDER BY __st, doc_id) AS rk
+        FROM {hq} _h
+      ) _r WHERE rk <= {per_stratum}
+    )"""
+
+
 def duck_assign_splits_sql(
     source_sql: str,
     key: str = "doc_id",

@@ -9,10 +9,12 @@ import hashlib
 
 from geneticalgorithmsusingmapreduce_spark import catalog
 
-# re-pinned after the tournament tie-break fix (fitness·2^31 + rn — the
-# id-composed key lost selection pressure for generation ≥ 1 child ids)
-GOLDEN_SHA256 = "f79bf8cc14b8c5aeeaeb871246f0961df67543a3bc6e3d006cf51dc3807382c1"
-GOLDEN_ROWS = 5986
+# re-pinned after the gate-fixture cut (population now derives from
+# lineitem WHERE l_linenumber <= 2 — catalog.LI_POP_WHERE; smaller
+# fixture, identical operator chain. Previous re-pin: tournament
+# tie-break fix, fitness·2^31 + rn)
+GOLDEN_SHA256 = "23eb06cad942bedf042505e53fd52f4eb5a1181473a9de87c7f0c33b7732e8ae"
+GOLDEN_ROWS = 1694
 
 
 def test_sga_generation_golden(spark):

@@ -10,6 +10,7 @@ from __future__ import annotations
 import math
 import os
 import sys
+import time
 
 import duckdb
 
@@ -56,9 +57,11 @@ def main():
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     failed = []
+    t_start = time.perf_counter()
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        t_entry = time.perf_counter()
         try:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:  # noqa: BLE001
@@ -89,8 +92,12 @@ def main():
             print(f"  duckdb: {str(dr[bad])[:240]}")
             failed.append(name)
         else:
-            print(f"PASS {name} ({len(sr)} rows)")
-    print(f"\n{len(qs) - len(failed)}/{len(qs)} pass")
+            dt = time.perf_counter() - t_entry
+            print(f"PASS {name} ({len(sr)} rows, {dt:.1f}s)")
+    print(
+        f"\n{len(qs) - len(failed)}/{len(qs)} pass "
+        f"in {time.perf_counter() - t_start:.0f}s"
+    )
     spark.stop()
     sys.exit(1 if failed else 0)
 
