@@ -1574,16 +1574,62 @@ def pivot_status_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("incremental_sga")  # rows-only: stateful streaming, non-SQL (T1)
+# T1 oracle: the streaming loop is seeded-deterministic, so its exact
+# batch equivalent is expressible — unroll both micro-batches as chained
+# generation SQL (gen k uses gen_seed = seed·1000033 + k exactly as
+# plans/sga.next_generation does), with the D1 dedup between them. The
+# queries() entry still runs the REAL foreachBatch machinery; the oracle
+# replays its math, upgrading T1 from a rows-only check to a full
+# rows+schema+hash gate.
+_INC_BITS, _INC_POP, _INC_SEED, _INC_BUCKETS = 128, 512, 17, 4
+_INC_FIT = bits.popcount_sql("genome", "duckdb")
+
+
+def _inc_oracle() -> str:
+    # each generation is a top-level MATERIALIZED CTE referenced by NAME:
+    # textually nesting generation SQL inside the next one re-interpolates
+    # the whole prior text at every reference (the tournament's wrap-around
+    # union and the two-children union each duplicate their input), which
+    # exhausted DuckDB's parser at two generations
+    pop = generate.population_gen_duckdb_sql(_INC_POP, _INC_BITS, _INC_SEED)
+    parts = [
+        f"g0 AS MATERIALIZED (SELECT id, genome, {_INC_FIT} AS fitness "
+        f"FROM {pop} _f0)"
+    ]
+    cur = "g0"
+    for gen in range(2):
+        ch = sga_plan.duck_generation_sql(
+            f"SELECT * FROM {cur}", _INC_BITS, _INC_SEED,
+            generation=gen, n_buckets=_INC_BUCKETS,
+        )
+        parts.append(
+            f"c{gen} AS MATERIALIZED (SELECT id, genome FROM {ch} _c{gen})"
+        )
+        ded = dedup_ops.duck_dedup_genomes_sql(f"c{gen}")
+        parts.append(
+            f"g{gen + 1} AS MATERIALIZED (SELECT id, genome, "
+            f"{_INC_FIT} AS fitness FROM {ded} _f{gen + 1})"
+        )
+        cur = f"g{gen + 1}"
+    body = ",\n    ".join(parts)
+    return (
+        f"WITH {body}\n"
+        f"SELECT id, {_duck_gstr('genome')} AS genome, fitness FROM {cur} _q"
+    )
+
+
+@register("incremental_sga", _inc_oracle())
 def incremental_sga(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1: two SGA generations driven as foreachBatch micro-batches with
     cross-batch population state + child dedup (D1 intended semantics).
-    Genuinely non-SQL-expressible (stateful streaming) → rows-only check
-    per the driver contract."""
+    The stateful-streaming machinery is real; because every draw is
+    seeded, the DuckDB oracle replays both micro-batches as chained
+    generation SQL and hash-matches the final population."""
     from .streaming import incremental
 
     st = incremental.start_incremental_sga(
-        spark, n_bits=128, pop_size=512, generations=2, seed=17, n_buckets=4
+        spark, n_bits=_INC_BITS, pop_size=_INC_POP, generations=2,
+        seed=_INC_SEED, n_buckets=_INC_BUCKETS,
     )
     return st.population.select(
         "id", _gstr("genome").alias("genome"), "fitness"
