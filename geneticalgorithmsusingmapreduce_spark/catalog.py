@@ -271,6 +271,54 @@ def streaming_running_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+# --- streaming exact dedup (D1 as a stream) ------------------------------
+
+@register(
+    "streaming_dedup",
+    "SELECT DISTINCT user_id, event_type FROM events",
+)
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup as a STREAM: events arrive in 4 micro-batches and
+    dropDuplicates' state store carries the seen-key set across batches —
+    the streaming-ingestion shape of dedup_exact_* (at 100 TB/day this is
+    the kafka→dedup→sink topology; a watermark bounds the state for
+    unbounded streams, finite replay here keeps it exact). Emitting only
+    the KEY columns makes the result the distinct-pair SET — deterministic
+    regardless of arrival order — so the cross-batch state machinery gets
+    a full hash check against batch DISTINCT."""
+    import tempfile
+    import uuid
+
+    ev = read_table(spark, sf_dir, "events").select("user_id", "event_type")
+    d = tempfile.mkdtemp(prefix="gamr_sdedup_")
+    ev.repartition(4).write.parquet(f"{d}/in")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{d}/in")
+    )
+    name = "sd_" + uuid.uuid4().hex[:8]
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")  # state-store size
+    try:
+        q = (
+            stream.dropDuplicates(["user_id", "event_type"])
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    rows = spark.table(name).collect()  # materialize + tear down the sink
+    df = spark.createDataFrame(rows, spark.table(name).schema)
+    spark.catalog.dropTempView(name)
+    return df
+
+
 # --- G2: probability-vector init ----------------------------------------
 
 @register(
