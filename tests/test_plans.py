@@ -228,3 +228,20 @@ def test_kmeans_stats_broadcast_assignment(spark):
     p = _plan(catalog.QUERIES["emb_kmeans_clusters"](spark, SF))
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_shipping_priority_broadcast_dim(spark):
+    # Q3 shape: the filtered customer dim broadcasts; only the fact-fact
+    # join may exchange. TakeOrderedAndProject caps the top-10 without a
+    # global sort of the aggregated rows.
+    p = _plan(catalog.QUERIES["shipping_priority"](spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_local_supplier_volume_dims_broadcast(spark):
+    # Q5 shape: supplier/nation/region all arrive via broadcast — a
+    # 6-table join with exactly the fact-fact exchanges and nothing else
+    p = _plan(catalog.QUERIES["local_supplier_volume"](spark, SF))
+    assert p.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in p
