@@ -36,7 +36,10 @@ def ga_loop_benchmarks(spark) -> dict[str, float]:
 
     out: dict[str, object] = {}
 
-    n_bits, pop_size = 10_000, 132_878
+    # pop = ceil(1·n·log2 n) = 132,878 — the reference's own sizing
+    # arithmetic (reference src/edu/illinois/ga/MapReduce.java:454)
+    n_bits = 10_000
+    pop_size = sga.pop_from_multiplier(n_bits, 1)
     nl = bits.n_longs(n_bits)
     pop = fit_ops.with_fitness(
         generate.random_population(spark, pop_size, n_bits, 42, 32), nl=nl
