@@ -848,6 +848,30 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_clusters",
+    f"""SELECT * FROM {dedup_ops.duck_cluster_sql(
+        f'''(SELECT doc_a, doc_b FROM {textops.duck_jaccard_pairs_sql(
+            textops.DUCK_AUG,
+            textops.duck_lsh_pairs_sql(
+                textops.duck_minhash_sql(textops.DUCK_AUG)),
+        )} _lp)''',
+    )} _q""",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs collapsed into connected components (cluster_id =
+    smallest member) — the post-LSH step that turns "a~b, b~c" into one
+    keep-decision. Deterministic min-label propagation to a fixpoint;
+    the oracle computes the same components via a recursive-CTE
+    reachability closure over the identical verified-pair set."""
+    docs = textops.augmented_corpus(spark, sf_dir)
+    shingles = textops.shingles_hashed(docs).persist()
+    sigs = textops.minhash_signatures(docs, shingles=shingles)
+    cands = textops.lsh_candidate_pairs(sigs)
+    pairs = textops.jaccard_pairs(docs, cands, shingles=shingles)
+    return dedup_ops.cluster_pairs(pairs)
+
+
+@register(
     "doc_train_val_test",
     f"""
     SELECT doc_id, pm, split

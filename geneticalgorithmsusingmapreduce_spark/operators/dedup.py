@@ -89,3 +89,81 @@ def duck_dedup_exact_digest_sql(table: str = "documents") -> str:
         f"(SELECT md5(text) AS digest, min(doc_id) AS doc_id, "
         f"count(*) AS dup_count FROM {table} GROUP BY md5(text))"
     )
+
+
+def cluster_pairs(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Near-dup CLUSTERING: collapse candidate/verified pairs into
+    connected components — the step every production dedup pipeline runs
+    after LSH pair generation (pairs say "a~b, b~c"; the pipeline must
+    keep ONE of {a,b,c}). cluster_id = the smallest doc_id in the
+    component, so picking the canonical representative is
+    ``cluster_id == doc_id``.
+
+    Deterministic min-label propagation: each node starts labeled with
+    itself; every round takes the min of its own and its neighbors'
+    labels, until a fixpoint (≤ graph diameter rounds; near-dup
+    components are short chains, so 3-5 rounds in practice). Each round
+    is one keyed join + one grouped min — the same two-exchange shape at
+    any scale — with the frontier localCheckpoint'd to truncate lineage
+    (same policy as the GA loops). At billions of edges you'd switch to
+    the large-star/small-star variant (alternating rounds that contract
+    high-degree stars) to bound skew; the dataflow per round is
+    identical. Driver sees only a 1-row changed-count per round (J2).
+
+    Input: [doc_a, doc_b] (+ignored extras). Output: [doc_id,
+    cluster_id] for every document that appears in some pair."""
+    edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    sym = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct().localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("a").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        nbr = (
+            sym.join(labels, sym.b == labels.node)
+            .groupBy("a").agg(F.min("label").alias("nl"))
+        )
+        new = (
+            labels.join(nbr, labels.node == nbr.a, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nl"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter("n.label != o.label")
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
+def duck_cluster_sql(pairs_sql: str) -> str:
+    """Oracle twin of cluster_pairs: reachability closure via a recursive
+    CTE, cluster_id = min reachable node (≡ min-label fixpoint)."""
+    return f"""(
+      WITH RECURSIVE prs AS MATERIALIZED (
+        SELECT doc_a, doc_b FROM {pairs_sql} _cp
+      ), sym AS (
+        SELECT doc_a AS a, doc_b AS b FROM prs
+        UNION
+        SELECT doc_b, doc_a FROM prs
+      ), reach(node, r) AS (
+        SELECT a, a FROM sym
+        UNION
+        SELECT s.a, r.r FROM sym s JOIN reach r ON r.node = s.b
+      )
+      SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
+    )"""

@@ -1,0 +1,30 @@
+"""Connected-components clustering (operators/dedup.cluster_pairs):
+chains collapse to the smallest member, separate components stay
+separate, and the fixpoint is reached within the diameter bound."""
+
+from __future__ import annotations
+
+from geneticalgorithmsusingmapreduce_spark.operators import dedup
+
+
+def test_cluster_pairs_chains_and_islands(spark):
+    # component 1: 1~5, 5~3, 3~9 (a chain); component 2: 2~8; singleton
+    # pairs only (no isolated nodes — nodes not in any pair don't appear)
+    pairs = spark.createDataFrame(
+        [(1, 5), (3, 5), (3, 9), (2, 8)], "doc_a long, doc_b long"
+    )
+    got = {
+        r.doc_id: r.cluster_id for r in dedup.cluster_pairs(pairs).collect()
+    }
+    assert got == {1: 1, 5: 1, 3: 1, 9: 1, 2: 2, 8: 2}
+
+
+def test_cluster_pairs_long_chain_converges(spark):
+    # a 12-node path is the worst case for min-label propagation (label 0
+    # must walk the full diameter); max_iters must cover it
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "doc_a long, doc_b long"
+    )
+    out = dedup.cluster_pairs(pairs).collect()
+    assert {r.cluster_id for r in out} == {0}
+    assert len(out) == 13
