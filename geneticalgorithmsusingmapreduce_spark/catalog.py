@@ -271,6 +271,88 @@ def streaming_running_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+@register(
+    "events_resample",
+    """
+    WITH b AS (SELECT min(ts::DATE) AS d0, max(ts::DATE) AS d1 FROM events),
+    days AS (
+      SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+      FROM b
+    ),
+    users AS (SELECT DISTINCT user_id FROM events),
+    daily AS (
+      SELECT user_id, day, dval FROM (
+        SELECT user_id, ts::DATE AS day,
+               cast(round(value * 100) as bigint) AS dval,
+               row_number() OVER (PARTITION BY user_id, ts::DATE
+                 ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+      ) _d WHERE rn = 1
+    )
+    SELECT u.user_id, g.day::VARCHAR AS day,
+           last_value(d.dval IGNORE NULLS) OVER (
+             PARTITION BY u.user_id ORDER BY g.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled_cents
+    FROM users u CROSS JOIN days g
+    LEFT JOIN daily d ON d.user_id = u.user_id AND d.day = g.day
+    """,
+)
+def events_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling to a regular daily grid with forward fill
+    (last observation carried forward) — the feature-engineering step
+    that turns irregular event streams into fixed-frequency training
+    features. Grid bounds derive from the data (min/max day), so the
+    entry adapts to regenerated fixtures; leading days before a user's
+    first event stay NULL (no peeking backward).
+
+    Scale shape: the day axis is a tiny broadcast (one row per day);
+    users × days grid joins the per-day last values on (user_id, day)
+    and the fill window reuses the same user partitioning. At 100 TB the
+    grid never materializes wide — it is |users| × |days| narrow rows,
+    and the only big exchange is the per-day argmax over the raw
+    events."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    daily = (
+        ev.withColumn("day", F.to_date("ts"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id", "day")
+                .orderBy(F.desc("ts"), F.desc("event_id"))
+            ),
+        )
+        .filter("rn = 1")
+        .select(
+            "user_id", "day",
+            F.expr("cast(round(value * 100) as bigint)").alias("dval"),
+        )
+    )
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    days = bounds.select(
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day")
+    )
+    users = ev.select("user_id").distinct()
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        users.crossJoin(F.broadcast(days))
+        .join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            F.col("day").cast("string").alias("day"),
+            F.last("dval", ignorenulls=True).over(w).alias("filled_cents"),
+        )
+    )
+
+
 # --- streaming exact dedup (D1 as a stream) ------------------------------
 
 @register(
