@@ -157,15 +157,16 @@ def main():
     # partials, one exchange, no HOFs — nothing scale-relevant changed.
     def run_one(name, fn):
         best = float("inf")
-        for run in range(3):  # run 0 warms JIT; min of runs 1-2 recorded
-            # entries that persist() a shared subtree (LSH/ngram dedup)
-            # would otherwise leak one cached copy per invocation, and a
-            # single reading can spike ~4x under GC — both made numbers lie
+        for run in range(3):  # min over ALL runs: the warm-up is usually
+            # slowest (plan compile/JIT) so including it is free, and on a
+            # machine with ~6 cores of background load any single reading
+            # can spike 4-10x — min is the only stable estimator here.
+            # clearCache: entries that persist() a shared subtree
+            # (LSH/ngram dedup) would otherwise leak one copy per run.
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            if run > 0:
-                best = min(best, time.perf_counter() - t0)
+            best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
 
     for name, fn in catalog.QUERIES.items():
