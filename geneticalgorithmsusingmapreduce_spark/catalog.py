@@ -930,6 +930,23 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_curation_neardup",
+    f"SELECT * FROM "
+    f"{pipeline_ops.duck_curate_neardup_sql(textops.DUCK_AUG)} _q",
+)
+def corpus_curation_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete curation pipeline over a corpus with PLANTED exact
+    and near duplicates: gates → exact-digest dedup → near-dup cluster
+    collapse (MinHash→LSH→verify→connected components) → deterministic
+    split. nd_dropped per survivor counts the near-copies it absorbed —
+    the planted every-10th-doc variants must disappear here, which the
+    oracle proves by replaying the identical pipeline."""
+    return pipeline_ops.curate_corpus_neardup(
+        textops.augmented_corpus(spark, sf_dir)
+    )
+
+
+@register(
     "dedup_clusters",
     f"""SELECT * FROM {dedup_ops.duck_cluster_sql(
         f'''(SELECT doc_a, doc_b FROM {textops.duck_jaccard_pairs_sql(

@@ -222,3 +222,116 @@ def duck_curate_corpus_sql(
         f"(SELECT doc_id, digest, n_tokens, dup_count, pm, split "
         f"FROM {assigned} _o)"
     )
+
+
+def curate_corpus_neardup(
+    docs: DataFrame,
+    lang: str = "en",
+    min_tokens: int = 12,
+    seed: int = 42,
+    train_pm: int = 800,
+    val_pm: int = 100,
+) -> DataFrame:
+    """The FULL curation pipeline: quality/language gates → exact-digest
+    dedup → NEAR-dup cluster collapse (MinHash→LSH→verify→connected
+    components, keeping each cluster's smallest doc_id) → deterministic
+    split. Exact dedup cannot catch a document with one word changed —
+    that is precisely the gap the near-dup stage closes, and
+    ``nd_dropped`` reports how many near-copies each survivor absorbed.
+
+    Scale: the gates run before anything shuffles; exact dedup exchanges
+    16-byte digests; the near-dup stage touches only exact-dedup
+    SURVIVORS (banded candidates, verify on candidates only); the
+    cluster loop exchanges (node, label) pairs. No stage ever moves
+    document text except the shingle projection."""
+    from . import dedup as dedup_ops, textops as tx
+
+    facets = docs.select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("digest"),
+        F.expr(f"cast(size({_TOKS}) as bigint)").alias("n_tokens"),
+        F.expr(_lang_guess_expr("spark")).alias("lang_guess"),
+    )
+    gated = facets.filter(
+        (F.col("lang_guess") == lang) & (F.col("n_tokens") >= min_tokens)
+    )
+    survivors = gated.groupBy("digest").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min("n_tokens").alias("n_tokens"),
+        F.count(F.lit(1)).alias("dup_count"),
+    )
+    sdocs = docs.join(survivors.select("doc_id"), "doc_id", "leftsemi")
+    shingles = tx.shingles_hashed(sdocs).persist()
+    sigs = tx.minhash_signatures(sdocs, shingles=shingles)
+    cands = tx.lsh_candidate_pairs(sigs)
+    pairs = tx.jaccard_pairs(sdocs, cands, shingles=shingles)
+    clusters = dedup_ops.cluster_pairs(pairs)
+    sizes = clusters.groupBy("cluster_id").agg(
+        (F.count(F.lit(1)) - 1).alias("nd_dropped")
+    ).select(F.col("cluster_id").alias("rep_id"), "nd_dropped")
+    kept = (
+        survivors.join(clusters, "doc_id", "left")
+        .filter("cluster_id IS NULL OR cluster_id = doc_id")
+        .join(sizes, F.col("doc_id") == F.col("rep_id"), "left")
+        .select(
+            "doc_id", "n_tokens", "dup_count",
+            F.coalesce("nd_dropped", F.lit(0)).alias("nd_dropped"),
+        )
+    )
+    return split_ops.assign_splits(
+        kept, key="doc_id", seed=seed, train_pm=train_pm, val_pm=val_pm
+    ).select("doc_id", "n_tokens", "dup_count", "nd_dropped", "pm", "split")
+
+
+def duck_curate_neardup_sql(
+    docs_sql: str,
+    lang: str = "en",
+    min_tokens: int = 12,
+    seed: int = 42,
+    train_pm: int = 800,
+    val_pm: int = 100,
+) -> str:
+    from . import dedup as dedup_ops, textops as tx
+    from ..functions import text as text_fns
+
+    toks = text_fns.DUCK_TOKENS
+    guess = _lang_guess_expr("duckdb")
+    sdocs = "(SELECT doc_id, text FROM _aug WHERE doc_id IN "\
+            "(SELECT doc_id FROM _surv))"
+    pairs = tx.duck_jaccard_pairs_sql(
+        sdocs, tx.duck_lsh_pairs_sql(tx.duck_minhash_sql(sdocs))
+    )
+    clusters = dedup_ops.duck_cluster_sql(
+        f"(SELECT doc_a, doc_b FROM {pairs} _pp)"
+    )
+    kept = f"""(
+      SELECT s.doc_id, s.n_tokens, s.dup_count,
+             coalesce(z.nd_dropped, 0) AS nd_dropped
+      FROM _surv s
+      LEFT JOIN _clus c ON c.doc_id = s.doc_id
+      LEFT JOIN (SELECT cluster_id, count(*) - 1 AS nd_dropped
+                 FROM _clus GROUP BY cluster_id) z
+        ON z.cluster_id = s.doc_id
+      WHERE c.cluster_id IS NULL OR c.cluster_id = s.doc_id
+    )"""
+    assigned = split_ops.duck_assign_splits_sql(
+        f"SELECT * FROM {kept} _k", key="doc_id", seed=seed,
+        train_pm=train_pm, val_pm=val_pm,
+    )
+    return f"""(
+      WITH _aug AS MATERIALIZED (SELECT doc_id, text FROM {docs_sql} _d),
+      _surv AS MATERIALIZED (
+        SELECT digest, min(doc_id) AS doc_id, min(n_tokens) AS n_tokens,
+               count(*) AS dup_count
+        FROM (
+          SELECT doc_id, md5(text) AS digest,
+                 len({toks}) AS n_tokens, {guess} AS lang_guess
+          FROM _aug _f
+        ) _g
+        WHERE lang_guess = '{lang}' AND n_tokens >= {min_tokens}
+        GROUP BY digest
+      ),
+      _clus AS MATERIALIZED (SELECT * FROM {clusters} _cl)
+      SELECT doc_id, n_tokens, dup_count, nd_dropped, pm, split
+      FROM {assigned} _o
+    )"""
