@@ -87,30 +87,64 @@ def duck_shingle_rows_sql(docs_sql: str, n: int = 3) -> str:
     )"""
 
 
-def minhash_aggs(k: int = 8) -> list[Column]:
-    """k independent minhash aggregates over a (doc_id, sh64) stream —
-    min(xxhash64(sh64, i)). The md5-derived sh64 column must be
-    materialized by the caller BEFORE the groupBy: aggregate expressions
+MINHASH_P = 2147483647  # 2^31 - 1, Mersenne prime; also the 31-bit mask
+
+
+def minhash_ab(i: int) -> tuple[int, int]:
+    """Deterministic (a, b) universal-hash constants for stream ``i``,
+    derived from md5 so both engines use identical values without a
+    shared random state. a ∈ [1, P-1], b ∈ [0, P-1]."""
+    import hashlib
+
+    d = hashlib.md5(f"minhash-{i}".encode()).hexdigest()
+    return (
+        int(d[:8], 16) % (MINHASH_P - 1) + 1,
+        int(d[8:16], 16) % MINHASH_P,
+    )
+
+
+def minhash_base_expr() -> str:
+    """Spark expr: the shared 31-bit base value H = xxhash64(sh64) & P.
+    Materialize it as a column BEFORE the groupBy — aggregate expressions
     are not common-subexpression-eliminated across each other, so putting
-    hash64(shingle) inside each min() would run md5 k× per row."""
-    return [
-        F.min(F.expr(prng.spark_hash("sh64", str(i)))).alias(f"mh{i}")
-        for i in range(k)
-    ]
+    the hash inside each min() would run it k× per row."""
+    return f"({prng.spark_hash('sh64')} & {MINHASH_P})"
+
+
+def minhash_aggs(k: int = 8) -> list[Column]:
+    """k independent minhash aggregates over a (doc_id, mhbase) stream:
+    min((a_i·H + b_i) mod P), the classic universal-hashing MinHash
+    construction (Broder 1997) over ONE shared xxhash64 base value H
+    (31-bit, so a_i·H < 2^62 never overflows int64 in either engine).
+
+    One hash chain instead of k matters for the oracle: DuckDB replicates
+    xxhash64 as a ~12-level HUGEINT projection chain per stream, so the
+    previous per-stream xxhash64(sh64, i) design made the sf0.01 oracle
+    ~8× more expensive than the query it checks (10.4 s → ~1.5 s). The
+    31-bit draw space adds ~|shingles|/2^31 collision probability per
+    stream — noise next to MinHash's own k=8 estimator variance."""
+    exprs = []
+    for i in range(k):
+        a, b = minhash_ab(i)
+        exprs.append(
+            F.min(F.expr(f"({a} * mhbase + {b}) % {MINHASH_P}")).alias(f"mh{i}")
+        )
+    return exprs
 
 
 def duck_minhash_query(shingles_sql: str, k: int = 8) -> str:
-    """Oracle twin. The k independent streams are exploded as rows through
-    ONE hash chain, then pivoted back with conditional mins — k chained
-    hash subqueries would nest ~12·k SELECT levels and exhaust DuckDB's
-    parser (observed at k=8)."""
+    """Oracle twin: one xxhash64 chain for the base value, then k plain
+    BIGINT multiply-mod aggregates (see minhash_aggs)."""
     base = (
-        f"SELECT doc_id, {duck_hash64_str('shingle')} AS sh64, i "
-        f"FROM {shingles_sql} _s CROSS JOIN range(0, {k}) _i(i)"
+        f"SELECT doc_id, {duck_hash64_str('shingle')} AS sh64 "
+        f"FROM {shingles_sql} _s"
     )
-    hq = prng.duck_hash_query(base, ["sh64", "i"], "h")
+    hq = prng.duck_hash_query(base, ["sh64"], "h")
     mins = ", ".join(
-        f"min(CASE WHEN i = {i} THEN h END) AS mh{i}" for i in range(k)
+        "min(({a} * (h & {p}) + {b}) % {p}) AS mh{i}".format(
+            a=minhash_ab(i)[0], b=minhash_ab(i)[1], p=MINHASH_P, i=i
+        )
+        for i in range(k)
     )
     return f"(SELECT doc_id, {mins} FROM {hq} _m GROUP BY doc_id)"
 

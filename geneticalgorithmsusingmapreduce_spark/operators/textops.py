@@ -287,7 +287,10 @@ def shingles_hashed(docs: DataFrame) -> DataFrame:
 def minhash_signatures(docs: DataFrame, k: int = MINHASH_K,
                        shingles: DataFrame | None = None) -> DataFrame:
     sh = shingles if shingles is not None else shingles_hashed(docs)
-    return sh.groupBy("doc_id").agg(*text.minhash_aggs(k))
+    base = sh.select(
+        "doc_id", F.expr(text.minhash_base_expr()).alias("mhbase")
+    )
+    return base.groupBy("doc_id").agg(*text.minhash_aggs(k))
 
 
 def duck_minhash_sql(docs_sql: str, k: int = MINHASH_K) -> str:

@@ -68,15 +68,18 @@ def main():
             print(f"FAIL {name}: spark error {type(e).__name__}: {str(e)[:300]}")
             failed.append(name)
             continue
+        t_spark = time.perf_counter() - t_entry
         if name not in oracles:
             print(f"ok   {name}: rows-only ({len(sdf)} rows)")
             continue
+        t_duck0 = time.perf_counter()
         try:
             ddf = con.sql(oracles[name]).df()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error {type(e).__name__}: {str(e)[:300]}")
             failed.append(name)
             continue
+        t_duck = time.perf_counter() - t_duck0
         sc, sr = _norm(sdf)
         dc, dr = _norm(ddf)
         if sc != dc:
@@ -93,7 +96,10 @@ def main():
             failed.append(name)
         else:
             dt = time.perf_counter() - t_entry
-            print(f"PASS {name} ({len(sr)} rows, {dt:.1f}s)")
+            print(
+                f"PASS {name} ({len(sr)} rows, {dt:.1f}s "
+                f"[spark {t_spark:.1f} duck {t_duck:.1f}])"
+            )
     print(
         f"\n{len(qs) - len(failed)}/{len(qs)} pass "
         f"in {time.perf_counter() - t_start:.0f}s"
