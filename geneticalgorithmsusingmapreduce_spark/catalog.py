@@ -1995,5 +1995,40 @@ def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DECON_CORPUS = "(SELECT doc_id, text FROM documents WHERE doc_id % 37 != 0)"
+_DECON_BENCH = "(SELECT doc_id, text FROM documents WHERE doc_id % 37 = 0)"
+
+
+@register(
+    "decontaminate",
+    f"SELECT * FROM "
+    f"{textops.duck_decontaminate_sql(_DECON_CORPUS, _DECON_BENCH, n=4)} _q",
+)
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing any 4-gram with
+    the held-out set (doc_id % 37 == 0 plays the benchmark; n=4 here —
+    the corpus's short docs yield a 13-doc known-answer set at sf0.01,
+    vs 1 at the operator's default n=5). The benchmark gram set is
+    broadcast, so the corpus side's only exchange is the final per-doc
+    count."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return textops.decontaminate_report(
+        docs.filter(F.col("doc_id") % 37 != 0),
+        docs.filter(F.col("doc_id") % 37 == 0),
+        n=4,
+    )
+
+
+@register(
+    "pii_redact",
+    f"SELECT * FROM {textops.duck_redact_pii_sql(textops.DUCK_PII_AUG)} _q",
+)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over a corpus with planted emails/phones (every 20th
+    doc) — map-side regex projection, no shuffle; counts prove the
+    redaction fired."""
+    return textops.redact_pii(textops.pii_augmented_corpus(spark, sf_dir))
+
+
 def entry_flagship(spark: SparkSession) -> DataFrame:
     return flagship_best_by_flag(spark, "/root/testdata/sf0.001")

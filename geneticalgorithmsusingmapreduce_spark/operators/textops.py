@@ -555,3 +555,139 @@ def duck_simhash_pairs_sql(sigs_sql: str, max_hamming: int = 6) -> str:
       WHERE a.doc_id < b.doc_id
         AND bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
     )"""
+
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination (n-gram overlap vs a held-out eval set)
+# --------------------------------------------------------------------------
+
+def decontaminate_report(
+    docs: DataFrame, benchmark: DataFrame, n: int = 5
+) -> DataFrame:
+    """Training-data decontamination: flag every training document that
+    shares at least one n-token shingle with a benchmark/eval set (the
+    standard guard against test-set leakage into pretraining corpora —
+    e.g. the 13-gram filters of GPT-3/PaLM appendix audits; n is
+    configurable, default 5 for this corpus's short documents).
+
+    Output: [doc_id, n_overlap] — contaminated docs only, with the count
+    of DISTINCT shared shingles. Clean docs don't appear (the caller
+    anti-joins to drop contaminated ones).
+
+    Scale shape: both sides reduce to 60-bit shingle hashes before any
+    shuffle (text never crosses the wire). The benchmark gram set is
+    tiny relative to a pretraining corpus — broadcast it, so the corpus
+    side never shuffles at all: scan → hash → broadcast-semi-probe →
+    per-doc count, one exchange on doc_id for the final agg. At 100 TB
+    the corpus side streams through; only the benchmark grams (deduped,
+    16 bytes each) live in executor memory."""
+    h = text.spark_hash64_str("shingle")
+    bg = (
+        text.shingle_rows(benchmark, n)
+        .select(F.expr(h).alias("g")).distinct()
+    )
+    dg = (
+        text.shingle_rows(docs, n)
+        .select("doc_id", F.expr(h).alias("g")).distinct()
+    )
+    return (
+        dg.join(F.broadcast(bg), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+
+
+def duck_decontaminate_sql(
+    docs_sql: str, bench_sql: str, n: int = 5
+) -> str:
+    h = text.duck_hash64_str("shingle")
+    return f"""(
+      WITH bg AS (
+        SELECT DISTINCT {h} AS g
+        FROM {text.duck_shingle_rows_sql(bench_sql, n)} _b
+      ), dg AS (
+        SELECT DISTINCT doc_id, {h} AS g
+        FROM {text.duck_shingle_rows_sql(docs_sql, n)} _d
+      )
+      SELECT doc_id, count(*) AS n_overlap
+      FROM dg JOIN bg USING (g) GROUP BY doc_id
+    )"""
+
+
+# --------------------------------------------------------------------------
+# PII redaction (regex scrub with per-doc match counts)
+# --------------------------------------------------------------------------
+
+PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_PHONE_RE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+def pii_augmented_corpus(spark, sf_dir: str) -> DataFrame:
+    """documents with DETERMINISTIC planted PII in every 20th doc (the
+    synthetic corpus contains none, so the redaction path needs known
+    positives to prove it fires)."""
+    from ..sources.registry import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = (
+        " contact user{id}@mail.example.org or 555-867-5309"
+    )
+    return docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 20 == 0,
+            F.concat(
+                F.col("text"),
+                F.format_string(
+                    planted.replace("{id}", "%d"), F.col("doc_id")
+                ),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+
+
+DUCK_PII_AUG = """(
+  SELECT doc_id,
+         CASE WHEN doc_id % 20 = 0
+              THEN text || ' contact user' || doc_id
+                   || '@mail.example.org or 555-867-5309'
+              ELSE text END AS text
+  FROM documents
+)"""
+
+
+def redact_pii(docs: DataFrame) -> DataFrame:
+    """Scrub emails and phone numbers, reporting per-doc match counts.
+    Pure map-side projection (regexes run inside codegen on the JVM);
+    no shuffle, nothing but the redacted text leaves the scan. Patterns
+    are intersection-of-dialects (Java regex ∩ RE2) so the DuckDB twin
+    is literal."""
+    # column-function API throughout: F.expr would route the patterns
+    # through the SQL string-literal parser, which eats backslashes
+    return docs.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace("text", PII_EMAIL_RE, "<EMAIL>"),
+            PII_PHONE_RE, "<PHONE>",
+        ).alias("text_redacted"),
+        F.size(
+            F.regexp_extract_all("text", F.lit(PII_EMAIL_RE), F.lit(0))
+        ).cast("bigint").alias("n_emails"),
+        F.size(
+            F.regexp_extract_all("text", F.lit(PII_PHONE_RE), F.lit(0))
+        ).cast("bigint").alias("n_phones"),
+    )
+
+
+def duck_redact_pii_sql(docs_sql: str) -> str:
+    return f"""(
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(text, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+               '{PII_PHONE_RE}', '<PHONE>', 'g') AS text_redacted,
+             cast(len(regexp_extract_all(text, '{PII_EMAIL_RE}'))
+                  as bigint) AS n_emails,
+             cast(len(regexp_extract_all(text, '{PII_PHONE_RE}'))
+                  as bigint) AS n_phones
+      FROM {docs_sql} _p
+    )"""
