@@ -126,23 +126,21 @@ def cluster_pairs(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
             sym.join(labels, sym.b == labels.node)
             .groupBy("a").agg(F.min("label").alias("nl"))
         )
+        # carry the previous label through the update so convergence is a
+        # filter over the checkpointed frame, not a third join per round
         new = (
             labels.join(nbr, labels.node == nbr.a, "left")
             .select(
                 "node",
+                F.col("label").alias("old_label"),
                 F.least(
                     F.col("label"), F.coalesce(F.col("nl"), F.col("label"))
                 ).alias("label"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter("n.label != o.label")
-            .count()
-        )
-        labels = new
+        changed = new.filter("label != old_label").count()
+        labels = new.select("node", "label")
         if changed == 0:
             break
     return labels.select(

@@ -255,11 +255,14 @@ def curate_corpus_neardup(
     gated = facets.filter(
         (F.col("lang_guess") == lang) & (F.col("n_tokens") >= min_tokens)
     )
+    # persist: referenced by the near-dup subtree (which cluster_pairs
+    # materializes eagerly via its checkpoint) AND by the final `kept`
+    # join — without it the gate+digest-agg scan of docs runs twice
     survivors = gated.groupBy("digest").agg(
         F.min("doc_id").alias("doc_id"),
         F.min("n_tokens").alias("n_tokens"),
         F.count(F.lit(1)).alias("dup_count"),
-    )
+    ).persist()
     sdocs = docs.join(survivors.select("doc_id"), "doc_id", "leftsemi")
     shingles = tx.shingles_hashed(sdocs).persist()
     sigs = tx.minhash_signatures(sdocs, shingles=shingles)
