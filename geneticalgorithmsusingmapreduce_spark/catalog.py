@@ -971,6 +971,29 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_clusters_star",
+    f"""SELECT * FROM {dedup_ops.duck_cluster_sql(
+        f'''(SELECT doc_a, doc_b FROM {textops.duck_jaccard_pairs_sql(
+            textops.DUCK_AUG,
+            textops.duck_lsh_pairs_sql(
+                textops.duck_minhash_sql(textops.DUCK_AUG)),
+        )} _lp)''',
+    )} _q""",
+)
+def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same components as dedup_clusters, computed by the O(log n)-round
+    large-star/small-star contraction (the 100 TB path — round count
+    independent of component diameter). Identical oracle: both
+    algorithms converge to cluster_id = component minimum."""
+    docs = textops.augmented_corpus(spark, sf_dir)
+    shingles = textops.shingles_hashed(docs).persist()
+    sigs = textops.minhash_signatures(docs, shingles=shingles)
+    cands = textops.lsh_candidate_pairs(sigs)
+    pairs = textops.jaccard_pairs(docs, cands, shingles=shingles)
+    return dedup_ops.cluster_pairs_star(pairs)
+
+
+@register(
     "doc_train_val_test",
     f"""
     SELECT doc_id, pm, split

@@ -165,3 +165,80 @@ def duck_cluster_sql(pairs_sql: str) -> str:
       )
       SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
     )"""
+
+
+def cluster_pairs_star(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    contractions (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) — the scale path past min-label propagation:
+    converges in O(log n) rounds on ANY topology, where label
+    propagation needs graph-diameter rounds (a 1M-node chain: ~20 rounds
+    vs 1M). Same output contract as cluster_pairs: [doc_id, cluster_id]
+    with cluster_id = smallest node in the component, so the two are
+    interchangeable (asserted against each other in tests).
+
+    Per round: large-star hangs every neighbor v > u onto u's minimum
+    (one grouped min + one keyed join), small-star re-hangs the small
+    neighbors — 2 grouped mins + 2 joins per round, all equi-keyed, no
+    skew beyond the component-center key (which star contraction itself
+    shrinks each round). Convergence = (count, hash-checksum) fixpoint:
+    one tiny agg per round instead of a full edge-set anti-join; the
+    checksum sums xxhash64(u, v) in decimal(38,0) so ANSI mode can't
+    overflow. Each round's edge set is localCheckpoint'd — same
+    lineage-truncation policy as the GA loops."""
+    edges = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .filter("u != v").distinct().localCheckpoint(eager=True)
+    )
+
+    def _sig(e: DataFrame):
+        row = e.agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum(F.expr("cast(xxhash64(u, v) as decimal(38,0))")).alias("h"),
+        ).collect()[0]
+        return row["c"], row["h"]
+
+    sig = _sig(edges)
+    for _ in range(max_rounds):
+        # large-star: for each u, m = min(N(u) ∪ {u}); emit (v, m) ∀ v > u
+        sym = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        lmin = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        ls = (
+            sym.join(lmin, "u")
+            .filter("v > u")
+            .select(
+                F.col("v").alias("u"),
+                F.least(F.col("u"), F.col("mn")).alias("v"),
+            )
+            .distinct()
+        )
+        # small-star: edges now all u > v; re-hang N(u) ∪ {u} onto min
+        smin = ls.groupBy("u").agg(F.min("v").alias("mn"))
+        new = (
+            ls.join(smin, "u")
+            .filter("v != mn")
+            .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+            .unionByName(
+                smin.select(F.col("u").alias("u"), F.col("mn").alias("v"))
+            )
+            .filter("u != v")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        new_sig = _sig(new)
+        edges = new
+        if new_sig == sig:
+            break
+        sig = new_sig
+    # converged star forest: every non-root points at its component min
+    return (
+        edges.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))
+        .unionByName(
+            edges.select(
+                F.col("v").alias("doc_id"), F.col("v").alias("cluster_id")
+            )
+        )
+        .distinct()
+    )

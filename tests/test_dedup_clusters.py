@@ -28,3 +28,46 @@ def test_cluster_pairs_long_chain_converges(spark):
     out = dedup.cluster_pairs(pairs).collect()
     assert {r.cluster_id for r in out} == {0}
     assert len(out) == 13
+
+
+def test_star_matches_label_propagation_random_graph(spark):
+    import random
+
+    rng = random.Random(7)
+    pairs = sorted({
+        tuple(sorted(rng.sample(range(60), 2))) for _ in range(70)
+    })
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    a = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup.cluster_pairs(df).collect()
+    }
+    b = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup.cluster_pairs_star(df).collect()
+    }
+    assert a == b and a
+
+
+def test_star_collapses_long_chain(spark):
+    # a 64-node chain has diameter 63: label propagation needs ~63
+    # rounds, the star contraction must finish in far fewer
+    n = 64
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    out = dedup.cluster_pairs_star(df, max_rounds=12).collect()
+    assert len(out) == n
+    assert all(r.cluster_id == 0 for r in out)
+
+
+def test_star_keeps_components_separate(spark):
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 20)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r.doc_id: r.cluster_id
+        for r in dedup.cluster_pairs_star(df).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
