@@ -401,6 +401,94 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+@register(
+    "streaming_windowed_counts",
+    f"SELECT * FROM {win_ops.duck_tumbling_sql()} _q",
+)
+def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time windows as a STREAM: the exact transform
+    behind events_tumbling (same oracle) replayed over 4 micro-batches
+    with a 1-hour watermark, windowed state carried across batches.
+    Complete output mode so the memory sink holds the full window set —
+    deterministic regardless of file arrival order (at 100 TB/day the
+    sink would be an update-mode upsert; complete keeps the finite
+    replay exact). Sink and temp view are torn down before returning."""
+    import tempfile
+    import uuid
+
+    ev = read_events(spark, sf_dir).select("ts", "event_type", "value")
+    d = tempfile.mkdtemp(prefix="gamr_swin_")
+    ev.repartition(4).write.parquet(f"{d}/in")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{d}/in")
+        .withWatermark("ts", "1 hour")
+    )
+    name = "sw_" + uuid.uuid4().hex[:8]
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")  # state-store size
+    try:
+        q = (
+            win_ops.tumbling(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    rows = spark.table(name).collect()  # materialize + tear down the sink
+    df = spark.createDataFrame(rows, spark.table(name).schema)
+    spark.catalog.dropTempView(name)
+    return df
+
+
+@register(
+    "events_partitioned_scan",
+    f"""
+    SELECT event_type, count(*) AS n,
+           cast(sum(cast(round(value * 1000) as bigint)) as bigint)
+             AS value_milli
+    FROM events
+    WHERE ({win_ops.DUCK_TS_US}) // 86400000000 = (
+      SELECT min(({win_ops.DUCK_TS_US}) // 86400000000) FROM events)
+    GROUP BY event_type
+    """,
+)
+def events_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned-sink round trip with partition PRUNING: events land in
+    a day-bucket-partitioned parquet layout (the 100 TB ingest layout —
+    day buckets as integer epoch-days, timezone-free), then a one-day
+    query reads back through the partition filter so only that
+    directory's files are scanned (pruning pinned in
+    tests/test_partitioning.py). The probed day is the min bucket,
+    fetched as a scalar (J2-style gather) before the filtered scan."""
+    import tempfile
+
+    ev = read_events(spark, sf_dir).select("ts", "event_type", "value")
+    d = tempfile.mkdtemp(prefix="gamr_part_")
+    (
+        ev.withColumn(
+            "day_bucket", F.expr("floor(unix_micros(ts) / 86400000000)")
+        )
+        .write.partitionBy("day_bucket").parquet(f"{d}/out")
+    )
+    back = spark.read.parquet(f"{d}/out")
+    day0 = back.agg(F.min("day_bucket")).collect()[0][0]
+    return (
+        back.filter(F.col("day_bucket") == F.lit(day0))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr(win_ops.MILLI)).alias("value_milli"),
+        )
+    )
+
+
 # --- G2: probability-vector init ----------------------------------------
 
 @register(
