@@ -576,24 +576,25 @@ def decontaminate_report(
 
     Scale shape: both sides reduce to 60-bit shingle hashes before any
     shuffle (text never crosses the wire). The benchmark gram set is
-    tiny relative to a pretraining corpus — broadcast it, so the corpus
-    side never shuffles at all: scan → hash → broadcast-semi-probe →
-    per-doc count, one exchange on doc_id for the final agg. At 100 TB
-    the corpus side streams through; only the benchmark grams (deduped,
-    16 bytes each) live in executor memory."""
+    tiny relative to a pretraining corpus — broadcast it and probe
+    BEFORE any corpus-side dedup, so the only rows that ever cross an
+    exchange are the MATCHED (doc_id, gram) pairs (contamination is
+    sparse by construction — an exchange of matches is ~free); the
+    per-doc distinct then happens inside the count aggregate
+    (map-side-partial). A corpus-side .distinct() before the join would
+    shuffle every gram of the corpus — the plan this shape exists to
+    avoid. At 100 TB the corpus side streams through; only the
+    benchmark grams (deduped, 8 bytes each) live in executor memory."""
     h = text.spark_hash64_str("shingle")
     bg = (
         text.shingle_rows(benchmark, n)
         .select(F.expr(h).alias("g")).distinct()
     )
-    dg = (
-        text.shingle_rows(docs, n)
-        .select("doc_id", F.expr(h).alias("g")).distinct()
-    )
+    dg = text.shingle_rows(docs, n).select("doc_id", F.expr(h).alias("g"))
     return (
         dg.join(F.broadcast(bg), "g")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .agg(F.count_distinct(F.col("g")).alias("n_overlap"))
     )
 
 
