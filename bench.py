@@ -144,7 +144,7 @@ def main():
     # stateful stream. Ordering is measurement isolation, not a speedup.
     heavy_tail = (
         "sequencefile_roundtrip", "streaming_running_best",
-        "streaming_dedup", "incremental_sga",
+        "streaming_dedup", "streaming_windowed_counts", "incremental_sga",
     )
     # r2→r3 regression audit (cga_member_fitness 0.16→0.62 s, cga_sample
     # 0.11→0.27 s in BENCH_r02): timed in ISOLATION at sf0.1 (fresh

@@ -180,15 +180,22 @@ def sequencefile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     back via sc.sequenceFile. The round-trip drops nothing (big-endian
     int64 packing is exact), so the oracle is the generator's own SQL —
     hash-equality proves the interchange is lossless."""
+    import shutil
     import tempfile
 
     pop = fit_ops.with_fitness(
         generate.random_population(spark, 512, GENOME_BITS, SEED), nl=NL
     )
-    path = tempfile.mkdtemp(prefix="gamr_seq_") + "/pop"
-    write_sequencefile_population(pop, path)
-    back = read_sequencefile_population(spark, path)
-    return back.select(_gstr("genome").alias("genome"), "fitness")
+    d = tempfile.mkdtemp(prefix="gamr_seq_")
+    try:
+        write_sequencefile_population(pop, d + "/pop")
+        back = read_sequencefile_population(spark, d + "/pop")
+        out = back.select(_gstr("genome").alias("genome"), "fitness")
+        # materialize so the temp SequenceFile can be deleted on return
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 # --- A2/S5 as a stream: custom stateful operator ------------------------
@@ -217,6 +224,7 @@ def streaming_running_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     row per run must equal the batch argmax — which is what the oracle
     computes, so the cross-batch state machinery is hash-checked, not
     just row-counted."""
+    import shutil
     import tempfile
     import uuid
 
@@ -250,24 +258,27 @@ def streaming_running_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        finished = q.awaitTermination(300)
         q.stop()
+        if not finished:  # a timeout would otherwise return partial rows
+            raise RuntimeError(f"{name}: stream not terminated after 300s")
+        w = Window.partitionBy("run_id").orderBy(F.desc("rows_seen"))
+        out = (
+            spark.table(name)
+            .withColumn("rn", F.row_number().over(w))
+            .filter("rn = 1")
+            .drop("rn")
+        )
+        # materialize the 4-row final state and tear the memory sink
+        # down: a lingering streaming sink + state-store maintenance
+        # measurably drags the next queries in the same session (seen as
+        # a phantom 2-4× "regression" on whatever the bench ran next)
+        rows = out.collect()
+        df = spark.createDataFrame(rows, out.schema)
+        spark.catalog.dropTempView(name)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    w = Window.partitionBy("run_id").orderBy(F.desc("rows_seen"))
-    out = (
-        spark.table(name)
-        .withColumn("rn", F.row_number().over(w))
-        .filter("rn = 1")
-        .drop("rn")
-    )
-    # materialize the 4-row final state and tear the memory sink down:
-    # a lingering streaming sink + state-store maintenance measurably
-    # drags the next queries in the same session (seen as a phantom 2-4×
-    # "regression" on whatever the bench ran next)
-    rows = out.collect()
-    df = spark.createDataFrame(rows, out.schema)
-    spark.catalog.dropTempView(name)
+        shutil.rmtree(d, ignore_errors=True)  # input copy fully consumed
     return df
 
 
@@ -314,7 +325,10 @@ def events_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     events."""
     from pyspark.sql import Window
 
-    ev = read_table(spark, sf_dir, "events")
+    # read_events, not read_table: normalizes the fixture's two shipped
+    # timestamp physical types (ns-as-long vs µs) so to_date('ts') works
+    # against either
+    ev = read_events(spark, sf_dir)
     daily = (
         ev.withColumn("day", F.to_date("ts"))
         .withColumn(
@@ -368,10 +382,14 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the KEY columns makes the result the distinct-pair SET — deterministic
     regardless of arrival order — so the cross-batch state machinery gets
     a full hash check against batch DISTINCT."""
+    import shutil
     import tempfile
     import uuid
 
-    ev = read_table(spark, sf_dir, "events").select("user_id", "event_type")
+    # read_events normalizes the fixture's timestamp physical type; even
+    # though only key columns are kept, read_table would fail schema
+    # conversion outright on a TIMESTAMP(NANOS) fixture
+    ev = read_events(spark, sf_dir).select("user_id", "event_type")
     d = tempfile.mkdtemp(prefix="gamr_sdedup_")
     ev.repartition(4).write.parquet(f"{d}/in")
     stream = (
@@ -391,13 +409,16 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        finished = q.awaitTermination(300)
         q.stop()
+        if not finished:  # a timeout would otherwise return partial rows
+            raise RuntimeError(f"{name}: stream not terminated after 300s")
+        rows = spark.table(name).collect()  # materialize + tear down sink
+        df = spark.createDataFrame(rows, spark.table(name).schema)
+        spark.catalog.dropTempView(name)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    rows = spark.table(name).collect()  # materialize + tear down the sink
-    df = spark.createDataFrame(rows, spark.table(name).schema)
-    spark.catalog.dropTempView(name)
+        shutil.rmtree(d, ignore_errors=True)  # input copy fully consumed
     return df
 
 
@@ -413,6 +434,7 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic regardless of file arrival order (at 100 TB/day the
     sink would be an update-mode upsert; complete keeps the finite
     replay exact). Sink and temp view are torn down before returning."""
+    import shutil
     import tempfile
     import uuid
 
@@ -437,13 +459,16 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        finished = q.awaitTermination(300)
         q.stop()
+        if not finished:  # a timeout would otherwise return partial rows
+            raise RuntimeError(f"{name}: stream not terminated after 300s")
+        rows = spark.table(name).collect()  # materialize + tear down sink
+        df = spark.createDataFrame(rows, spark.table(name).schema)
+        spark.catalog.dropTempView(name)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    rows = spark.table(name).collect()  # materialize + tear down the sink
-    df = spark.createDataFrame(rows, spark.table(name).schema)
-    spark.catalog.dropTempView(name)
+        shutil.rmtree(d, ignore_errors=True)  # input copy fully consumed
     return df
 
 
@@ -467,26 +492,34 @@ def events_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     directory's files are scanned (pruning pinned in
     tests/test_partitioning.py). The probed day is the min bucket,
     fetched as a scalar (J2-style gather) before the filtered scan."""
+    import shutil
     import tempfile
 
     ev = read_events(spark, sf_dir).select("ts", "event_type", "value")
     d = tempfile.mkdtemp(prefix="gamr_part_")
-    (
-        ev.withColumn(
-            "day_bucket", F.expr("floor(unix_micros(ts) / 86400000000)")
+    try:
+        (
+            ev.withColumn(
+                "day_bucket", F.expr("floor(unix_micros(ts) / 86400000000)")
+            )
+            .write.partitionBy("day_bucket").parquet(f"{d}/out")
         )
-        .write.partitionBy("day_bucket").parquet(f"{d}/out")
-    )
-    back = spark.read.parquet(f"{d}/out")
-    day0 = back.agg(F.min("day_bucket")).collect()[0][0]
-    return (
-        back.filter(F.col("day_bucket") == F.lit(day0))
-        .groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.expr(win_ops.MILLI)).alias("value_milli"),
+        back = spark.read.parquet(f"{d}/out")
+        day0 = back.agg(F.min("day_bucket")).collect()[0][0]
+        out = (
+            back.filter(F.col("day_bucket") == F.lit(day0))
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.expr(win_ops.MILLI)).alias("value_milli"),
+            )
         )
-    )
+        # materialize (a handful of grouped rows) so the temp layout can
+        # be deleted before returning — the pruned scan happens here
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 # --- G2: probability-vector init ----------------------------------------

@@ -233,7 +233,10 @@ def train_centroids(
                 # picks the first maximum, matching struct(score, -cent)
                 best = np.argmax(scores, axis=1)  # (N,)
                 out = {"cent": [], "cnt": [], "sums": [], "inert": []}
-                xnorm = (xm * xm).sum(axis=1)
+                # guard on the flag: callers that don't monitor inertia
+                # (trained-IVF, cluster stats) skip the xnorm pass and
+                # ship a zero instead of the per-batch reduction
+                xnorm = (xm * xm).sum(axis=1) if compute_inertia else None
                 for ci in range(len(cm)):
                     mask = best == ci
                     n = int(mask.sum())
@@ -244,6 +247,7 @@ def train_centroids(
                     out["sums"].append(xm[mask].sum(axis=0).tolist())
                     out["inert"].append(
                         int((xnorm[mask] - scores[mask, ci]).sum())
+                        if compute_inertia else 0
                     )
                 yield pd.DataFrame(out)
 

@@ -143,6 +143,16 @@ def cluster_pairs(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         labels = new.select("node", "label")
         if changed == 0:
             break
+    else:
+        # silent wrong answers are worse than failing: a component with
+        # diameter > max_iters would return non-minimum labels and the
+        # curation pipeline would keep/drop the wrong documents
+        raise RuntimeError(
+            f"cluster_pairs: no fixpoint after {max_iters} rounds "
+            f"({changed} labels still changing) — component diameter "
+            f"exceeds max_iters; raise it or use cluster_pairs_star "
+            f"(O(log n) rounds)"
+        )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )

@@ -48,7 +48,14 @@ def default_n_buckets(spark: SparkSession) -> int:
     """Tournament bucket count scaled to the cluster, not a literal:
     O(cores·4) keeps every bucket's window sort core-local while bounding
     the wrap-around head re-read (see operators/selection.py module doc).
-    On 1000 executors this tracks total cores automatically."""
+    On 1000 executors this tracks total cores automatically.
+
+    Reproducibility caveat: n_buckets feeds the tournament shuffle key,
+    so the same seed evolves DIFFERENT (equally valid) populations under
+    different bucket counts — a seeded run meant to be replayed across
+    machines must pin ``n_buckets`` explicitly (the correctness-gate
+    entries do; this dynamic default serves the drivers/bench, where
+    per-host throughput is the point)."""
     return spark.sparkContext.defaultParallelism * 4
 
 

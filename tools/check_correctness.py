@@ -57,10 +57,12 @@ def main():
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     failed = []
+    attempted = 0
     t_start = time.perf_counter()
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        attempted += 1
         t_entry = time.perf_counter()
         try:
             sdf = fn(spark, sf_dir).toPandas()
@@ -100,9 +102,11 @@ def main():
                 f"PASS {name} ({len(sr)} rows, {dt:.1f}s "
                 f"[spark {t_spark:.1f} duck {t_duck:.1f}])"
             )
+    # count only entries that actually RAN — a filtered invocation must
+    # not print a full-gate-green tally
     print(
-        f"\n{len(qs) - len(failed)}/{len(qs)} pass "
-        f"in {time.perf_counter() - t_start:.0f}s"
+        f"\n{attempted - len(failed)}/{attempted} pass "
+        f"({len(qs)} registered) in {time.perf_counter() - t_start:.0f}s"
     )
     spark.stop()
     sys.exit(1 if failed else 0)
