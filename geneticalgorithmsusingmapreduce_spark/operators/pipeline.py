@@ -268,7 +268,11 @@ def curate_corpus_neardup(
     sigs = tx.minhash_signatures(sdocs, shingles=shingles)
     cands = tx.lsh_candidate_pairs(sigs)
     pairs = tx.jaccard_pairs(sdocs, cands, shingles=shingles)
-    clusters = dedup_ops.cluster_pairs(pairs)
+    # star contraction, not label propagation: same components (asserted
+    # equivalent in tests), but O(log n) rounds regardless of component
+    # diameter and no max_iters cliff — the right default for a pipeline
+    # that can meet arbitrarily-shaped near-dup families
+    clusters = dedup_ops.cluster_pairs_star(pairs)
     sizes = clusters.groupBy("cluster_id").agg(
         (F.count(F.lit(1)) - 1).alias("nd_dropped")
     ).select(F.col("cluster_id").alias("rep_id"), "nd_dropped")
