@@ -2174,5 +2174,17 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.redact_pii(textops.pii_augmented_corpus(spark, sf_dir))
 
 
+@register(
+    "events_series_similarity",
+    f"SELECT * FROM {temporal_ops.duck_series_similarity_sql()} _q",
+)
+def events_series_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed time-series shape similarity: SAX-style derivative
+    symbols over each user's daily series, fixed-width motif windows as
+    base-3 pattern ids, candidate pairs via the pattern-bucket equi-join
+    (never all-pairs)."""
+    return temporal_ops.series_similarity(read_events(spark, sf_dir))
+
+
 def entry_flagship(spark: SparkSession) -> DataFrame:
     return flagship_best_by_flag(spark, "/root/testdata/sf0.001")

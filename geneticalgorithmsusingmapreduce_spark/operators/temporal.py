@@ -214,3 +214,148 @@ def duck_follow_window_sql(table: str = "events", gap_sec: int = 3600) -> str:
        AND f.ts_us > s.s_ts AND f.ts_us <= s.s_ts + {gap_us}
       GROUP BY s.s_eid, s.s_uid, s.s_ts
     )"""
+
+
+# --------------------------------------------------------------------------
+# Time-series shape similarity (SAX-style motif matching)
+# --------------------------------------------------------------------------
+
+def series_similarity(
+    events: DataFrame, w: int = 7, min_shared: int = 2
+) -> DataFrame:
+    """Distributed time-series similarity search over the per-user daily
+    value series, in the shape of the ICDE/VLDB distributed-similarity
+    line of work (REPOSE, Odyssey — see PAPERS.md): discretize each
+    series into SHAPE symbols, index fixed-width symbol windows, and
+    bucket-join on the window pattern so candidate generation is an
+    equi-join — never an all-pairs scan.
+
+    Pipeline (all integer-exact, so the DuckDB twin hashes identically):
+    1. per user/day, last observed value (milli-units) — one windowed
+       argmax per user-day;
+    2. day-over-day derivative symbol: 0=down, 1=flat, 2=up (SAX on the
+       derivative — shape, not level, so users with offset baselines
+       still match);
+    3. every w consecutive symbols → one base-3 pattern id via literal
+       lead() indices (stays in codegen);
+    4. self-equi-join on (window start day, pattern id) — CO-MOVEMENT:
+       two users match when their series move the same way over the
+       same w days. Count matching windows per pair, keep pairs with
+       ≥ min_shared.
+
+    Output: [user_a, user_b, n_shared], user_a < user_b.
+
+    Joining on day+pattern (not pattern alone) is what makes this sound
+    on signal-free data: pattern-only buckets collide by chance at a
+    rate of n_windows²/3^w (measured ~11k of 11k possible pairs at
+    sf0.01 — pure noise), while day-aligned matches require the same
+    motif at the same time. w=7 puts per-aligned-window chance at
+    ~2^-7, and min_shared=2 squares it (sf0.01: 597 of 11,175 possible
+    pairs survive — the coincidence floor for this fixture's i.i.d.
+    series; real co-moving series stand far above it).
+
+    Scale: the symbol/window stages are per-user windows over daily rows
+    (tiny vs raw events — one row per user-day); the join is bucketed by
+    (day, pattern). A hot bucket (market-wide move: many users, same
+    day, same motif) can skew the join — at 100 TB, cap bucket size
+    (drop (day, pattern) keys with df > threshold, the same df-cap
+    discipline as the n-gram Jaccard path) before the join."""
+    daily = (
+        events.select(
+            "user_id",
+            F.expr("cast(unix_micros(ts) div 86400000000 as bigint)")
+            .alias("day"),
+            F.expr(MILLI).alias("vm"),
+            F.expr("unix_micros(ts)").alias("ts_us"),
+            "event_id",
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id", "day")
+                .orderBy(F.desc("ts_us"), F.desc("event_id"))
+            ),
+        )
+        .filter("rn = 1")
+        .select("user_id", "day", "vm")
+    )
+    ww = Window.partitionBy("user_id").orderBy("day")
+    sym = (
+        daily.withColumn("prev", F.lag("vm").over(ww))
+        .filter("prev IS NOT NULL")
+        .select(
+            "user_id", "day",
+            F.expr(
+                "CASE WHEN vm > prev THEN 2 WHEN vm = prev THEN 1 "
+                "ELSE 0 END"
+            ).alias("s"),
+        )
+    )
+    # pattern id over w consecutive symbols: base-3 via literal leads
+    leads = [F.lead("s", i).over(ww).alias(f"s{i}") for i in range(1, w)]
+    pat_expr = " + ".join(
+        [f"s * {3 ** (w - 1)}"]
+        + [f"s{i} * {3 ** (w - 1 - i)}" for i in range(1, w)]
+    )
+    pats = (
+        sym.select("user_id", "day", "s", *leads)
+        .filter(" AND ".join(f"s{i} IS NOT NULL" for i in range(1, w)))
+        .select("user_id", "day", F.expr(pat_expr).alias("pattern"))
+    )
+    a, b = pats.alias("a"), pats.alias("b")
+    return (
+        a.join(b, ["day", "pattern"])
+        .filter(F.expr("a.user_id < b.user_id"))
+        .select(
+            F.expr("a.user_id").alias("user_a"),
+            F.expr("b.user_id").alias("user_b"),
+        )
+        .groupBy("user_a", "user_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def duck_series_similarity_sql(
+    table: str = "events", w: int = 7, min_shared: int = 2
+) -> str:
+    pat = " + ".join(
+        [f"s * {3 ** (w - 1)}"]
+        + [f"s{i} * {3 ** (w - 1 - i)}" for i in range(1, w)]
+    )
+    lead_cols = ", ".join(
+        f"lead(s, {i}) OVER (PARTITION BY user_id ORDER BY day) AS s{i}"
+        for i in range(1, w)
+    )
+    notnull = " AND ".join(f"s{i} IS NOT NULL" for i in range(1, w))
+    return f"""(
+      WITH daily AS (
+        SELECT user_id, day, vm FROM (
+          SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+                 {MILLI} AS vm,
+                 row_number() OVER (
+                   PARTITION BY user_id, epoch_us(ts) // 86400000000
+                   ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+          FROM {table}
+        ) _d WHERE rn = 1
+      ), sym AS (
+        SELECT user_id, day,
+               CASE WHEN vm > prev THEN 2 WHEN vm = prev THEN 1
+                    ELSE 0 END AS s
+        FROM (
+          SELECT user_id, day, vm,
+                 lag(vm) OVER (PARTITION BY user_id ORDER BY day) AS prev
+          FROM daily
+        ) _l WHERE prev IS NOT NULL
+      ), pats AS (
+        SELECT user_id, day, {pat} AS pattern FROM (
+          SELECT user_id, day, s, {lead_cols} FROM sym
+        ) _w WHERE {notnull}
+      )
+      SELECT a.user_id AS user_a, b.user_id AS user_b,
+             count(*) AS n_shared
+      FROM pats a JOIN pats b USING (day, pattern)
+      WHERE a.user_id < b.user_id
+      GROUP BY a.user_id, b.user_id
+      HAVING count(*) >= {min_shared}
+    )"""

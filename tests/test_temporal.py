@@ -138,3 +138,52 @@ def test_asof_rejects_colliding_left_columns(spark):
         temporal.asof_join(
             left, right, key="k", ts="t", tie="tid", right_vals={"r_v": "v"}
         )
+
+
+def test_series_similarity_comovement(spark):
+    from pyspark.sql import functions as F
+
+    from geneticalgorithmsusingmapreduce_spark.operators import temporal
+
+    # users 1 and 2 move identically for 9 days (8 derivative symbols →
+    # two aligned 7-wide windows); user 3 moves oppositely
+    vals = [1.0, 2.0, 1.5, 3.0, 2.5, 4.0, 3.5, 5.0, 4.5]
+    rows = []
+    eid = 0
+    for day, v in enumerate(vals):
+        for uid, series in ((1, v), (2, v + 10), (3, -v)):
+            rows.append((eid, day * 86_400_000_000, uid, series))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, us long, user_id long, value double"
+    ).select(
+        "event_id", F.timestamp_micros(F.col("us")).alias("ts"),
+        "user_id", "value",
+    )
+    got = {
+        (r.user_a, r.user_b): r.n_shared
+        for r in temporal.series_similarity(ev, w=7, min_shared=2).collect()
+    }
+    assert got == {(1, 2): 2}
+
+
+def test_series_similarity_requires_day_alignment(spark):
+    from pyspark.sql import functions as F
+
+    from geneticalgorithmsusingmapreduce_spark.operators import temporal
+
+    # user 2 repeats user 1's motif shifted by one day — patterns match
+    # but never on the same start day, so no pair is emitted
+    vals = [1.0, 2.0, 1.5, 3.0, 2.5, 4.0, 3.5, 5.0, 4.5, 6.0]
+    rows = []
+    eid = 0
+    for day, v in enumerate(vals):
+        rows.append((eid, day * 86_400_000_000, 1, v)); eid += 1
+        rows.append((eid, (day + 1) * 86_400_000_000, 2, v)); eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, us long, user_id long, value double"
+    ).select(
+        "event_id", F.timestamp_micros(F.col("us")).alias("ts"),
+        "user_id", "value",
+    )
+    assert temporal.series_similarity(ev, w=7, min_shared=1).count() == 0
