@@ -29,6 +29,7 @@ from .operators import multimodal as mm_ops
 from .operators import mutate as mutate_ops
 from .operators import pipeline as pipeline_ops
 from .operators import selection as selection_ops, shuffle as shuffle_ops
+from .operators import sketch as sketch_ops
 from .operators import skew as skew_ops
 from .operators import split as split_ops
 from .operators import temporal as temporal_ops
@@ -2184,6 +2185,30 @@ def events_series_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     base-3 pattern ids, candidate pairs via the pattern-bucket equi-join
     (never all-pairs)."""
     return temporal_ops.series_similarity(read_events(spark, sf_dir))
+
+
+@register(
+    "cms_user_counts",
+    f"SELECT * FROM {sketch_ops.duck_cms_sql('events', 'user_id')} _q",
+)
+def cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency estimates vs exact counts for the 20 heaviest
+    users — the mergeable-summary shape: partitions fold to ≤ d·w cells
+    map-side, the exchange moves cells, never rows."""
+    ev = read_events(spark, sf_dir).select("user_id")
+    return sketch_ops.cms_frequencies(ev, "user_id")
+
+
+@register(
+    "hll_distinct_users",
+    f"SELECT * FROM {sketch_ops.duck_hll_sql('events', 'user_id')} _q",
+)
+def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct users (M=16 registers) next to the exact
+    count with the signed per-mille error — deterministic registers, so
+    the oracle replays the sketch cell-for-cell."""
+    ev = read_events(spark, sf_dir).select("user_id")
+    return sketch_ops.hll_distinct(ev, "user_id")
 
 
 def entry_flagship(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,221 @@
+"""Approximate-query-processing sketches (scale extensions; the
+"Approximation Algorithms for Large Scale Data Analysis" PODS line in
+PAPERS.md): Count-Min frequency estimation and HyperLogLog distinct
+counting, built DETERMINISTICALLY so the DuckDB oracle can replay the
+sketch cell-for-cell — unlike Spark's builtin approx_count_distinct,
+whose internals aren't oracle-checkable.
+
+Both sketches are mergeable summaries — the property that makes them the
+100 TB shape: every partition folds its rows into a fixed-size array
+map-side, the exchange moves only the W·D (CMS) or M (HLL) cells, and
+cell-wise sum/max merges partials associatively. The implementations
+below express exactly that as groupBy aggregations, so Spark plans them
+as partial+final hash aggs over sketch cells — the row stream never
+crosses the shuffle.
+
+Determinism discipline: all hash draws come through xxhash64 (bit-exact
+DuckDB twin via functions.prng); estimates are computed with a single
+fixed-parenthesization double expression over exact int64 cell values,
+so both engines round identically (IEEE ops on identical inputs in an
+identical order).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions import prng
+
+# --------------------------------------------------------------------------
+# Count-Min sketch
+# --------------------------------------------------------------------------
+
+CMS_D = 4    # hash rows
+CMS_W = 64   # cells per row — deliberately small so collisions are real
+             # at gate scale and the overestimate property is exercised
+
+
+def cms_cell(row: int, key: str, w: int = CMS_W) -> str:
+    """Spark expr: cell index of ``key`` in hash row ``row`` — low bits
+    of an independent xxhash64 stream (w is a power of two)."""
+    return f"({prng.spark_hash(key, str(row))} & {w - 1})"
+
+
+def cms_frequencies(
+    df: DataFrame, key: str, top_n: int = 20,
+    d: int = CMS_D, w: int = CMS_W,
+) -> DataFrame:
+    """Count-Min frequency estimates vs exact counts for the top_n
+    heaviest keys. Output: [<key>, exact_n, cms_est] — cms_est >= exact_n
+    always (CMS never underestimates), with overestimates where cells
+    collide.
+
+    Scale shape: the sketch build explodes each row into d (row, cell)
+    coordinates and hash-aggregates — map-side partials shrink every
+    partition to ≤ d·w cells before the exchange, so the shuffle is
+    O(d·w·n_partitions) regardless of row count. The estimate probe
+    touches only the top_n keys (exact side: one keyed agg — kept here
+    because the query REPORTS the error; production readers skip it and
+    probe the d·w-cell broadcast directly)."""
+    structs = ", ".join(
+        f"struct({r} as r, {cms_cell(r, 'k', w)} as cell)" for r in range(d)
+    )
+    coords = F.explode(F.expr(f"array({structs})")).alias("rc")
+    cells = (
+        df.select(F.expr(key).alias("k"))
+        .select("k", coords)
+        .groupBy("rc.r", "rc.cell")
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    exact = (
+        df.groupBy(F.expr(key).alias("k"))
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.desc("exact_n"), "k")
+        .limit(top_n)
+    )
+    probes = exact.select("k", "exact_n", coords).select(
+        "k", "exact_n", "rc.r", "rc.cell"
+    )
+    return (
+        probes.join(cells, ["r", "cell"])
+        .groupBy("k", "exact_n")
+        .agg(F.min("cn").alias("cms_est"))
+        .select(F.col("k").alias(key), "exact_n", "cms_est")
+    )
+
+
+def duck_cms_sql(
+    table_sql: str, key: str, top_n: int = 20,
+    d: int = CMS_D, w: int = CMS_W,
+) -> str:
+    """Oracle twin: replay the d hash rows through the xxhash64 chain
+    (exploded as rows through ONE chain, same pattern as the old minhash
+    oracle) and fold identical cell sums."""
+    base = (
+        f"SELECT k, r FROM (SELECT {key} AS k FROM {table_sql} _t) _k "
+        f"CROSS JOIN range(0, {d}) _r(r)"
+    )
+    hq = prng.duck_hash_query(base, ["k", "r"], "h")
+    return f"""(
+      WITH coords AS (
+        SELECT k, r, (h & {w - 1}) AS cell FROM {hq} _h
+      ), cells AS (
+        SELECT r, cell, count(*) AS cn FROM coords GROUP BY r, cell
+      ), exact AS (
+        SELECT {key} AS k, count(*) AS exact_n FROM {table_sql} _e
+        GROUP BY {key} ORDER BY exact_n DESC, k LIMIT {top_n}
+      ), probes AS (
+        SELECT DISTINCT e.k, e.exact_n, c.r, c.cell
+        FROM exact e JOIN coords c ON c.k = e.k
+      )
+      SELECT p.k AS {key}, p.exact_n, min(cl.cn) AS cms_est
+      FROM probes p JOIN cells cl ON cl.r = p.r AND cl.cell = p.cell
+      GROUP BY p.k, p.exact_n
+    )"""
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog
+# --------------------------------------------------------------------------
+
+HLL_B = 4            # 2^4 = 16 registers
+HLL_M = 1 << HLL_B
+# raw HLL only (no LinearCounting small-range correction): the correction
+# needs ln(), whose last-ulp rounding is not guaranteed identical between
+# the JVM and DuckDB's libm — and M=16 keeps the gate fixture's
+# cardinality (~150 users at sf0.01) above the 2.5·M correction regime,
+# so raw HLL is the textbook-correct estimator there anyway.
+HLL_ALPHA = 0.673  # alpha_16 (Flajolet et al. 2007)
+
+
+def _hll_est_expr() -> str:
+    """Shared estimate expression (valid in BOTH dialects): every literal
+    is CAST to double explicitly — a bare 0.673 parses as DECIMAL in both
+    Spark and DuckDB, and decimal arithmetic rounds differently from the
+    IEEE double path the determinism argument relies on."""
+    two60 = "CAST(1152921504606846976 AS DOUBLE)"
+    return (
+        f"cast(round((CAST({HLL_ALPHA} AS DOUBLE) * {HLL_M} * {HLL_M})"
+        f" * {two60} / (cast(s_present as double) + "
+        f"cast(({HLL_M} - n_present) as double) * {two60})) as bigint)"
+    )
+
+
+def hll_distinct(df: DataFrame, key: str) -> DataFrame:
+    """HyperLogLog distinct-count estimate next to the exact count.
+    Output: [exact_distinct, hll_est, err_pm] (one row; err_pm =
+    signed per-mille error — |err| ≲ 1.04/√M ≈ 260‰ at M=16, chosen
+    small exactly so the bound is visibly exercised).
+
+    Register j (low B hash bits) holds max(rho) over its keys, where
+    rho = leading-zero count of the remaining 60 bits + 1. The per-
+    register max is a partial agg (the mergeable-summary property);
+    the final fold is M rows. The estimate denominator Σ 2^(-reg) is
+    computed EXACTLY as Σ 2^(60-reg) in int64 (empty registers
+    contribute 2^60), so the only float ops are one division and one
+    multiply by alpha·M² — identical IEEE results in both engines."""
+    h = prng.spark_hash(key)
+    rest = f"shiftrightunsigned({h}, {HLL_B})"
+    # bit length via bin(): length of the minimal binary string; rho =
+    # (60 - bitlen) + 1 for rest > 0, else 61
+    rho = (
+        f"(CASE WHEN {rest} = 0 THEN 61 "
+        f"ELSE 61 - length(bin({rest})) END)"
+    )
+    regs = (
+        df.select(
+            F.expr(f"({h} & {HLL_M - 1})").alias("j"),
+            F.expr(rho).alias("rho"),
+        )
+        .groupBy("j")
+        .agg(F.max("rho").alias("reg"))
+    )
+    scaled = regs.agg(
+        F.sum(F.expr("cast(shiftleft(cast(1 as bigint), 60 - reg) as bigint)"))
+        .alias("s_present"),
+        F.count(F.lit(1)).alias("n_present"),
+    )
+    exact = df.agg(F.count_distinct(F.expr(key)).alias("exact_distinct"))
+    est = _hll_est_expr()
+    return (
+        scaled.crossJoin(exact)  # 1 row × 1 row
+        .select(
+            "exact_distinct",
+            F.expr(est).alias("hll_est"),
+        )
+        .select(
+            "exact_distinct", "hll_est",
+            F.expr(
+                "(hll_est - exact_distinct) * 1000 div exact_distinct"
+            ).alias("err_pm"),
+        )
+    )
+
+
+def duck_hll_sql(table_sql: str, key: str) -> str:
+    base = f"SELECT DISTINCT {key} AS k FROM {table_sql} _t"
+    hq = prng.duck_hash_query(base, ["k"], "h")
+    # unsigned logical shift: negative h must wrap to [0, 2^64) first
+    # (h::UBIGINT raises on negatives; the HUGEINT detour is prng's
+    # standard unsigned-wraparound idiom)
+    rest = f"(({prng._u('h')} // {1 << HLL_B})::BIGINT)"
+    rho = (
+        f"(CASE WHEN {rest} = 0 THEN 61 "
+        f"ELSE 61 - length(bin({rest})) END)"
+    )
+    est = _hll_est_expr()
+    return f"""(
+      WITH regs AS (
+        SELECT (h & {HLL_M - 1}) AS j, max({rho}) AS reg FROM {hq} _h
+        GROUP BY 1
+      ), scaled AS (
+        SELECT cast(sum(1::BIGINT << (60 - reg)) as bigint) AS s_present,
+               count(*) AS n_present
+        FROM regs
+      ), ex AS (
+        SELECT count(DISTINCT {key}) AS exact_distinct FROM {table_sql} _e
+      )
+      SELECT exact_distinct, {est} AS hll_est,
+             ({est} - exact_distinct) * 1000 // exact_distinct AS err_pm
+      FROM scaled, ex
+    )"""

@@ -1,0 +1,45 @@
+"""CMS + HLL sketches (operators/sketch.py): overestimate property,
+estimate accuracy, and determinism across partitionings (mergeability)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from geneticalgorithmsusingmapreduce_spark.operators import sketch
+
+
+def test_cms_never_underestimates(spark):
+    df = spark.range(5000).select((F.col("id") % 97).alias("k"))
+    rows = sketch.cms_frequencies(df, "k", top_n=30).collect()
+    assert len(rows) == 30
+    assert all(r.cms_est >= r.exact_n for r in rows)
+
+
+def test_cms_exact_when_no_collision(spark):
+    # 3 distinct keys in a 4x64 sketch: collision odds in all 4 rows are
+    # negligible, so min-of-rows recovers exact counts
+    df = spark.createDataFrame(
+        [(1,)] * 10 + [(2,)] * 5 + [(3,)] * 1, "k long"
+    )
+    rows = {r.k: (r.exact_n, r.cms_est)
+            for r in sketch.cms_frequencies(df, "k").collect()}
+    assert rows == {1: (10, 10), 2: (5, 5), 3: (1, 1)}
+
+
+def test_hll_estimate_within_bound(spark):
+    # raw HLL at M=16: sigma = 1.04/4 = 26%; 1000 distinct ids must land
+    # well inside 3 sigma
+    df = spark.range(1000).select(F.col("id").alias("k"))
+    r = sketch.hll_distinct(df, "k").collect()[0]
+    assert r.exact_distinct == 1000
+    assert abs(r.hll_est - 1000) < 1000 * 0.78
+    assert r.err_pm == (r.hll_est - 1000) * 1000 // 1000
+
+
+def test_hll_partitioning_invariant(spark):
+    # registers are per-key maxima — the estimate must not depend on how
+    # rows are partitioned (the mergeable-summary property)
+    df = spark.range(2000).select((F.col("id") % 500).alias("k"))
+    a = sketch.hll_distinct(df, "k").collect()[0]
+    b = sketch.hll_distinct(df.repartition(13), "k").collect()[0]
+    assert (a.hll_est, a.exact_distinct) == (b.hll_est, b.exact_distinct)
