@@ -2211,5 +2211,33 @@ def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketch_ops.hll_distinct(ev, "user_id")
 
 
+_BLOOM_BUILD = (
+    "(SELECT c_custkey AS o_custkey FROM customer "
+    "WHERE c_mktsegment = 'BUILDING')"
+)
+
+
+@register(
+    "bloom_join_prune",
+    f"""SELECT * FROM {sketch_ops.duck_bloom_sql(
+        "(SELECT o_custkey FROM orders)", _BLOOM_BUILD, "o_custkey"
+    )} _q""",
+)
+def bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter runtime join pruning, measured: probe every order
+    against a filter built over BUILDING-segment customers and report
+    rows/passed/true-matches — passed ≥ true_matches (no false
+    negatives), the gap is the fpp the m/k sizing controls."""
+    orders = read_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("o_custkey")
+    )
+    build = (
+        read_table(spark, sf_dir, "customer")
+        .filter("c_mktsegment = 'BUILDING'")
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    return sketch_ops.bloom_prune_stats(orders, build, "o_custkey")
+
+
 def entry_flagship(spark: SparkSession) -> DataFrame:
     return flagship_best_by_flag(spark, "/root/testdata/sf0.001")

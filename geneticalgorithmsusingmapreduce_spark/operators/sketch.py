@@ -219,3 +219,104 @@ def duck_hll_sql(table_sql: str, key: str) -> str:
              ({est} - exact_distinct) * 1000 // exact_distinct AS err_pm
       FROM scaled, ex
     )"""
+
+
+# --------------------------------------------------------------------------
+# Bloom filter (membership; semi-join pruning)
+# --------------------------------------------------------------------------
+
+BLOOM_K = 3        # hash functions
+BLOOM_M = 4096     # bits — sized for ~hundreds of build keys at ~1% fpp
+
+
+def bloom_bits(key: str, k: int = BLOOM_K, m: int = BLOOM_M) -> list[str]:
+    """Spark exprs: the k bit positions of ``key`` (m a power of two)."""
+    return [f"({prng.spark_hash(key, str(i))} & {m - 1})" for i in range(k)]
+
+
+def bloom_prune_stats(
+    fact: DataFrame, build: DataFrame, key: str,
+    k: int = BLOOM_K, m: int = BLOOM_M,
+) -> DataFrame:
+    """Bloom-filter semi-join pruning, measured: build a deterministic
+    k-hash/m-bit Bloom filter over the build side's keys, probe every
+    fact row, and report [fact_rows, passed, true_matches] — passed ≥
+    true_matches always (no false negatives), and passed − true_matches
+    is the false-positive overhead the m/k sizing controls.
+
+    This is the runtime-filter pattern (Spark's own
+    spark.sql.optimizer.runtime.bloomFilter does it inside the engine):
+    at 100 TB the filter prunes fact rows BEFORE the join shuffle, so
+    the exchange carries only probable matches. Here the bit set is a
+    broadcast of ≤ k·|build| positions (deduped ints — the whole filter
+    is m bits ≡ at most m rows); the probe is a broadcast join per hash
+    function counted via bit-AND of k membership flags. Deterministic
+    xxhash64 positions, so the oracle rebuilds the identical filter."""
+    exprs = bloom_bits(key, k, m)
+    bits = (
+        build.select(F.explode(F.array(
+            *[F.expr(e) for e in exprs]
+        )).alias("bit")).distinct()
+    )
+    probes = fact.select(
+        F.expr(key).alias("k"),
+        *[F.expr(e).alias(f"b{i}") for i, e in enumerate(exprs)],
+    )
+    joined = probes
+    for i in range(k):
+        hit = bits.select(F.col("bit").alias(f"b{i}"),
+                          F.lit(1).alias(f"hit{i}"))
+        joined = joined.join(F.broadcast(hit), f"b{i}", "left")
+    pass_expr = " AND ".join(f"hit{i} = 1" for i in range(k))
+    truth = build.select(F.expr(key).alias("k")).distinct()
+    return (
+        joined.select(
+            "k",
+            F.expr(f"CASE WHEN {pass_expr} THEN 1 ELSE 0 END").alias("p"),
+        )
+        .join(F.broadcast(truth.withColumn("t", F.lit(1))), "k", "left")
+        .agg(
+            F.count(F.lit(1)).alias("fact_rows"),
+            F.sum("p").alias("passed"),
+            F.sum(F.expr("CASE WHEN t = 1 THEN 1 ELSE 0 END"))
+            .alias("true_matches"),
+        )
+    )
+
+
+def duck_bloom_sql(
+    fact_sql: str, build_sql: str, key: str,
+    k: int = BLOOM_K, m: int = BLOOM_M,
+) -> str:
+    # probe over DISTINCT fact keys (the pass flag is per key), then
+    # weight by key multiplicity at the final fold
+    fbase = (
+        f"SELECT k, i FROM (SELECT DISTINCT {key} AS k FROM {fact_sql} _f)"
+        f" _k CROSS JOIN range(0, {k}) _i(i)"
+    )
+    bbase = (
+        f"SELECT k, i FROM (SELECT DISTINCT {key} AS k FROM {build_sql} _b)"
+        f" _k CROSS JOIN range(0, {k}) _i(i)"
+    )
+    fh = prng.duck_hash_query(fbase, ["k", "i"], "h")
+    bh = prng.duck_hash_query(bbase, ["k", "i"], "h")
+    return f"""(
+      WITH bits AS (
+        SELECT DISTINCT (h & {m - 1}) AS bit FROM {bh} _bb
+      ), pass AS (
+        SELECT c.k,
+               CASE WHEN count(bits.bit) = {k} THEN 1 ELSE 0 END AS p
+        FROM (SELECT k, (h & {m - 1}) AS bit FROM {fh} _fc) c
+        LEFT JOIN bits USING (bit)
+        GROUP BY c.k
+      ), truth AS (
+        SELECT DISTINCT {key} AS k, 1 AS t FROM {build_sql} _t
+      )
+      SELECT count(*) AS fact_rows,
+             cast(sum(p.p) as bigint) AS passed,
+             cast(sum(CASE WHEN t.t = 1 THEN 1 ELSE 0 END) as bigint)
+               AS true_matches
+      FROM (SELECT {key} AS k FROM {fact_sql} _fr) f
+      JOIN pass p USING (k)
+      LEFT JOIN truth t USING (k)
+    )"""

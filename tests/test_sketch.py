@@ -43,3 +43,27 @@ def test_hll_partitioning_invariant(spark):
     a = sketch.hll_distinct(df, "k").collect()[0]
     b = sketch.hll_distinct(df.repartition(13), "k").collect()[0]
     assert (a.hll_est, a.exact_distinct) == (b.hll_est, b.exact_distinct)
+
+
+def test_bloom_no_false_negatives_and_bounded_fpp(spark):
+    from pyspark.sql import functions as F
+
+    fact = spark.range(4000).select((F.col("id") % 2000).alias("k"))
+    build = spark.range(100).select((F.col("id") * 7).alias("k"))  # 0,7,...693
+    r = sketch.bloom_prune_stats(fact, build, "k").collect()[0]
+    # every build key < 700 appears twice in fact (ids k and k+2000 map to
+    # the same k mod 2000): true matches = 100 keys x 2 rows
+    assert r.fact_rows == 4000
+    assert r.true_matches == 200
+    assert r.passed >= r.true_matches           # no false negatives
+    # 100 keys x 3 hashes in 4096 bits -> fpp ~ (300/4096)^3 < 0.1%
+    assert r.passed - r.true_matches <= 40
+
+
+def test_bloom_empty_build_passes_nothing(spark):
+    from pyspark.sql import functions as F
+
+    fact = spark.range(100).select(F.col("id").alias("k"))
+    build = spark.range(0).select(F.col("id").alias("k"))
+    r = sketch.bloom_prune_stats(fact, build, "k").collect()[0]
+    assert (r.fact_rows, r.passed, r.true_matches) == (100, 0, 0)
