@@ -112,6 +112,8 @@ def cluster_pairs(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
 
     Input: [doc_a, doc_b] (+ignored extras). Output: [doc_id,
     cluster_id] for every document that appears in some pair."""
+    if max_iters < 1:
+        raise ValueError(f"cluster_pairs: max_iters must be >= 1, got {max_iters}")
     edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     sym = edges.unionByName(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))

@@ -18,6 +18,13 @@ DuckDB twin via functions.prng); estimates are computed with a single
 fixed-parenthesization double expression over exact int64 cell values,
 so both engines round identically (IEEE ops on identical inputs in an
 identical order).
+
+NULL policy: every operator here sketches the NON-NULL keys only,
+filtered identically on both sides. Spark's xxhash64 silently SKIPS
+null arguments (xxhash64(NULL) == the seed) while the DuckDB replica
+propagates NULL — pushing the filter into the operators removes the
+one place the twins could diverge, and matches count(DISTINCT ...)
+semantics, which also ignores NULLs.
 """
 
 from __future__ import annotations
@@ -63,12 +70,14 @@ def cms_frequencies(
     coords = F.explode(F.expr(f"array({structs})")).alias("rc")
     cells = (
         df.select(F.expr(key).alias("k"))
+        .filter("k IS NOT NULL")
         .select("k", coords)
         .groupBy("rc.r", "rc.cell")
         .agg(F.count(F.lit(1)).alias("cn"))
     )
     exact = (
-        df.groupBy(F.expr(key).alias("k"))
+        df.filter(F.expr(key).isNotNull())
+        .groupBy(F.expr(key).alias("k"))
         .agg(F.count(F.lit(1)).alias("exact_n"))
         .orderBy(F.desc("exact_n"), "k")
         .limit(top_n)
@@ -92,8 +101,8 @@ def duck_cms_sql(
     (exploded as rows through ONE chain, same pattern as the old minhash
     oracle) and fold identical cell sums."""
     base = (
-        f"SELECT k, r FROM (SELECT {key} AS k FROM {table_sql} _t) _k "
-        f"CROSS JOIN range(0, {d}) _r(r)"
+        f"SELECT k, r FROM (SELECT {key} AS k FROM {table_sql} _t "
+        f"WHERE {key} IS NOT NULL) _k CROSS JOIN range(0, {d}) _r(r)"
     )
     hq = prng.duck_hash_query(base, ["k", "r"], "h")
     return f"""(
@@ -103,6 +112,7 @@ def duck_cms_sql(
         SELECT r, cell, count(*) AS cn FROM coords GROUP BY r, cell
       ), exact AS (
         SELECT {key} AS k, count(*) AS exact_n FROM {table_sql} _e
+        WHERE {key} IS NOT NULL
         GROUP BY {key} ORDER BY exact_n DESC, k LIMIT {top_n}
       ), probes AS (
         SELECT DISTINCT e.k, e.exact_n, c.r, c.cell
@@ -126,6 +136,20 @@ HLL_M = 1 << HLL_B
 # cardinality (~150 users at sf0.01) above the 2.5·M correction regime,
 # so raw HLL is the textbook-correct estimator there anyway.
 HLL_ALPHA = 0.673  # alpha_16 (Flajolet et al. 2007)
+
+
+def _hll_rho_expr(rest: str) -> str:
+    """Shared rho expression (both dialects): leading-zero count of the
+    60-bit remainder + 1, CLAMPED to 60 — the theoretical maximum 61
+    (all 60 bits zero, p = 2^-60 per key but deterministic forever for
+    an unlucky key) would need a 2^-1 term the exact-int64 register
+    scaling cannot represent; Spark's shiftleft would silently wrap on
+    the resulting negative shift while DuckDB raises. Clamping costs
+    ~2^-60 relative estimate error and keeps both engines total."""
+    return (
+        f"(CASE WHEN {rest} = 0 THEN 60 "
+        f"ELSE 61 - length(bin({rest})) END)"
+    )
 
 
 def _hll_est_expr() -> str:
@@ -156,14 +180,11 @@ def hll_distinct(df: DataFrame, key: str) -> DataFrame:
     multiply by alpha·M² — identical IEEE results in both engines."""
     h = prng.spark_hash(key)
     rest = f"shiftrightunsigned({h}, {HLL_B})"
-    # bit length via bin(): length of the minimal binary string; rho =
-    # (60 - bitlen) + 1 for rest > 0, else 61
-    rho = (
-        f"(CASE WHEN {rest} = 0 THEN 61 "
-        f"ELSE 61 - length(bin({rest})) END)"
-    )
+    # bit length via bin(): length of the minimal binary string
+    rho = _hll_rho_expr(rest)
     regs = (
-        df.select(
+        df.filter(F.expr(key).isNotNull())
+        .select(
             F.expr(f"({h} & {HLL_M - 1})").alias("j"),
             F.expr(rho).alias("rho"),
         )
@@ -176,6 +197,7 @@ def hll_distinct(df: DataFrame, key: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_present"),
     )
     exact = df.agg(F.count_distinct(F.expr(key)).alias("exact_distinct"))
+    # count_distinct already ignores NULL keys — same set the registers saw
     est = _hll_est_expr()
     return (
         scaled.crossJoin(exact)  # 1 row × 1 row
@@ -193,16 +215,16 @@ def hll_distinct(df: DataFrame, key: str) -> DataFrame:
 
 
 def duck_hll_sql(table_sql: str, key: str) -> str:
-    base = f"SELECT DISTINCT {key} AS k FROM {table_sql} _t"
+    base = (
+        f"SELECT DISTINCT {key} AS k FROM {table_sql} _t "
+        f"WHERE {key} IS NOT NULL"
+    )
     hq = prng.duck_hash_query(base, ["k"], "h")
     # unsigned logical shift: negative h must wrap to [0, 2^64) first
     # (h::UBIGINT raises on negatives; the HUGEINT detour is prng's
     # standard unsigned-wraparound idiom)
     rest = f"(({prng._u('h')} // {1 << HLL_B})::BIGINT)"
-    rho = (
-        f"(CASE WHEN {rest} = 0 THEN 61 "
-        f"ELSE 61 - length(bin({rest})) END)"
-    )
+    rho = _hll_rho_expr(rest)
     est = _hll_est_expr()
     return f"""(
       WITH regs AS (
@@ -249,35 +271,45 @@ def bloom_prune_stats(
     at 100 TB the filter prunes fact rows BEFORE the join shuffle, so
     the exchange carries only probable matches. Here the bit set is a
     broadcast of ≤ k·|build| positions (deduped ints — the whole filter
-    is m bits ≡ at most m rows); the probe is a broadcast join per hash
-    function counted via bit-AND of k membership flags. Deterministic
-    xxhash64 positions, so the oracle rebuilds the identical filter."""
-    exprs = bloom_bits(key, k, m)
+    is m bits ≡ at most m rows); the probe explodes each DISTINCT fact
+    key's k positions and makes ONE broadcast join against the bit set
+    — k separate per-hash joins would re-scan and re-dedup the build
+    side k times (Spark does not reuse the structurally-identical
+    subtree across differently-aliased joins). Deterministic xxhash64
+    positions, so the oracle rebuilds the identical filter."""
+    exprs = bloom_bits("k", k, m)
     bits = (
-        build.select(F.explode(F.array(
+        build.filter(F.expr(key).isNotNull())
+        .select(F.expr(key).alias("k"))
+        .select(F.explode(F.array(
             *[F.expr(e) for e in exprs]
         )).alias("bit")).distinct()
     )
-    probes = fact.select(
-        F.expr(key).alias("k"),
-        *[F.expr(e).alias(f"b{i}") for i, e in enumerate(exprs)],
+    factk = fact.filter(F.expr(key).isNotNull()).select(
+        F.expr(key).alias("k")
     )
-    joined = probes
-    for i in range(k):
-        hit = bits.select(F.col("bit").alias(f"b{i}"),
-                          F.lit(1).alias(f"hit{i}"))
-        joined = joined.join(F.broadcast(hit), f"b{i}", "left")
-    pass_expr = " AND ".join(f"hit{i} = 1" for i in range(k))
-    truth = build.select(F.expr(key).alias("k")).distinct()
+    coords = factk.distinct().select(
+        "k", F.explode(F.array(*[F.expr(e) for e in exprs])).alias("bit")
+    )
+    # a key passes iff ALL k of its positions are set: duplicate
+    # positions (two hashes, same bit) contribute one coord row each, so
+    # count(*) == k exactly when every position matched
+    flags = (
+        coords.join(F.broadcast(bits), "bit")
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("nh"))
+        .filter(F.col("nh") == k)
+        .select("k", F.lit(1).alias("p"))
+    )
+    truth = build.filter(F.expr(key).isNotNull()).select(
+        F.expr(key).alias("k")
+    ).distinct().withColumn("t", F.lit(1))
     return (
-        joined.select(
-            "k",
-            F.expr(f"CASE WHEN {pass_expr} THEN 1 ELSE 0 END").alias("p"),
-        )
-        .join(F.broadcast(truth.withColumn("t", F.lit(1))), "k", "left")
+        factk.join(F.broadcast(flags), "k", "left")
+        .join(F.broadcast(truth), "k", "left")
         .agg(
             F.count(F.lit(1)).alias("fact_rows"),
-            F.sum("p").alias("passed"),
+            F.sum(F.coalesce(F.col("p"), F.lit(0))).alias("passed"),
             F.sum(F.expr("CASE WHEN t = 1 THEN 1 ELSE 0 END"))
             .alias("true_matches"),
         )
@@ -291,12 +323,12 @@ def duck_bloom_sql(
     # probe over DISTINCT fact keys (the pass flag is per key), then
     # weight by key multiplicity at the final fold
     fbase = (
-        f"SELECT k, i FROM (SELECT DISTINCT {key} AS k FROM {fact_sql} _f)"
-        f" _k CROSS JOIN range(0, {k}) _i(i)"
+        f"SELECT k, i FROM (SELECT DISTINCT {key} AS k FROM {fact_sql} _f"
+        f" WHERE {key} IS NOT NULL) _k CROSS JOIN range(0, {k}) _i(i)"
     )
     bbase = (
-        f"SELECT k, i FROM (SELECT DISTINCT {key} AS k FROM {build_sql} _b)"
-        f" _k CROSS JOIN range(0, {k}) _i(i)"
+        f"SELECT k, i FROM (SELECT DISTINCT {key} AS k FROM {build_sql} _b"
+        f" WHERE {key} IS NOT NULL) _k CROSS JOIN range(0, {k}) _i(i)"
     )
     fh = prng.duck_hash_query(fbase, ["k", "i"], "h")
     bh = prng.duck_hash_query(bbase, ["k", "i"], "h")
@@ -311,12 +343,14 @@ def duck_bloom_sql(
         GROUP BY c.k
       ), truth AS (
         SELECT DISTINCT {key} AS k, 1 AS t FROM {build_sql} _t
+        WHERE {key} IS NOT NULL
       )
       SELECT count(*) AS fact_rows,
              cast(sum(p.p) as bigint) AS passed,
              cast(sum(CASE WHEN t.t = 1 THEN 1 ELSE 0 END) as bigint)
                AS true_matches
-      FROM (SELECT {key} AS k FROM {fact_sql} _fr) f
+      FROM (SELECT {key} AS k FROM {fact_sql} _fr
+            WHERE {key} IS NOT NULL) f
       JOIN pass p USING (k)
       LEFT JOIN truth t USING (k)
     )"""

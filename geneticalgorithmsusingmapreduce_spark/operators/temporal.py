@@ -220,6 +220,20 @@ def duck_follow_window_sql(table: str = "events", gap_sec: int = 3600) -> str:
 # Time-series shape similarity (SAX-style motif matching)
 # --------------------------------------------------------------------------
 
+def _motif_pattern_expr(w: int) -> str:
+    """Shared base-3 pattern arithmetic over columns s, s1..s{w-1} —
+    identical text in both dialects so the encoders cannot drift (the
+    same single-source discipline as sketch._hll_est_expr)."""
+    return " + ".join(
+        [f"s * {3 ** (w - 1)}"]
+        + [f"s{i} * {3 ** (w - 1 - i)}" for i in range(1, w)]
+    )
+
+
+def _motif_notnull(w: int) -> str:
+    return " AND ".join(f"s{i} IS NOT NULL" for i in range(1, w))
+
+
 def series_similarity(
     events: DataFrame, w: int = 7, min_shared: int = 2
 ) -> DataFrame:
@@ -293,14 +307,13 @@ def series_similarity(
     )
     # pattern id over w consecutive symbols: base-3 via literal leads
     leads = [F.lead("s", i).over(ww).alias(f"s{i}") for i in range(1, w)]
-    pat_expr = " + ".join(
-        [f"s * {3 ** (w - 1)}"]
-        + [f"s{i} * {3 ** (w - 1 - i)}" for i in range(1, w)]
-    )
     pats = (
         sym.select("user_id", "day", "s", *leads)
-        .filter(" AND ".join(f"s{i} IS NOT NULL" for i in range(1, w)))
-        .select("user_id", "day", F.expr(pat_expr).alias("pattern"))
+        .filter(_motif_notnull(w))
+        .select(
+            "user_id", "day",
+            F.expr(_motif_pattern_expr(w)).alias("pattern"),
+        )
     )
     a, b = pats.alias("a"), pats.alias("b")
     return (
@@ -319,15 +332,12 @@ def series_similarity(
 def duck_series_similarity_sql(
     table: str = "events", w: int = 7, min_shared: int = 2
 ) -> str:
-    pat = " + ".join(
-        [f"s * {3 ** (w - 1)}"]
-        + [f"s{i} * {3 ** (w - 1 - i)}" for i in range(1, w)]
-    )
+    pat = _motif_pattern_expr(w)
     lead_cols = ", ".join(
         f"lead(s, {i}) OVER (PARTITION BY user_id ORDER BY day) AS s{i}"
         for i in range(1, w)
     )
-    notnull = " AND ".join(f"s{i} IS NOT NULL" for i in range(1, w))
+    notnull = _motif_notnull(w)
     return f"""(
       WITH daily AS (
         SELECT user_id, day, vm FROM (

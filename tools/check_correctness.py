@@ -108,6 +108,10 @@ def main():
         f"\n{attempted - len(failed)}/{attempted} pass "
         f"({len(qs)} registered) in {time.perf_counter() - t_start:.0f}s"
     )
+    if only and attempted < len(only):
+        missing = sorted(only - set(qs))
+        print(f"ERROR: unknown query name(s): {missing}")
+        sys.exit(2)  # a filter matching nothing must not read as green
     spark.stop()
     sys.exit(1 if failed else 0)
 
