@@ -44,6 +44,10 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # pin UTC on whatever session the driver hands us: the NTZ→timestamp
+    # cast below and every to_date(ts) downstream are wall-clock-correct
+    # only under UTC, and the DuckDB oracles are timezone-free
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw = spark.read.parquet(table_path(sf_dir, "events"))
     ts_type = dict(raw.dtypes)["ts"]
     if ts_type == "bigint":  # TIMESTAMP(NANOS) fixture, ns-as-long
