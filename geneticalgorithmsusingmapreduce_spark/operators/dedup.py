@@ -217,6 +217,9 @@ def cluster_pairs_star(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
             edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
         lmin = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        # no distinct here: duplicate (u, v) rows change neither the
+        # small-star min nor its emissions, and the round's final
+        # distinct dedupes — dropping it removes one exchange per round
         ls = (
             sym.join(lmin, "u")
             .filter("v > u")
@@ -224,7 +227,6 @@ def cluster_pairs_star(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
                 F.col("v").alias("u"),
                 F.least(F.col("u"), F.col("mn")).alias("v"),
             )
-            .distinct()
         )
         # small-star: edges now all u > v; re-hang N(u) ∪ {u} onto min
         smin = ls.groupBy("u").agg(F.min("v").alias("mn"))
