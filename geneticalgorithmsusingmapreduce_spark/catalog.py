@@ -36,8 +36,8 @@ from .operators import temporal as temporal_ops
 from .operators import textops
 from .plans import sga as sga_plan
 from .sources.registry import (
-    read_events, read_sequencefile_population, read_table,
-    write_sequencefile_population,
+    read_any, read_events, read_sequencefile_population, read_table,
+    write_sequencefile_population, write_table,
 )
 from .streaming import stateful as stateful_ops
 from .streaming import windows as win_ops
@@ -164,6 +164,48 @@ def population_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fit_ops.with_fitness(pop, nl=NL).select(
         "id", _gstr("genome").alias("genome"), "fitness"
     )
+
+
+@register(
+    "csv_json_roundtrip",
+    f"""
+    SELECT id, {_duck_gstr("genome")} AS genome, {_DUCK_FIT} AS fitness,
+           'csv' AS via
+    FROM {generate.population_gen_duckdb_sql(256, GENOME_BITS, SEED)} _p
+    UNION ALL
+    SELECT id, {_duck_gstr("genome")} AS genome, {_DUCK_FIT} AS fitness,
+           'json' AS via
+    FROM {generate.population_gen_duckdb_sql(256, GENOME_BITS, SEED)} _p2
+    """,
+)
+def csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-format interchange fidelity: the same seeded population
+    written to CSV (header, genome as the comma-joined string form) and
+    JSON, read back with explicit schemas (inference costs a full extra
+    pass), and hash-matched against the generator oracle — both formats
+    carry the rows losslessly. Parquet stays the performance path; these
+    exist for ingest/egress with non-columnar producers."""
+    import shutil
+    import tempfile
+
+    pop = fit_ops.with_fitness(
+        generate.random_population(spark, 256, GENOME_BITS, SEED), nl=NL
+    ).select("id", _gstr("genome").alias("genome"), "fitness")
+    d = tempfile.mkdtemp(prefix="gamr_txt_")
+    try:
+        outs = []
+        for fmt in ("csv", "json"):
+            write_table(pop, f"{d}/{fmt}", fmt=fmt)
+            back = read_any(
+                spark, f"{d}/{fmt}", fmt=fmt,
+                schema="id long, genome string, fitness long",
+            )
+            outs.append(back.withColumn("via", F.lit(fmt)))
+        both = outs[0].unionByName(outs[1])
+        rows = both.collect()  # materialize so the temp dirs can go
+        return spark.createDataFrame(rows, both.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 # --- S1 literal fidelity: SequenceFile interchange ----------------------
