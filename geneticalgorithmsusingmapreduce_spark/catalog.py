@@ -971,7 +971,7 @@ def word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(
             "doc_id",
             F.explode(
-                F.expr("filter(split(lower(text), ' '), t -> t != '')")
+                F.expr(text_fns.SPARK_TOKENS)
             ).alias("tok"),
         )
         .groupBy("tok")

@@ -36,9 +36,11 @@ def duck_hash64_str(col: str) -> str:
 
 
 def spark_tokens(col: str = "text") -> Column:
-    return F.expr(f"filter(split(lower({col}), ' '), t -> t != '')")
+    return F.expr(SPARK_TOKENS if col == "text"
+                  else f"filter(split(lower({col}), ' '), t -> t != '')")
 
 
+SPARK_TOKENS = "filter(split(lower(text), ' '), t -> t != '')"
 DUCK_TOKENS = "list_filter(string_split(lower(text), ' '), t -> t != '')"
 
 

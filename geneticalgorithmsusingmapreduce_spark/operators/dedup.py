@@ -198,9 +198,19 @@ def cluster_pairs_star(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
     checksum sums xxhash64(u, v) in decimal(38,0) so ANSI mode can't
     overflow. Each round's edge set is localCheckpoint'd — same
     lineage-truncation policy as the GA loops."""
+    if max_rounds < 1:
+        raise ValueError(
+            f"cluster_pairs_star: max_rounds must be >= 1, got {max_rounds}"
+        )
+    raw = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
     edges = (
-        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-        .filter("u != v").distinct().localCheckpoint(eager=True)
+        raw.filter("u != v").distinct().localCheckpoint(eager=True)
+    )
+    # contract parity with cluster_pairs: a node appearing ONLY in
+    # self-pairs (a == a) must still come back labeled with itself —
+    # the u != v filter above would otherwise erase it entirely
+    self_only = (
+        raw.filter("u = v").select(F.col("u").alias("doc_id")).distinct()
     )
 
     def _sig(e: DataFrame):
@@ -246,8 +256,16 @@ def cluster_pairs_star(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
         if new_sig == sig:
             break
         sig = new_sig
+    else:
+        # same fail-loudly policy as cluster_pairs: an unconverged edge
+        # set yields nodes with conflicting / non-minimal labels, which
+        # would silently keep/drop the wrong documents downstream
+        raise RuntimeError(
+            f"cluster_pairs_star: no fixpoint after {max_rounds} rounds "
+            f"— raise max_rounds (O(log n) suffices for any graph)"
+        )
     # converged star forest: every non-root points at its component min
-    return (
+    labels = (
         edges.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))
         .unionByName(
             edges.select(
@@ -256,3 +274,8 @@ def cluster_pairs_star(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
         )
         .distinct()
     )
+    lonely = (
+        self_only.join(labels, "doc_id", "left_anti")
+        .select("doc_id", F.col("doc_id").alias("cluster_id"))
+    )
+    return labels.unionByName(lonely)

@@ -17,14 +17,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from . import split as split_ops
+from ..functions import text as text_fns
 from .textops import LANGS, STOPWORDS, _count_in
 
-_TOKS = "filter(split(lower(text), ' '), t -> t != '')"
+_TOKS = text_fns.SPARK_TOKENS
 
 
 def _lang_guess_expr(dialect: str) -> str:
-    from ..functions import text as text_fns
-
     toks = _TOKS if dialect == "spark" else text_fns.DUCK_TOKENS
     scores = {
         lang: _count_in(toks, STOPWORDS[lang], dialect) for lang in LANGS

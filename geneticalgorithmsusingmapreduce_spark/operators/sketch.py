@@ -199,16 +199,20 @@ def hll_distinct(df: DataFrame, key: str) -> DataFrame:
     exact = df.agg(F.count_distinct(F.expr(key)).alias("exact_distinct"))
     # count_distinct already ignores NULL keys — same set the registers saw
     est = _hll_est_expr()
+    # empty-input guard: zero non-null keys leaves s_present NULL and
+    # exact_distinct 0 — define the result as (0, 0, 0) instead of a
+    # NULL estimate and an ANSI DIVIDE_BY_ZERO on err_pm
     return (
         scaled.crossJoin(exact)  # 1 row × 1 row
         .select(
             "exact_distinct",
-            F.expr(est).alias("hll_est"),
+            F.expr(f"coalesce({est}, 0)").alias("hll_est"),
         )
         .select(
             "exact_distinct", "hll_est",
             F.expr(
-                "(hll_est - exact_distinct) * 1000 div exact_distinct"
+                "CASE WHEN exact_distinct = 0 THEN 0 ELSE "
+                "(hll_est - exact_distinct) * 1000 div exact_distinct END"
             ).alias("err_pm"),
         )
     )
@@ -237,8 +241,10 @@ def duck_hll_sql(table_sql: str, key: str) -> str:
       ), ex AS (
         SELECT count(DISTINCT {key}) AS exact_distinct FROM {table_sql} _e
       )
-      SELECT exact_distinct, {est} AS hll_est,
-             ({est} - exact_distinct) * 1000 // exact_distinct AS err_pm
+      SELECT exact_distinct, coalesce({est}, 0) AS hll_est,
+             CASE WHEN exact_distinct = 0 THEN 0 ELSE
+               (coalesce({est}, 0) - exact_distinct) * 1000 // exact_distinct
+             END AS err_pm
       FROM scaled, ex
     )"""
 

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..functions import bits, prng
+from ..functions import bits, prng, text
 
 SALT_SPLIT = 6  # distinct stream from genome/mask/shuffle/sample/pair
 SALT_IMPORTANCE = 8  # importance-sampling stream (7 unused; 6 doubles
@@ -71,7 +71,7 @@ def importance_sample(
     [doc_id, keep_pm, pm]."""
     from .textops import STOPWORDS, _count_in
 
-    toks = "filter(split(lower(text), ' '), t -> t != '')"
+    toks = text.SPARK_TOKENS
     sw = _count_in(toks, STOPWORDS["en"], "spark")
     keep = (
         f"least({ceil_pm}, greatest({floor_pm}, "

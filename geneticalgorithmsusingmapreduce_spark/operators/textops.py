@@ -68,7 +68,7 @@ def _count_in(tokens_expr: str, words: list[str], dialect: str) -> str:
 def language_guess(docs: DataFrame) -> DataFrame:
     """Stopword-vote language ID; ties resolve to the alphabetically
     first language (deterministic)."""
-    toks = "filter(split(lower(text), ' '), t -> t != '')"
+    toks = text.SPARK_TOKENS
     scores = {
         lang: _count_in(toks, STOPWORDS[lang], "spark") for lang in LANGS
     }
@@ -102,7 +102,7 @@ def duck_language_guess_sql(docs_sql: str) -> str:
 def quality_score(docs: DataFrame) -> DataFrame:
     """Integer-exact quality facets: token count, mean token length
     (milli), stopword ratio (milli), short-doc flag."""
-    toks = "filter(split(lower(text), ' '), t -> t != '')"
+    toks = text.SPARK_TOKENS
     sw = _count_in(toks, STOPWORDS["en"], "spark")
     return docs.select(
         "doc_id",
@@ -143,7 +143,7 @@ def duck_quality_sql(docs_sql: str) -> str:
 def fingerprint(docs: DataFrame) -> DataFrame:
     """Order-insensitive document fingerprint: hash64 of the sorted token
     multiset — identical docs (even reshuffled) collide, others don't."""
-    toks = "filter(split(lower(text), ' '), t -> t != '')"
+    toks = text.SPARK_TOKENS
     return docs.select(
         "doc_id",
         F.expr(
@@ -167,7 +167,7 @@ def token_stats(docs: DataFrame) -> DataFrame:
     digits / single punctuation marks — the shape of a GPT-2-style
     pre-tokenizer, without a merges table). Pure character-class regex so
     Java regex (Spark) and RE2 (DuckDB) count identically."""
-    toks = "filter(split(lower(text), ' '), t -> t != '')"
+    toks = text.SPARK_TOKENS
     bpe = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
     return docs.select(
         "doc_id",
@@ -215,7 +215,7 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
     excluded (both engines)."""
     from pyspark.sql import Window
 
-    toks = "filter(split(lower(text), ' '), t -> t != '')"
+    toks = text.SPARK_TOKENS
     w = Window.partitionBy("doc_id").orderBy("pos")
     per = (
         docs.select("doc_id", F.posexplode(F.expr(toks)).alias("pos", "tok"))
@@ -664,18 +664,21 @@ def redact_pii(docs: DataFrame) -> DataFrame:
     are intersection-of-dialects (Java regex ∩ RE2) so the DuckDB twin
     is literal."""
     # column-function API throughout: F.expr would route the patterns
-    # through the SQL string-literal parser, which eats backslashes
+    # through the SQL string-literal parser, which eats backslashes.
+    # Counts mirror the SEQUENTIAL redaction: n_phones is counted on the
+    # email-redacted text, so a phone-shaped digit run inside an email
+    # (already swallowed by <EMAIL>) is not double-reported.
+    emailless = F.regexp_replace("text", PII_EMAIL_RE, "<EMAIL>")
     return docs.select(
         "doc_id",
         F.regexp_replace(
-            F.regexp_replace("text", PII_EMAIL_RE, "<EMAIL>"),
-            PII_PHONE_RE, "<PHONE>",
+            emailless, PII_PHONE_RE, "<PHONE>"
         ).alias("text_redacted"),
         F.size(
             F.regexp_extract_all("text", F.lit(PII_EMAIL_RE), F.lit(0))
         ).cast("bigint").alias("n_emails"),
         F.size(
-            F.regexp_extract_all("text", F.lit(PII_PHONE_RE), F.lit(0))
+            F.regexp_extract_all(emailless, F.lit(PII_PHONE_RE), F.lit(0))
         ).cast("bigint").alias("n_phones"),
     )
 
@@ -683,12 +686,16 @@ def redact_pii(docs: DataFrame) -> DataFrame:
 def duck_redact_pii_sql(docs_sql: str) -> str:
     return f"""(
       SELECT doc_id,
-             regexp_replace(
-               regexp_replace(text, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
-               '{PII_PHONE_RE}', '<PHONE>', 'g') AS text_redacted,
+             regexp_replace(emailless, '{PII_PHONE_RE}', '<PHONE>', 'g')
+               AS text_redacted,
              cast(len(regexp_extract_all(text, '{PII_EMAIL_RE}'))
                   as bigint) AS n_emails,
-             cast(len(regexp_extract_all(text, '{PII_PHONE_RE}'))
+             cast(len(regexp_extract_all(emailless, '{PII_PHONE_RE}'))
                   as bigint) AS n_phones
-      FROM {docs_sql} _p
+      FROM (
+        SELECT doc_id, text,
+               regexp_replace(text, '{PII_EMAIL_RE}', '<EMAIL>', 'g')
+                 AS emailless
+        FROM {docs_sql} _p
+      ) _e
     )"""

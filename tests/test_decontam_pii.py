@@ -74,3 +74,12 @@ def test_pii_augmented_corpus_plants_every_20th(spark):
     assert ids and all(i % 20 == 0 for i in ids)
     n_docs = aug.count()
     assert len(ids) == (n_docs + 19) // 20
+
+
+def test_redact_phone_inside_email_not_double_counted(spark):
+    # the email regex swallows the phone-shaped digits; counts must
+    # mirror the sequential redaction, not the raw text
+    docs = _docs(spark, [(1, "call 555-867-5309@mail.example.org now")])
+    r = textops.redact_pii(docs).collect()[0]
+    assert r.text_redacted == "call <EMAIL> now"
+    assert r.n_emails == 1 and r.n_phones == 0

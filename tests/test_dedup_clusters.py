@@ -71,3 +71,22 @@ def test_star_keeps_components_separate(spark):
         for r in dedup.cluster_pairs_star(df).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_star_keeps_self_pair_nodes(spark):
+    df = spark.createDataFrame([(5, 5), (1, 2)], "doc_a long, doc_b long")
+    got = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup.cluster_pairs_star(df).collect()
+    }
+    assert got == {(5, 5), (1, 1), (2, 1)}
+
+
+def test_star_raises_when_rounds_exhausted(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(31)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        dedup.cluster_pairs_star(df, max_rounds=1)
