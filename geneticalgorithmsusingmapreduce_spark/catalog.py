@@ -2281,5 +2281,28 @@ def bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketch_ops.bloom_prune_stats(orders, build, "o_custkey")
 
 
+# non-uniform target mixture over the fixture's uniform 20 sources:
+# weights cycle 1..4, src17/18/19 excluded (the "drop these sources"
+# case) — so some sources downsample hard and some keep everything
+_MIX_WEIGHTS = {f"src{i}": (i % 4) + 1 for i in range(17)}
+
+
+@register(
+    "corpus_mixture_sample",
+    f"""SELECT * FROM {split_ops.duck_mixture_sample_sql(
+        "(SELECT doc_id, source, text FROM documents)", _MIX_WEIGHTS
+    )} _q""",
+)
+def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining mixture re-weighting by token mass: per-source keep
+    rates computed in-plan (exact wide-int fixed-point), seeded per-doc
+    draws, unlisted sources dropped. One tiny per-source agg broadcast
+    back; the doc stream never shuffles."""
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    return split_ops.mixture_sample(docs, _MIX_WEIGHTS)
+
+
 def entry_flagship(spark: SparkSession) -> DataFrame:
     return flagship_best_by_flag(spark, "/root/testdata/sf0.001")

@@ -189,3 +189,97 @@ def duck_assign_splits_sql(
             f" {train_pm + val_pm} THEN 'val' ELSE 'test' END AS split",
         ],
     )
+
+
+SALT_MIXTURE = 9  # mixture-sampling stream
+
+
+def mixture_sample(
+    docs: DataFrame, weights: dict[str, int], seed: int = 42
+) -> DataFrame:
+    """Corpus mixture re-weighting by TOKEN MASS: downsample each source
+    so the retained corpus's token distribution approaches the target
+    ``weights`` (source → relative weight; unlisted sources drop — the
+    spec IS the data recipe). The canonical pretraining-mix step (e.g.
+    "webtext 60‰ / books 25‰ / code 15‰") expressed declaratively:
+
+      rate_s = min(1, (w_s / Σw) / (tokens_s / tokens_total))
+
+    i.e. only over-represented sources are thinned (no upsampling);
+    under-represented ones keep everything and the realized mix is the
+    closest achievable by pure filtering. Rates are computed IN THE
+    PLAN as exact wide-integer arithmetic (decimal(38,0) /
+    HUGEINT — overflow-free at any corpus size), fixed-point 2^40, so
+    the DuckDB oracle replays them bit-for-bit; the keep decision is
+    the seeded 40-bit hash draw per doc_id — a pure function of
+    (seed, doc_id), stable under repartition/appends like every sampler
+    here.
+
+    Scale shape: one hash-agg for per-source token totals (tiny result:
+    |sources| rows), broadcast back; the keep filter is map-side. The
+    doc stream shuffles zero times. Output: kept docs
+    [doc_id, source, n_tokens]."""
+    spark = docs.sparkSession
+    wsum = sum(weights.values())
+    wdf = spark.createDataFrame(
+        sorted(weights.items()), "source string, w long"
+    )
+    toks = f"cast(size({text.SPARK_TOKENS}) as bigint)"
+    base = docs.select("doc_id", "source", F.expr(toks).alias("n_tokens"))
+    totals = (
+        base.join(F.broadcast(wdf), "source")
+        .groupBy("source", "w")
+        .agg(F.sum("n_tokens").alias("src_tokens"))
+    )
+    tot_all = totals.agg(F.sum("src_tokens").alias("all_tokens"))
+    rate = (
+        "cast(least(cast(1099511627776 as decimal(38,0)), "
+        "(cast(w as decimal(38,0)) * 1099511627776 * all_tokens) div "
+        f"({wsum} * src_tokens)) as bigint)"
+    )
+    rates = totals.crossJoin(tot_all).select(
+        "source", F.expr(rate).alias("rate40")
+    )
+    ss = bits.seed_salt(seed, SALT_MIXTURE)
+    h = prng.spark_hash(str(ss), "doc_id")
+    draw = prng.spark_unit_bits(h, 40)
+    return (
+        base.join(F.broadcast(rates), "source")
+        .filter(F.expr(f"{draw} < rate40"))
+        .select("doc_id", "source", "n_tokens")
+    )
+
+
+def duck_mixture_sample_sql(
+    docs_sql: str, weights: dict[str, int], seed: int = 42
+) -> str:
+    wsum = sum(weights.values())
+    vals = ", ".join(f"('{s}', {w})" for s, w in sorted(weights.items()))
+    toks = f"cast(len({text.DUCK_TOKENS}) as bigint)"
+    ss = bits.seed_salt(seed, SALT_MIXTURE)
+    base = (
+        f"SELECT doc_id, source, {toks} AS n_tokens FROM {docs_sql} _m"
+    )
+    hq = prng.duck_hash_query(
+        f"({base})", [str(ss), "doc_id"], "__mx",
+        extra=[f"{prng.duck_unit_bits('__mx', 40)} AS draw"],
+    )
+    return f"""(
+      WITH w(source, w) AS (VALUES {vals}),
+      b AS (SELECT doc_id, source, n_tokens, draw FROM {hq} _b),
+      totals AS (
+        SELECT b.source, any_value(w.w) AS w,
+               sum(b.n_tokens) AS src_tokens
+        FROM b JOIN w USING (source) GROUP BY b.source
+      ), rates AS (
+        SELECT source,
+               (least(1099511627776::HUGEINT,
+                      (w::HUGEINT * 1099511627776 *
+                       (SELECT sum(src_tokens) FROM totals))
+                      // ({wsum} * src_tokens)))::BIGINT AS rate40
+        FROM totals
+      )
+      SELECT b.doc_id, b.source, b.n_tokens
+      FROM b JOIN rates USING (source)
+      WHERE b.draw < rates.rate40
+    )"""

@@ -60,3 +60,43 @@ def test_importance_sample_stable_and_bounded(spark):
     assert sub_kept == {
         k: v for k, v in kept.items() if k % 2 == 0
     }
+
+
+def test_mixture_sample_downsamples_toward_target(spark):
+    from pyspark.sql import functions as F
+
+    from geneticalgorithmsusingmapreduce_spark.operators import split as sp
+    from geneticalgorithmsusingmapreduce_spark.sources.registry import (
+        read_table,
+    )
+
+    docs = read_table(spark, "/root/testdata/sf0.01", "documents").select(
+        "doc_id", "source", "text"
+    )
+    weights = {f"src{i}": (i % 4) + 1 for i in range(17)}
+    kept = sp.mixture_sample(docs, weights)
+    rows = kept.collect()
+    # unlisted sources are dropped entirely
+    assert all(r.source in weights for r in rows)
+    # with uniform actual shares (1/17) and target share 4/Σw > 1/17,
+    # weight-4 sources are under-represented -> rate clamps to 1, every
+    # doc kept; weight-1 sources are over-represented -> strictly thinned
+    per = {
+        r.source: r.n
+        for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    n_docs = {
+        r.source: r.n
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    for s, w in weights.items():
+        if w == 4:
+            assert per.get(s, 0) == n_docs[s], s
+        if w == 1:
+            assert per.get(s, 0) < n_docs[s], s
+    # pure function of (seed, doc_id): stable under repartitioning
+    again = {
+        (r.doc_id, r.source)
+        for r in sp.mixture_sample(docs.repartition(7), weights).collect()
+    }
+    assert again == {(r.doc_id, r.source) for r in rows}
