@@ -543,7 +543,7 @@ def events_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         (
             ev.withColumn(
-                "day_bucket", F.expr("floor(unix_micros(ts) / 86400000000)")
+                "day_bucket", F.expr("unix_micros(ts) div 86400000000")
             )
             .write.partitionBy("day_bucket").parquet(f"{d}/out")
         )

@@ -252,9 +252,19 @@ def cluster_pairs_star(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
             .localCheckpoint(eager=True)
         )
         new_sig = _sig(new)
-        edges = new
         if new_sig == sig:
-            break
+            # the (count, checksum) signature is a 2^-64-collision proxy;
+            # make the fixpoint proof EXACT with one symmetric-difference
+            # emptiness check, paid only on the (single) signature-equal
+            # round, never per round (ADVICE r3). Both sides are already
+            # distinct, so two anti-joins suffice.
+            diff = new.join(edges, ["u", "v"], "left_anti").unionByName(
+                edges.join(new, ["u", "v"], "left_anti")
+            )
+            if diff.isEmpty():
+                edges = new
+                break
+        edges = new
         sig = new_sig
     else:
         # same fail-loudly policy as cluster_pairs: an unconverged edge

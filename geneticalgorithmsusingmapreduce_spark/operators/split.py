@@ -232,10 +232,14 @@ def mixture_sample(
         .agg(F.sum("n_tokens").alias("src_tokens"))
     )
     tot_all = totals.agg(F.sum("src_tokens").alias("all_tokens"))
+    # src_tokens = 0 (a listed source whose docs all tokenize empty) has
+    # no token mass to thin — keep everything (rate40 = 2^40) instead of
+    # tripping ANSI DIVIDE_BY_ZERO; the DuckDB twin guards identically.
     rate = (
+        "case when src_tokens = 0 then cast(1099511627776 as bigint) else "
         "cast(least(cast(1099511627776 as decimal(38,0)), "
         "(cast(w as decimal(38,0)) * 1099511627776 * all_tokens) div "
-        f"({wsum} * src_tokens)) as bigint)"
+        f"({wsum} * src_tokens)) as bigint) end"
     )
     rates = totals.crossJoin(tot_all).select(
         "source", F.expr(rate).alias("rate40")
@@ -273,10 +277,11 @@ def duck_mixture_sample_sql(
         FROM b JOIN w USING (source) GROUP BY b.source
       ), rates AS (
         SELECT source,
+               CASE WHEN src_tokens = 0 THEN 1099511627776::BIGINT ELSE
                (least(1099511627776::HUGEINT,
                       (w::HUGEINT * 1099511627776 *
                        (SELECT sum(src_tokens) FROM totals))
-                      // ({wsum} * src_tokens)))::BIGINT AS rate40
+                      // ({wsum} * src_tokens)))::BIGINT END AS rate40
         FROM totals
       )
       SELECT b.doc_id, b.source, b.n_tokens

@@ -46,8 +46,23 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # pin UTC on whatever session the driver hands us: the NTZ→timestamp
     # cast below and every to_date(ts) downstream are wall-clock-correct
-    # only under UTC, and the DuckDB oracles are timezone-free
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # only under UTC, and the DuckDB oracles are timezone-free.
+    # build_session() already sets UTC, so this is a no-op on our own
+    # sessions; on a foreign non-UTC session the overwrite is required
+    # for correctness but is a session-global side effect, so warn loudly
+    # instead of changing co-resident queries' behavior silently.
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    if tz not in ("UTC", "Etc/UTC", "GMT", "Etc/GMT", "Z", "+00:00"):
+        import warnings
+
+        warnings.warn(
+            f"read_events: overriding spark.sql.session.timeZone={tz!r} "
+            "to 'UTC' for the rest of this session (events timestamps "
+            "are timezone-free wall clocks; non-UTC sessions would "
+            "mis-bucket to_date/window results)",
+            stacklevel=2,
+        )
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw = spark.read.parquet(table_path(sf_dir, "events"))
     ts_type = dict(raw.dtypes)["ts"]
     if ts_type == "bigint":  # TIMESTAMP(NANOS) fixture, ns-as-long
