@@ -67,9 +67,30 @@ def _duck_gstr(expr: str) -> str:
     return f"array_to_string({expr}, ',')"
 
 
+def _ensure_adaptive_cached_plans(spark: SparkSession) -> None:
+    """Let AQE re-plan cached subtrees. By default `persist()` captures a
+    NON-adaptive physical plan at call time, so every cached shuffle
+    (LSH band rows, shingle sets, simhash signatures) materializes at the
+    session's full `spark.sql.shuffle.partitions` — 200 near-empty tasks
+    per cached exchange on a driver-default session at gate scale, and
+    immune to any runtime partition tuning. Purely physical (output
+    partitioning of the cache), no semantic change; idempotent, so every
+    registered entry applies it on whatever session the driver hands us."""
+    spark.conf.set(
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true"
+    )
+
+
 def register(name: str, oracle: str | None = None):
     def deco(fn):
-        QUERIES[name] = fn
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _ensure_adaptive_cached_plans(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        wrapped.__wrapped__ = fn
+        QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle
         return fn
@@ -1797,6 +1818,45 @@ def emb_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb_ivf_topk_trained)."""
     return ann_ops.kmeans_cluster_stats(
         read_table(spark, sf_dir, "embeddings")
+    )
+
+
+@register(
+    "emb_ivf_recall",
+    f"""
+    SELECT hits, total,
+           cast(hits as double) / total AS recall
+    FROM (
+      SELECT count(*) AS hits
+      FROM {ann_ops.duck_trained_ivf_sql()} a
+      JOIN {ann_ops.duck_topk_sql()} e
+        USING (query_id, vec_id)
+    ) _h CROSS JOIN (
+      SELECT count(*) AS total FROM {ann_ops.duck_topk_sql()} _e2
+    ) _t
+    """,
+)
+def emb_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality metric of the ANN scale path: recall@10 of the trained-IVF
+    ranking (emb_ivf_topk_trained) against the exact brute-force top-k
+    (emb_topk_dot). Both sides are deterministic, so the recall itself is
+    a hash-checkable value, not a statistical claim — the oracle replays
+    the full k-means training AND the exact ranking and intersects them
+    identically. Output: 1 row [hits, total, recall]."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    exact = ann_ops.topk_dot(emb).select("query_id", "vec_id")
+    cents, _ = ann_ops.train_centroids(emb, compute_inertia=False)
+    appx = ann_ops.ivf_topk(emb, centroids=cents).select(
+        "query_id", "vec_id"
+    )
+    hits = appx.join(exact, ["query_id", "vec_id"]).agg(
+        F.count(F.lit(1)).alias("hits")
+    )
+    total = exact.agg(F.count(F.lit(1)).alias("total"))
+    # 1-row x 1-row stats join (same pattern as the sketch entries)
+    return hits.crossJoin(total).select(
+        "hits", "total",
+        (F.col("hits").cast("double") / F.col("total")).alias("recall"),
     )
 
 

@@ -115,9 +115,39 @@ def cluster_pairs(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     if max_iters < 1:
         raise ValueError(f"cluster_pairs: max_iters must be >= 1, got {max_iters}")
     edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-    sym = edges.unionByName(
-        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).distinct().localCheckpoint(eager=True)
+    # size the iteration's shuffles to the cluster/graph, not the session
+    # default: localCheckpoint materializes pre-AQE, so a 200-partition
+    # session (the driver's default) runs 200-400 near-empty tasks per
+    # round on a few-hundred-edge gate graph — pure scheduler overhead.
+    # cap 1 = cores (standard local shuffle sizing); once the edge count
+    # is known the loop tightens to the graph's own size. On a real
+    # cluster prev <= cores, so both min()s are no-ops. Restored in the
+    # finally; the returned frame is fully materialized inside the scope
+    # so no 200-partition stage leaks to the caller's action.
+    spark = pairs.sparkSession
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    cores = spark.sparkContext.defaultParallelism
+    try:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(max(4, min(int(prev_parts), cores))),
+        )
+        sym = edges.unionByName(
+            edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        ).distinct().localCheckpoint(eager=True)
+        n_edges = sym.count()  # free: sym is materialized
+        loop_parts = max(4, min(int(prev_parts), cores, n_edges // 20_000 + 1))
+        spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+        labels = _minlabel_loop(sym, max_iters)
+        out = labels.select(
+            F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+        ).localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return out
+
+
+def _minlabel_loop(sym: DataFrame, max_iters: int) -> DataFrame:
     labels = (
         sym.select(F.col("a").alias("node")).distinct()
         .withColumn("label", F.col("node"))
@@ -130,6 +160,10 @@ def cluster_pairs(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         )
         # carry the previous label through the update so convergence is a
         # filter over the checkpointed frame, not a third join per round
+        # LAZY checkpoint: the changed-count action below materializes it,
+        # so each round runs ONE job (update + convergence stat) instead
+        # of two — at gate scale the loop is all per-job fixed overhead,
+        # and this halves it (same policy as run_cga's lazy checkpoints)
         new = (
             labels.join(nbr, labels.node == nbr.a, "left")
             .select(
@@ -139,7 +173,7 @@ def cluster_pairs(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
                     F.col("label"), F.coalesce(F.col("nl"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         changed = new.filter("label != old_label").count()
         labels = new.select("node", "label")
@@ -155,9 +189,7 @@ def cluster_pairs(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
             f"exceeds max_iters; raise it or use cluster_pairs_star "
             f"(O(log n) rounds)"
         )
-    return labels.select(
-        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
-    )
+    return labels
 
 
 def duck_cluster_sql(pairs_sql: str) -> str:
@@ -179,7 +211,9 @@ def duck_cluster_sql(pairs_sql: str) -> str:
     )"""
 
 
-def cluster_pairs_star(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
+def cluster_pairs_star(
+    pairs: DataFrame, max_rounds: int = 50, stats: dict | None = None
+) -> DataFrame:
     """Connected components via alternating large-star / small-star
     contractions (Kiveris et al., "Connected Components in MapReduce and
     Beyond", SoCC'14) — the scale path past min-label propagation:
@@ -202,17 +236,6 @@ def cluster_pairs_star(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
         raise ValueError(
             f"cluster_pairs_star: max_rounds must be >= 1, got {max_rounds}"
         )
-    raw = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-    edges = (
-        raw.filter("u != v").distinct().localCheckpoint(eager=True)
-    )
-    # contract parity with cluster_pairs: a node appearing ONLY in
-    # self-pairs (a == a) must still come back labeled with itself —
-    # the u != v filter above would otherwise erase it entirely
-    self_only = (
-        raw.filter("u = v").select(F.col("u").alias("doc_id")).distinct()
-    )
-
     def _sig(e: DataFrame):
         row = e.agg(
             F.count(F.lit(1)).alias("c"),
@@ -220,8 +243,69 @@ def cluster_pairs_star(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
         ).collect()[0]
         return row["c"], row["h"]
 
-    sig = _sig(edges)
+    # shuffle sizing + full in-scope materialization: same rationale and
+    # restore policy as cluster_pairs (comment there)
+    spark = pairs.sparkSession
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    cores = spark.sparkContext.defaultParallelism
+    try:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(max(4, min(int(prev_parts), cores))),
+        )
+        # checkpoint the PAIR SOURCE once: both edges and self_only
+        # derive from it, and without this every action on the returned
+        # frame re-executes the (expensive) upstream pair-generation
+        # subtree a second time for the self_only branch
+        raw = pairs.select(
+            F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+        ).localCheckpoint(eager=True)
+        # lazy: the initial _sig below materializes it in the same job
+        edges = raw.filter("u != v").distinct().localCheckpoint(eager=False)
+        # contract parity with cluster_pairs: a node appearing ONLY in
+        # self-pairs (a == a) must still come back labeled with itself —
+        # the u != v filter above would otherwise erase it entirely
+        self_only = (
+            raw.filter("u = v").select(F.col("u").alias("doc_id")).distinct()
+        )
+        sig = _sig(edges)
+        loop_parts = max(
+            4, min(int(prev_parts), cores, sig[0] // 20_000 + 1)
+        )
+        spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+        edges, rounds_run = _star_loop(edges, sig, max_rounds, _sig)
+        if stats is not None:
+            # observability hook (round-count assertions in tests): the
+            # O(log n) bound is a correctness claim worth pinning
+            stats["rounds"] = rounds_run
+        # converged star forest: every non-root points at its component
+        # min
+        labels = (
+            edges.select(
+                F.col("u").alias("doc_id"), F.col("v").alias("cluster_id")
+            )
+            .unionByName(
+                edges.select(
+                    F.col("v").alias("doc_id"),
+                    F.col("v").alias("cluster_id"),
+                )
+            )
+            .distinct()
+        )
+        lonely = (
+            self_only.join(labels, "doc_id", "left_anti")
+            .select("doc_id", F.col("doc_id").alias("cluster_id"))
+        )
+        out = labels.unionByName(lonely).localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return out
+
+
+def _star_loop(edges: DataFrame, sig, max_rounds: int, _sig):
+    rounds_run = 0
     for _ in range(max_rounds):
+        rounds_run += 1
         # large-star: for each u, m = min(N(u) ∪ {u}); emit (v, m) ∀ v > u
         sym = edges.unionByName(
             edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -249,7 +333,9 @@ def cluster_pairs_star(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
             )
             .filter("u != v")
             .distinct()
-            .localCheckpoint(eager=True)
+            # LAZY: materialized by the _sig action — one job per round,
+            # not two (checkpoint + signature); see cluster_pairs
+            .localCheckpoint(eager=False)
         )
         new_sig = _sig(new)
         if new_sig == sig:
@@ -274,18 +360,4 @@ def cluster_pairs_star(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
             f"cluster_pairs_star: no fixpoint after {max_rounds} rounds "
             f"— raise max_rounds (O(log n) suffices for any graph)"
         )
-    # converged star forest: every non-root points at its component min
-    labels = (
-        edges.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))
-        .unionByName(
-            edges.select(
-                F.col("v").alias("doc_id"), F.col("v").alias("cluster_id")
-            )
-        )
-        .distinct()
-    )
-    lonely = (
-        self_only.join(labels, "doc_id", "left_anti")
-        .select("doc_id", F.col("doc_id").alias("cluster_id"))
-    )
-    return labels.unionByName(lonely)
+    return edges, rounds_run

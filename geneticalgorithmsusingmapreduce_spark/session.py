@@ -23,6 +23,13 @@ def build_session(app: str = "gamr-spark", cpus: int | None = None) -> SparkSess
         .config("spark.default.parallelism", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # persist() captures a non-adaptive plan by default — cached
+        # exchanges would materialize at the raw shuffle partition count
+        # (catalog._ensure_adaptive_cached_plans has the full rationale)
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.sql.session.timeZone", "UTC")
         # the reference enables speculative execution on every job

@@ -90,3 +90,30 @@ def test_star_raises_when_rounds_exhausted(spark):
     )
     with pytest.raises(RuntimeError, match="no fixpoint"):
         dedup.cluster_pairs_star(df, max_rounds=1)
+
+
+def test_star_skewed_giant_component(spark):
+    # VERDICT r3 #6: the 100 TB stress shape — ONE giant star (hub 0,
+    # 10,000 spokes: every edge shares the hub key, worst-case join
+    # skew) plus a 16-node chain, in the same pair set. Star contraction
+    # must converge in O(log n) rounds regardless of the skew, and agree
+    # with min-label propagation exactly.
+    hub = [(0, i) for i in range(1, 10_001)]
+    chain = [(20_000 + i, 20_000 + i + 1) for i in range(15)]
+    df = spark.createDataFrame(hub + chain, "doc_a long, doc_b long")
+    stats = {}
+    rows = dedup.cluster_pairs_star(df, max_rounds=12, stats=stats).collect()
+    # round bound: the star is diameter 2 (contracts ~immediately); the
+    # chain needs ~2*log2(16) alternating rounds — 12 is the O(log n)
+    # ceiling with slack, far under the chain's diameter 15
+    assert stats["rounds"] <= 12
+    got = {r.doc_id: r.cluster_id for r in rows}
+    assert len(got) == 10_001 + 16
+    assert all(got[i] == 0 for i in range(10_001))
+    assert all(got[20_000 + i] == 20_000 for i in range(16))
+    # exact equivalence with label propagation on the identical input
+    lp = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup.cluster_pairs(df, max_iters=20).collect()
+    }
+    assert lp == set(got.items())

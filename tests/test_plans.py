@@ -245,3 +245,29 @@ def test_local_supplier_volume_dims_broadcast(spark):
     p = _plan(catalog.QUERIES["local_supplier_volume"](spark, SF))
     assert p.count("BroadcastHashJoin") >= 3
     assert "CartesianProduct" not in p
+
+
+def test_cached_plans_get_adaptive_coalescing(spark):
+    # persist() captures its physical plan at call time; without
+    # canChangeCachedPlanOutputPartitioning AQE is bypassed for the
+    # cached subtree and every cached exchange materializes at the raw
+    # spark.sql.shuffle.partitions (200 near-empty tasks per round on a
+    # driver-default session at gate scale). Pin that cache
+    # materialization IS coalesced: a tiny grouped result must come back
+    # in far fewer partitions than the configured shuffle width.
+    from pyspark.sql import functions as F
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "200")
+    try:
+        cached = (
+            spark.range(10_000)
+            .groupBy((F.col("id") % 50).alias("k"))
+            .count()
+            .persist()
+        )
+        cached.count()  # materialize
+        assert cached.rdd.getNumPartitions() < 32
+    finally:
+        cached.unpersist()
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
