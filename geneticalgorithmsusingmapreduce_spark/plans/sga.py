@@ -141,16 +141,18 @@ def run_sga(
     pop = evaluate(
         generate.random_population(spark, pop_size, n_bits, seed), n_bits
     ).persist()
-    pop.count()  # materialize so generation 0's ms covers its production
+    # ONE job materializes the generation AND gathers its stats (the
+    # reference's map-side running max + side-channel fold rode the same
+    # job too, MapReduce.java:296-310) — a separate count()-then-agg
+    # costs a second full scan per generation, ~15% of a 1.33M-row
+    # generation's wall time
+    best, n = pop.agg(F.max("fitness"), F.count(F.lit(1))).collect()[0]
     gen_ms = int((time.perf_counter() - t0) * 1000)
     try:
         for it in range(max_generations):
-            best, n = pop.agg(
-                F.max("fitness"), F.count(F.lit(1))
-            ).collect()[0]
             # ms = wall time to PRODUCE this generation (generate/evaluate
-            # + checkpoint), matching the reference's per-job GA:<ms> line
-            # (MapReduce.java:432) — not just the 1-row stat query
+            # + checkpoint + stats), matching the reference's per-job
+            # GA:<ms> line (MapReduce.java:432)
             res.stats.append(GenStats(it, best, n, gen_ms))
             print(f"GA:{it}:{n_bits}:{n}:{best}:{gen_ms}")
             res.best_fitness = max(res.best_fitness, best)
@@ -177,8 +179,13 @@ def run_sga(
                         children, n_bits, mutation_rate, gen_seed
                     )
             children = evaluate(children, n_bits)
-            # materialize + truncate lineage, then release the old gen
-            new_pop = children.localCheckpoint(eager=True)
+            # LAZY checkpoint: the stats agg below materializes it —
+            # one job per generation total (produce + truncate lineage
+            # + stats), not two
+            new_pop = children.localCheckpoint(eager=False)
+            best, n = new_pop.agg(
+                F.max("fitness"), F.count(F.lit(1))
+            ).collect()[0]
             gen_ms = int((time.perf_counter() - t0) * 1000)
             pop.unpersist()
             pop = new_pop
