@@ -15,6 +15,7 @@ Determinism rules for oracle-checked entries:
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -83,13 +84,11 @@ def _ensure_adaptive_cached_plans(spark: SparkSession) -> None:
 
 def register(name: str, oracle: str | None = None):
     def deco(fn):
+        @functools.wraps(fn)
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             _ensure_adaptive_cached_plans(spark)
             return fn(spark, sf_dir)
 
-        wrapped.__name__ = fn.__name__
-        wrapped.__doc__ = fn.__doc__
-        wrapped.__wrapped__ = fn
         QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle
@@ -1824,16 +1823,12 @@ def emb_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "emb_ivf_recall",
     f"""
-    SELECT hits, total,
-           cast(hits as double) / total AS recall
-    FROM (
-      SELECT count(*) AS hits
-      FROM {ann_ops.duck_trained_ivf_sql()} a
-      JOIN {ann_ops.duck_topk_sql()} e
-        USING (query_id, vec_id)
-    ) _h CROSS JOIN (
-      SELECT count(*) AS total FROM {ann_ops.duck_topk_sql()} _e2
-    ) _t
+    (WITH e AS (SELECT query_id, vec_id FROM {ann_ops.duck_topk_sql()} _e),
+          a AS (SELECT query_id, vec_id, 1 AS m
+                FROM {ann_ops.duck_trained_ivf_sql()} _a)
+     SELECT count(a.m) AS hits, count(*) AS total,
+            cast(count(a.m) as double) / count(*) AS recall
+     FROM e LEFT JOIN a USING (query_id, vec_id))
     """,
 )
 def emb_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1842,21 +1837,25 @@ def emb_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     (emb_topk_dot). Both sides are deterministic, so the recall itself is
     a hash-checkable value, not a statistical claim — the oracle replays
     the full k-means training AND the exact ranking and intersects them
-    identically. Output: 1 row [hits, total, recall]."""
+    identically. hits and total come from ONE left join (each side's
+    expensive subtree executes exactly once — no cross-branch reuse
+    exists at the plan level). Output: 1 row [hits, total, recall]."""
     emb = read_table(spark, sf_dir, "embeddings")
     exact = ann_ops.topk_dot(emb).select("query_id", "vec_id")
     cents, _ = ann_ops.train_centroids(emb, compute_inertia=False)
     appx = ann_ops.ivf_topk(emb, centroids=cents).select(
-        "query_id", "vec_id"
+        "query_id", "vec_id", F.lit(1).alias("m")
     )
-    hits = appx.join(exact, ["query_id", "vec_id"]).agg(
-        F.count(F.lit(1)).alias("hits")
-    )
-    total = exact.agg(F.count(F.lit(1)).alias("total"))
-    # 1-row x 1-row stats join (same pattern as the sketch entries)
-    return hits.crossJoin(total).select(
-        "hits", "total",
-        (F.col("hits").cast("double") / F.col("total")).alias("recall"),
+    return (
+        exact.join(appx, ["query_id", "vec_id"], "left")
+        .agg(
+            F.count("m").alias("hits"),
+            F.count(F.lit(1)).alias("total"),
+        )
+        .select(
+            "hits", "total",
+            (F.col("hits").cast("double") / F.col("total")).alias("recall"),
+        )
     )
 
 

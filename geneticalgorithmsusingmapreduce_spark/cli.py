@@ -57,8 +57,11 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None):
     result object (SgaResult / CgaResult / IncrementalState) so tests and
     callers can assert on trajectories; ``python -m`` discards it.
 
-    ``spark=None`` builds a session sized to nMaps+nReducers-ish local
-    parallelism; passing a session (tests, notebooks) skips that.
+    ``spark=None`` builds a session whose local parallelism matches the
+    requested task counts (max(nMaps, nReducers) local cores — the
+    closest Spark analogue of the reference's map/reduce slot counts);
+    passing a session (tests, notebooks) uses it as-is, in which case
+    nMaps only influences derived quantities (cGA split count).
     """
     argv = sys.argv[1:] if argv is None else argv
     if not argv or argv[0] not in _USAGE:
@@ -75,12 +78,20 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None):
         raise _usage_err(f"{cmd}: all arguments are integers ({e})") from None
     if any(a < 0 for a in args) or 0 in args[:2]:
         raise _usage_err(f"{cmd}: arguments must be positive")
+    if cmd in ("ga", "cga") and args[2] < 2:
+        # pop sizing divides by log2(problem size): 0/1-bit problems
+        # would crash in math.log2 far from the argv layer
+        raise _usage_err(f"{cmd}: problem size (arg 3) must be >= 2")
+    if cmd in ("ga", "cga") and args[4] < 1:
+        raise _usage_err(f"{cmd}: population multiplier must be >= 1")
+    if cmd == "cga" and args[5] < 2:
+        raise _usage_err("cga: tournament size must be >= 2")
 
     own_session = spark is None
     if own_session:
         from .session import build_session
 
-        spark = build_session(f"gamr-{cmd}")
+        spark = build_session(f"gamr-{cmd}", cpus=max(args[0], args[1]))
         spark.sparkContext.setLogLevel("ERROR")
     try:
         if cmd == "ga":
@@ -103,17 +114,22 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None):
             pop = cga_plan.reference_pop_size(n_maps, bits_per_split, mult)
             print(f"Splits = {n_maps}")
             print(f"Pop = {pop}")
-            if it0 != 0:
-                # the reference's <iter> resumes a checkpointed model from
-                # HDFS at iteration it0; this engine keeps the model in a
-                # DataFrame, so a fresh invocation always starts at 0 and
-                # it0 only offsets the reported iteration numbers
-                print(f"(starting iteration relabeled from {it0})")
-            return cga_plan.run_cga(
+            res = cga_plan.run_cga(
                 spark, num_splits=n_maps, t_size=t_size, seed=42,
                 max_generations=iters, pop=pop,
                 bits_per_split=bits_per_split,
             )
+            if it0 != 0:
+                # the reference's <iter> resumes a checkpointed model from
+                # HDFS at iteration it0; this engine keeps the model in a
+                # DataFrame, so a fresh invocation evolves from scratch
+                # and it0 is applied as a pure relabeling of the reported
+                # iteration numbers (matching the reference's counter)
+                print(f"(iterations relabeled to start at {it0})")
+                res.generations += it0
+                for s in res.stats:
+                    s.generation += it0
+            return res
         # inc_ga
         from .streaming import incremental
 
