@@ -97,3 +97,22 @@ def test_pop_sizing_and_bucket_defaults(spark):
     # bucket default scales with the session's parallelism, not a literal
     assert sga.default_n_buckets(spark) == \
         spark.sparkContext.defaultParallelism * 4
+
+
+def test_run_sga_one_action_per_generation(spark):
+    # the loop's scale contract: ONE action per generation — the stats
+    # agg materializes the lazy checkpoint, so produce + lineage-truncate
+    # + stats ride the same action (like the reference's side-channel
+    # fold rode its generation job). AQE turns one action into one job
+    # per exchange stage (~4 here), so pin the per-generation JOB budget
+    # at that stage count; the old two-action loop (eager checkpoint +
+    # separate agg) measures ~6/generation and fails this bound.
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None))
+    gens = 5
+    sga.run_sga(
+        spark, n_bits=64, pop_size=64, seed=3,
+        max_generations=gens, target_slack=0, n_buckets=4,
+    )
+    jobs = len(tracker.getJobIdsForGroup(None)) - before
+    assert jobs <= gens * 4 + 4, f"{jobs} jobs for {gens} generations"
