@@ -58,3 +58,11 @@ def test_inc_ga_three_args(spark):
 def test_usage_errors(spark, argv):
     with pytest.raises(SystemExit):
         cli.main(argv, spark=spark)
+
+
+def test_cga_iteration_relabel(spark):
+    # the reference's 7th arg resumes its counter at <iter>; the engine
+    # relabels reported iterations to match (cli.py docstring)
+    res = cli.main(["cga", "2", "2", "64", "3", "1", "4", "5"], spark=spark)
+    assert res.stats and res.stats[0].generation == 5
+    assert res.generations >= 5
