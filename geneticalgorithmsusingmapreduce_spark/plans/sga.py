@@ -126,6 +126,10 @@ def run_sga(
     ``reference src/edu/illinois/ga/MapReduce.java:433-434``). Emits the
     reference's telemetry line GA:<it>:<bits>:<pop>:<best>:<ms>
     (``:432``) per generation."""
+    if pop_size < 1:
+        # an empty population would surface as best=None deep in the
+        # stats fold; fail at the API boundary instead
+        raise ValueError(f"run_sga: pop_size must be >= 1, got {pop_size}")
     res = SgaResult()
     # seed=None mutation still needs a *fresh* deterministic stream per
     # generation — a literal-0 fallback reapplied the identical mask keyed
