@@ -228,6 +228,36 @@ def csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(d, ignore_errors=True)
 
 
+@register(
+    "orc_roundtrip",
+    f"""
+    SELECT id, genome, {_DUCK_FIT} AS fitness
+    FROM {generate.population_gen_duckdb_sql(256, GENOME_BITS, SEED)} _p
+    """,
+)
+def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar-format interchange beyond parquet: the seeded population
+    written to ORC with its NATIVE types (bigint id, array<bigint>
+    genome, bigint fitness — no stringification) and read back, hash-
+    matched against the generator oracle. ORC is Spark-built-in
+    (vectorized reader, predicate pushdown, splittable) — the second
+    columnar lake format a migrating user is likely to hold data in."""
+    import shutil
+    import tempfile
+
+    pop = fit_ops.with_fitness(
+        generate.random_population(spark, 256, GENOME_BITS, SEED), nl=NL
+    ).select("id", "genome", "fitness")
+    d = tempfile.mkdtemp(prefix="gamr_orc_")
+    try:
+        write_table(pop, f"{d}/orc", fmt="orc")
+        back = read_any(spark, f"{d}/orc", fmt="orc")
+        rows = back.collect()  # materialize so the temp dir can go
+        return spark.createDataFrame(rows, back.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 # --- S1 literal fidelity: SequenceFile interchange ----------------------
 
 @register(
@@ -1585,6 +1615,70 @@ def join_broadcast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+@register(
+    "join_bucketed_revenue",
+    f"""
+    SELECT o_orderpriority,
+           cast(sum({_DISC_CENTS}) as bigint) AS revenue_cents,
+           count(*) AS n_items
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE {LI_POP_WHERE}
+    GROUP BY o_orderpriority
+    """,
+)
+def join_bucketed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB fact⋈fact layout made driver-checkable: both sides
+    land as bucketed tables on the join key (8 buckets, sorted), then
+    the join plans with ZERO exchanges — each task reads bucket i of
+    both sides and joins locally (plan property pinned in
+    tests/test_bucketing.py; broadcast disabled here so the
+    demonstration is honest — at real scale neither fact side fits a
+    broadcast). The per-orderkey work rides the bucketing; only the
+    5-row priority regroup exchanges. Oracle: the same join computed
+    the plain way — bucketing must be a pure physical property."""
+    import shutil
+    import tempfile
+
+    from .sources import bucketing
+
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    # same gate-budget fixture cut as the population entries
+    # (LI_POP_WHERE): the bucketed WRITE dominates this entry's cost and
+    # 2/7 of the rows exercise the identical zero-exchange join shape
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .filter(LI_POP_WHERE)
+        .select("l_orderkey", F.expr(_DISC_CENTS).alias("cents"))
+    )
+    d = tempfile.mkdtemp(prefix="gamr_bkt_")
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        bucketing.write_bucketed(o, "gamr_b_orders", f"{d}/o", 8, "o_orderkey")
+        bucketing.write_bucketed(
+            li, "gamr_b_lineitem", f"{d}/li", 8, "l_orderkey"
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        a = bucketing.read_bucketed(spark, "gamr_b_orders")
+        b = bucketing.read_bucketed(spark, "gamr_b_lineitem")
+        out = (
+            a.join(b, a.o_orderkey == b.l_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.sum("cents").alias("revenue_cents"),
+                F.count(F.lit(1)).alias("n_items"),
+            )
+        )
+        rows = out.collect()  # materialize before dropping the layout
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        spark.sql("DROP TABLE IF EXISTS gamr_b_orders")
+        spark.sql("DROP TABLE IF EXISTS gamr_b_lineitem")
+        shutil.rmtree(d, ignore_errors=True)
 
 
 @register(
