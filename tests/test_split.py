@@ -100,3 +100,16 @@ def test_mixture_sample_downsamples_toward_target(spark):
         for r in sp.mixture_sample(docs.repartition(7), weights).collect()
     }
     assert again == {(r.doc_id, r.source) for r in rows}
+
+
+def test_mixture_sample_zero_token_source(spark):
+    # ADVICE r3: a listed source whose docs ALL tokenize to zero tokens
+    # has no token mass to thin — it must keep everything (rate40 =
+    # 2^40 > any 40-bit draw) instead of tripping ANSI DIVIDE_BY_ZERO
+    rows = [(i, "a", f"real text number {i} with words") for i in range(40)]
+    rows += [(100 + i, "z", "") for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = split.mixture_sample(docs, {"a": 1, "z": 1}, seed=7)
+    got = {(r.doc_id, r.source) for r in out.collect()}
+    assert {(100 + i, "z") for i in range(5)} <= got  # all z docs kept
+    assert all(s in ("a", "z") for _, s in got)
