@@ -231,17 +231,20 @@ def csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "orc_roundtrip",
     f"""
-    SELECT id, genome, {_DUCK_FIT} AS fitness
+    SELECT id, {_duck_gstr("genome")} AS genome, {_DUCK_FIT} AS fitness
     FROM {generate.population_gen_duckdb_sql(256, GENOME_BITS, SEED)} _p
     """,
 )
 def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Columnar-format interchange beyond parquet: the seeded population
     written to ORC with its NATIVE types (bigint id, array<bigint>
-    genome, bigint fitness — no stringification) and read back, hash-
-    matched against the generator oracle. ORC is Spark-built-in
-    (vectorized reader, predicate pushdown, splittable) — the second
-    columnar lake format a migrating user is likely to hold data in."""
+    genome, bigint fitness — arrays survive the format round trip) and
+    read back. ORC is Spark-built-in (vectorized reader, predicate
+    pushdown, splittable) — the second columnar lake format a migrating
+    user is likely to hold data in. The genome is stringified only in
+    the RETURNED projection (after the array-typed round trip) because
+    the driver's canonicalizer cannot sort list cells — the _gstr rule
+    every genome entry follows."""
     import shutil
     import tempfile
 
@@ -251,7 +254,9 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tempfile.mkdtemp(prefix="gamr_orc_")
     try:
         write_table(pop, f"{d}/orc", fmt="orc")
-        back = read_any(spark, f"{d}/orc", fmt="orc")
+        back = read_any(spark, f"{d}/orc", fmt="orc").select(
+            "id", _gstr("genome").alias("genome"), "fitness"
+        )
         rows = back.collect()  # materialize so the temp dir can go
         return spark.createDataFrame(rows, back.schema)
     finally:

@@ -16,7 +16,34 @@ functions.text for the shingling/hash kernels. Scale notes per operator.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from contextlib import contextmanager
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+@contextmanager
+def _scoped_shuffle_width(spark: SparkSession, n_edges: int):
+    """Clamp spark.sql.shuffle.partitions to the GRAPH's size for the
+    clustering loops, restoring on exit. Rationale: localCheckpoint
+    materializes pre-AQE, so a 200-partition session (the driver's
+    default) runs 200-400 near-empty tasks per round on a
+    few-hundred-edge gate graph — pure scheduler overhead. The clamp is
+    min(session width, edges/20k+1): on a real cluster with billions of
+    edges the edge term exceeds any session tuning so the session width
+    wins untouched; only small graphs narrow. (No cores term — it would
+    throttle a deliberately tuned-up session's loop on huge graphs.)
+    Callers materialize every returned
+    frame inside the scope so no clamped (or unclamped) stage leaks to
+    the caller's action — and the expensive UPSTREAM pair-generation
+    subtree must be materialized BEFORE entering (it keeps the session's
+    own tuning)."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    width = max(4, min(int(prev), n_edges // 20_000 + 1))
+    spark.conf.set("spark.sql.shuffle.partitions", str(width))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def dedup_genomes(pop: DataFrame, keep: str = "min") -> DataFrame:
@@ -115,35 +142,18 @@ def cluster_pairs(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     if max_iters < 1:
         raise ValueError(f"cluster_pairs: max_iters must be >= 1, got {max_iters}")
     edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-    # size the iteration's shuffles to the cluster/graph, not the session
-    # default: localCheckpoint materializes pre-AQE, so a 200-partition
-    # session (the driver's default) runs 200-400 near-empty tasks per
-    # round on a few-hundred-edge gate graph — pure scheduler overhead.
-    # cap 1 = cores (standard local shuffle sizing); once the edge count
-    # is known the loop tightens to the graph's own size. On a real
-    # cluster prev <= cores, so both min()s are no-ops. Restored in the
-    # finally; the returned frame is fully materialized inside the scope
-    # so no 200-partition stage leaks to the caller's action.
-    spark = pairs.sparkSession
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    cores = spark.sparkContext.defaultParallelism
-    try:
-        spark.conf.set(
-            "spark.sql.shuffle.partitions",
-            str(max(4, min(int(prev_parts), cores))),
-        )
-        sym = edges.unionByName(
-            edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-        ).distinct().localCheckpoint(eager=True)
-        n_edges = sym.count()  # free: sym is materialized
-        loop_parts = max(4, min(int(prev_parts), cores, n_edges // 20_000 + 1))
-        spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+    # the UPSTREAM pair-generation subtree materializes here under the
+    # session's own shuffle width (a tuned-up cluster session keeps its
+    # tuning for the expensive stage; AQE coalesces the gate-scale case)
+    sym = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct().localCheckpoint(eager=True)
+    n_edges = sym.count()  # free: sym is materialized
+    with _scoped_shuffle_width(pairs.sparkSession, n_edges):
         labels = _minlabel_loop(sym, max_iters)
         out = labels.select(
             F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
         ).localCheckpoint(eager=True)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return out
 
 
@@ -243,36 +253,24 @@ def cluster_pairs_star(
         ).collect()[0]
         return row["c"], row["h"]
 
-    # shuffle sizing + full in-scope materialization: same rationale and
-    # restore policy as cluster_pairs (comment there)
-    spark = pairs.sparkSession
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    cores = spark.sparkContext.defaultParallelism
-    try:
-        spark.conf.set(
-            "spark.sql.shuffle.partitions",
-            str(max(4, min(int(prev_parts), cores))),
-        )
-        # checkpoint the PAIR SOURCE once: both edges and self_only
-        # derive from it, and without this every action on the returned
-        # frame re-executes the (expensive) upstream pair-generation
-        # subtree a second time for the self_only branch
-        raw = pairs.select(
-            F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
-        ).localCheckpoint(eager=True)
-        # lazy: the initial _sig below materializes it in the same job
-        edges = raw.filter("u != v").distinct().localCheckpoint(eager=False)
-        # contract parity with cluster_pairs: a node appearing ONLY in
-        # self-pairs (a == a) must still come back labeled with itself —
-        # the u != v filter above would otherwise erase it entirely
-        self_only = (
-            raw.filter("u = v").select(F.col("u").alias("doc_id")).distinct()
-        )
-        sig = _sig(edges)
-        loop_parts = max(
-            4, min(int(prev_parts), cores, sig[0] // 20_000 + 1)
-        )
-        spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+    # checkpoint the PAIR SOURCE once, under the session's own shuffle
+    # width (the expensive upstream pair-generation subtree keeps any
+    # cluster tuning): both edges and self_only derive from it, and
+    # without this every action on the returned frame re-executes the
+    # upstream subtree a second time for the self_only branch
+    raw = pairs.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).localCheckpoint(eager=True)
+    # lazy: the initial _sig below materializes it in the same job
+    edges = raw.filter("u != v").distinct().localCheckpoint(eager=False)
+    # contract parity with cluster_pairs: a node appearing ONLY in
+    # self-pairs (a == a) must still come back labeled with itself —
+    # the u != v filter above would otherwise erase it entirely
+    self_only = (
+        raw.filter("u = v").select(F.col("u").alias("doc_id")).distinct()
+    )
+    sig = _sig(edges)
+    with _scoped_shuffle_width(pairs.sparkSession, sig[0]):
         edges, rounds_run = _star_loop(edges, sig, max_rounds, _sig)
         if stats is not None:
             # observability hook (round-count assertions in tests): the
@@ -297,8 +295,6 @@ def cluster_pairs_star(
             .select("doc_id", F.col("doc_id").alias("cluster_id"))
         )
         out = labels.unionByName(lonely).localCheckpoint(eager=True)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return out
 
 

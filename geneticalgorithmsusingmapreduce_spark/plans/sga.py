@@ -164,6 +164,12 @@ def run_sga(
             if best >= n_bits - target_slack:
                 res.converged = True
                 break
+            if it == max_generations - 1:
+                # the generation bred here would exit the loop unrecorded
+                # — don't pay a full produce+materialize for stats no one
+                # sees (at the README's 10x scale that's a wasted ~10 s
+                # 1.33M-row generation per bounded run)
+                break
             t0 = time.perf_counter()
             children = next_generation(pop, n_bits, seed, it, n_buckets)
             if mutation_rate:
