@@ -66,3 +66,24 @@ def test_cga_iteration_relabel(spark):
     res = cli.main(["cga", "2", "2", "64", "3", "1", "4", "5"], spark=spark)
     assert res.stats and res.stats[0].generation == 5
     assert res.generations >= 5
+
+
+def test_python_dash_m_subprocess():
+    # the literal `python -m geneticalgorithmsusingmapreduce_spark ...`
+    # invocation (reference README:40-41 shape at toy scale) — exercises
+    # __main__.py and the CLI-built session end to end
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    out = subprocess.run(
+        [sys.executable, "-m", "geneticalgorithmsusingmapreduce_spark",
+         "ga", "2", "2", "64", "2", "1"],
+        capture_output=True, text=True, timeout=300, env=env, cwd=repo,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "Population = 384" in out.stdout
+    assert "GA:0:64:" in out.stdout  # telemetry line (MapReduce.java:432)
