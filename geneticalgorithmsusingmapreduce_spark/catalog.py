@@ -2411,6 +2411,22 @@ def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketch_ops.hll_distinct(ev, "user_id")
 
 
+@register(
+    "hll_distinct_by_type",
+    f"""SELECT * FROM {sketch_ops.duck_hll_by_sql(
+        "events", "user_id", "event_type"
+    )} _q""",
+)
+def hll_distinct_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED HyperLogLog: one sketch per event_type — the per-tenant /
+    per-source cardinality report shape. The exchange moves (group,
+    register) partial maxima — G·M cells, never rows — and the oracle
+    replays every register per group. Exact count and signed per-mille
+    error ride along per group."""
+    ev = read_events(spark, sf_dir).select("event_type", "user_id")
+    return sketch_ops.hll_distinct_by(ev, "user_id", "event_type")
+
+
 _BLOOM_BUILD = (
     "(SELECT c_custkey AS o_custkey FROM customer "
     "WHERE c_mktsegment = 'BUILDING')"

@@ -253,6 +253,86 @@ def duck_hll_sql(table_sql: str, key: str) -> str:
 # Bloom filter (membership; semi-join pruning)
 # --------------------------------------------------------------------------
 
+def hll_distinct_by(df: DataFrame, key: str, group: str) -> DataFrame:
+    """GROUPED HyperLogLog: one sketch per ``group`` value — the shape a
+    100 TB per-tenant/per-source cardinality report actually takes. The
+    exchange moves (group, j, max-rho) partial registers — G·M cells,
+    never rows (the mergeable-summary property, per group); same
+    exact-integer estimator as hll_distinct. Output: [group,
+    exact_distinct, hll_est, err_pm], one row per group."""
+    h = prng.spark_hash(key)
+    rest = f"shiftrightunsigned({h}, {HLL_B})"
+    rho = _hll_rho_expr(rest)
+    regs = (
+        df.filter(F.expr(key).isNotNull() & F.expr(group).isNotNull())
+        .select(
+            F.expr(group).alias("g"),
+            F.expr(f"({h} & {HLL_M - 1})").alias("j"),
+            F.expr(rho).alias("rho"),
+        )
+        .groupBy("g", "j")
+        .agg(F.max("rho").alias("reg"))
+    )
+    scaled = regs.groupBy("g").agg(
+        F.sum(F.expr("cast(shiftleft(cast(1 as bigint), 60 - reg) as bigint)"))
+        .alias("s_present"),
+        F.count(F.lit(1)).alias("n_present"),
+    )
+    exact = (
+        df.filter(F.expr(group).isNotNull())
+        .groupBy(F.expr(group).alias("g"))
+        .agg(F.count_distinct(F.expr(key)).alias("exact_distinct"))
+    )
+    est = _hll_est_expr()
+    # groups whose keys are all NULL have no registers: left join from
+    # the exact side and coalesce the estimate to 0 (same policy as the
+    # global variant's empty-input guard)
+    return (
+        exact.join(scaled, "g", "left")
+        .select(
+            F.col("g").alias(group),
+            "exact_distinct",
+            F.expr(f"coalesce({est}, 0)").alias("hll_est"),
+        )
+        .select(
+            group, "exact_distinct", "hll_est",
+            F.expr(
+                "CASE WHEN exact_distinct = 0 THEN 0 ELSE "
+                "(hll_est - exact_distinct) * 1000 div exact_distinct END"
+            ).alias("err_pm"),
+        )
+    )
+
+
+def duck_hll_by_sql(table_sql: str, key: str, group: str) -> str:
+    base = (
+        f"SELECT DISTINCT {group} AS g, {key} AS k FROM {table_sql} _t "
+        f"WHERE {key} IS NOT NULL AND {group} IS NOT NULL"
+    )
+    hq = prng.duck_hash_query(base, ["k"], "h")  # SELECT * carries g
+    rest = f"(({prng._u('h')} // {1 << HLL_B})::BIGINT)"
+    rho = _hll_rho_expr(rest)
+    est = _hll_est_expr()
+    return f"""(
+      WITH regs AS (
+        SELECT g, (h & {HLL_M - 1}) AS j, max({rho}) AS reg FROM {hq} _h
+        GROUP BY 1, 2
+      ), scaled AS (
+        SELECT g, cast(sum(1::BIGINT << (60 - reg)) as bigint) AS s_present,
+               count(*) AS n_present
+        FROM regs GROUP BY g
+      ), ex AS (
+        SELECT {group} AS g, count(DISTINCT {key}) AS exact_distinct
+        FROM {table_sql} _e WHERE {group} IS NOT NULL GROUP BY 1
+      )
+      SELECT ex.g AS {group}, exact_distinct, coalesce({est}, 0) AS hll_est,
+             CASE WHEN exact_distinct = 0 THEN 0 ELSE
+               (coalesce({est}, 0) - exact_distinct) * 1000 // exact_distinct
+             END AS err_pm
+      FROM ex LEFT JOIN scaled ON ex.g = scaled.g
+    )"""
+
+
 BLOOM_K = 3        # hash functions
 BLOOM_M = 4096     # bits — sized for ~hundreds of build keys at ~1% fpp
 

@@ -67,3 +67,27 @@ def test_bloom_empty_build_passes_nothing(spark):
     build = spark.range(0).select(F.col("id").alias("k"))
     r = sketch.bloom_prune_stats(fact, build, "k").collect()[0]
     assert (r.fact_rows, r.passed, r.true_matches) == (100, 0, 0)
+
+
+def test_hll_grouped_matches_global_per_group(spark):
+    from geneticalgorithmsusingmapreduce_spark.operators import sketch
+
+    # numeric strings: the seeded hash chain casts keys to bigint
+    rows = [(str(i % 97), "a") for i in range(500)]
+    rows += [(str(1000 + i % 13), "b") for i in range(100)]
+    rows += [(None, "c")] * 5  # group whose keys are all NULL
+    df = spark.createDataFrame(rows, "user_id string, event_type string")
+    got = {
+        r.event_type: r
+        for r in sketch.hll_distinct_by(df, "user_id", "event_type").collect()
+    }
+    assert got["a"].exact_distinct == 97 and got["b"].exact_distinct == 13
+    assert got["c"].exact_distinct == 0 and got["c"].hll_est == 0
+    # each group's sketch must equal the GLOBAL sketch of that group's
+    # rows alone (grouped partial registers == per-group independence)
+    for g in ("a", "b"):
+        solo = sketch.hll_distinct(
+            df.filter(f"event_type = '{g}'"), "user_id"
+        ).collect()[0]
+        assert got[g].hll_est == solo.hll_est
+        assert got[g].err_pm == solo.err_pm
