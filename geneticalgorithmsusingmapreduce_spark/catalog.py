@@ -76,10 +76,24 @@ def _ensure_adaptive_cached_plans(spark: SparkSession) -> None:
     per cached exchange on a driver-default session at gate scale, and
     immune to any runtime partition tuning. Purely physical (output
     partitioning of the cache), no semantic change; idempotent, so every
-    registered entry applies it on whatever session the driver hands us."""
-    spark.conf.set(
-        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true"
+    registered entry applies it on whatever session the driver hands us.
+    Sessions from build_session() already carry it; on a foreign session
+    that explicitly set it false we warn once before overriding (same
+    session-global-side-effect policy as read_events' timezone override,
+    r4 ADVICE) rather than flipping it silently."""
+    key = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
+    if spark.conf.get(key, "false") == "true":
+        return
+    import warnings
+
+    warnings.warn(
+        f"catalog.register: overriding {key}=false -> true on this "
+        "session (physical-only: lets AQE re-plan cached exchanges; "
+        "no semantic change). Build sessions with "
+        "geneticalgorithmsusingmapreduce_spark.session.build_session to pre-set it.",
+        stacklevel=3,
     )
+    spark.conf.set(key, "true")
 
 
 def register(name: str, oracle: str | None = None):
@@ -597,9 +611,7 @@ def events_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tempfile.mkdtemp(prefix="gamr_part_")
     try:
         (
-            ev.withColumn(
-                "day_bucket", F.expr("unix_micros(ts) div 86400000000")
-            )
+            ev.withColumn("day_bucket", F.expr(win_ops.FLOOR_DAY))
             .write.partitionBy("day_bucket").parquet(f"{d}/out")
         )
         back = spark.read.parquet(f"{d}/out")

@@ -28,7 +28,6 @@ Usage:  python -m geneticalgorithmsusingmapreduce_spark ga 4 4 10000 100 10
 
 from __future__ import annotations
 
-import math
 import sys
 
 from pyspark.sql import SparkSession
@@ -108,16 +107,18 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None):
             from .plans import cga as cga_plan
 
             n_maps, n_reducers, vec_size, iters, mult, t_size, it0 = args
-            # reference sharding: the vector is split across map tasks
-            # (CGA.java:330-332); bits_per_split * nMaps covers vec_size
-            bits_per_split = math.ceil(vec_size / n_maps)
-            pop = cga_plan.reference_pop_size(n_maps, bits_per_split, mult)
-            print(f"Splits = {n_maps}")
+            # reference sizing, replicated exactly (CGA.java:331-335):
+            # numSplits is splits PER map, the model is padded up to
+            # 704-bit shards, and pop = ceil(strLen·log2(tot))·mult.
+            # "Splits = ..." prints the per-map count like the reference.
+            splits_per_map, total_splits, _tot, pop = (
+                cga_plan.reference_cli_sizing(vec_size, n_maps, mult)
+            )
+            print(f"Splits = {splits_per_map}")
             print(f"Pop = {pop}")
             res = cga_plan.run_cga(
-                spark, num_splits=n_maps, t_size=t_size, seed=42,
+                spark, num_splits=total_splits, t_size=t_size, seed=42,
                 max_generations=iters, pop=pop,
-                bits_per_split=bits_per_split,
             )
             if it0 != 0:
                 # the reference's <iter> resumes a checkpointed model from

@@ -36,9 +36,21 @@ def _scoped_shuffle_width(spark: SparkSession, n_edges: int):
     frame inside the scope so no clamped (or unclamped) stage leaks to
     the caller's action — and the expensive UPSTREAM pair-generation
     subtree must be materialized BEFORE entering (it keeps the session's
-    own tuning)."""
+    own tuning).
+
+    Caveats (r4 ADVICE): a platform may set the conf to a non-numeric
+    value (e.g. ``auto``) — then the clamp is skipped entirely rather
+    than raising. And because the conf is session-global, a co-resident
+    query running concurrently on a SHARED session would also see the
+    narrowed width for the duration of the scope; callers on shared
+    multi-tenant sessions should pass their own dedicated session."""
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    width = max(4, min(int(prev), n_edges // 20_000 + 1))
+    try:
+        prev_n = int(prev)
+    except (TypeError, ValueError):
+        yield  # non-numeric platform setting ('auto'): leave untouched
+        return
+    width = max(4, min(prev_n, n_edges // 20_000 + 1))
     spark.conf.set("spark.sql.shuffle.partitions", str(width))
     try:
         yield

@@ -34,6 +34,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from ..streaming.windows import FLOOR_DAY
+
 MILLI = "cast(round(value * 1000) as bigint)"
 
 
@@ -277,8 +279,7 @@ def series_similarity(
     daily = (
         events.select(
             "user_id",
-            F.expr("cast(unix_micros(ts) div 86400000000 as bigint)")
-            .alias("day"),
+            F.expr(f"cast({FLOOR_DAY} as bigint)").alias("day"),
             F.expr(MILLI).alias("vm"),
             F.expr("unix_micros(ts)").alias("ts_us"),
             "event_id",

@@ -47,6 +47,32 @@ def reference_pop_size(
     return int(math.ceil(total_bits * math.log2(total_bits))) * multiplier
 
 
+def reference_cli_sizing(
+    vec_size: int, n_maps: int, multiplier: int
+) -> tuple[int, int, int, int]:
+    """The reference CLI's exact pop-sizing arithmetic
+    (``reference src/edu/illinois/ga/CGA.java:331-335``, constants
+    LONG_BITS=64 / LONGS_PER_ARRAY=12 at ``:33-34``):
+
+        numSplits = ceil(strLen / numMaps / 64 / 11)    # splits PER map
+        tot       = 64 * 11 * numSplits * numMaps       # evolved capacity
+        pop       = ceil(strLen * log2(tot)) * times
+
+    ``numSplits`` is per map task (each map input key fans out to
+    numSplits arrays, ``CGA.java:64``), so the model actually evolved is
+    ``numSplits * numMaps`` shards of 704 payload bits — ``tot`` bits in
+    all, the requested strLen padded up to 704-bit granularity. Returns
+    ``(splits_per_map, total_splits, tot_bits, pop)``; note pop scales
+    with the *requested* strLen but log2 of the *padded* capacity,
+    exactly as the reference prints it.
+    """
+    lb, lpa = 64, 11  # LONG_BITS, LONGS_PER_ARRAY - 1
+    splits_per_map = math.ceil(vec_size / n_maps / lb / lpa)
+    tot = lb * lpa * splits_per_map * n_maps
+    pop = int(math.ceil(vec_size * math.log2(tot))) * multiplier
+    return splits_per_map, splits_per_map * n_maps, tot, pop
+
+
 def run_cga(
     spark: SparkSession,
     num_splits: int,

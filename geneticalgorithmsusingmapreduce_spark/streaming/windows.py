@@ -28,6 +28,15 @@ from pyspark.sql import DataFrame, functions as F
 
 MILLI = "cast(round(value * 1000) as bigint)"
 DUCK_TS_US = "(epoch_ns(ts) // 1000)"  # floor to µs, matches Spark reader
+# exact integer floor(unix_micros/day): Spark's `div` truncates toward
+# zero while the DuckDB oracle's `//` floors, so a pre-epoch
+# (negative-micros) timestamp needs the quotient corrected whenever the
+# division leaves a remainder (r4 ADVICE) — no double rounding involved
+DAY_US = 86_400_000_000
+FLOOR_DAY = (
+    f"((unix_micros(ts) div {DAY_US}) - "
+    f"(CASE WHEN unix_micros(ts) % {DAY_US} < 0 THEN 1 ELSE 0 END))"
+)
 
 
 def tumbling(events: DataFrame, width_sec: int = 3600) -> DataFrame:

@@ -33,6 +33,34 @@ def test_cga_seven_args(spark):
     assert res.final_unconverged >= 0
 
 
+def test_cga_reference_sizing_arithmetic():
+    # CGA.java:331-335 with its own constants (LONG_BITS=64,
+    # LONGS_PER_ARRAY=12 -> 11 payload longs): numSplits is per map,
+    # tot pads strLen up to 704-bit shards, pop uses the REQUESTED
+    # strLen times log2 of the PADDED capacity.
+    from geneticalgorithmsusingmapreduce_spark.plans.cga import (
+        reference_cli_sizing,
+    )
+
+    # README example `cga 4 4 1000 10 10 4 0`
+    spm, total, tot, pop = reference_cli_sizing(1000, 4, 10)
+    assert (spm, total, tot) == (1, 4, 2816)
+    assert pop == math.ceil(1000 * math.log2(2816)) * 10 == 114600
+    # a strLen needing >1 split per map
+    spm, total, tot, pop = reference_cli_sizing(10000, 4, 10)
+    assert (spm, total, tot) == (4, 16, 11264)
+    assert pop == math.ceil(10000 * math.log2(11264)) * 10
+
+
+def test_cga_cli_prints_reference_telemetry(spark, capsys):
+    # the reference prints per-map "Splits = N" then "Pop = N"
+    # (CGA.java:332,335) — parity on the printed lines themselves
+    cli.main(["cga", "2", "2", "64", "1", "1", "4", "0"], spark=spark)
+    out = capsys.readouterr().out
+    assert "Splits = 1" in out  # ceil(64/2/64/11) = 1 per map
+    assert f"Pop = {math.ceil(64 * math.log2(1408))}" in out
+
+
 def test_inc_ga_three_args(spark):
     # `inc_ga 2 4 2` — the incremental main's hardcoded 64,000-bit /
     # pop-6000 scale (reference incr_ga/MapReduce.java:31-32), 2 batches
