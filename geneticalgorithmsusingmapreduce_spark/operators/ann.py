@@ -172,38 +172,46 @@ N_CENTROIDS = 8
 N_PROBES = 2
 
 
-def train_centroids(
+def train_centroid_rows(
     emb: DataFrame, n_centroids: int = N_CENTROIDS, iters: int = 3,
     compute_inertia: bool = True,
 ):
     """Lloyd's k-means over the quantized vectors — the training step
     that turns ivf_topk's deterministic seed centroids into real ones.
+    Returns ``(rows, history)`` where rows is the LOCAL model
+    ``[(cent_id, [D ints]), ...]`` — callers that want a DataFrame use
+    train_centroids; callers that reuse the model across queries cache
+    these plain rows (they are session-independent).
 
     Same iterative-driver shape as the GA loops: per iteration, ONE
-    broadcast-join assignment pass over the distributed vectors (argmin
-    ||x−c||² via |c|²−2x·c — |x|² is constant per vector), a per-
-    dimension mean aggregation (posexplode → avg → regroup), and a
-    driver collect of C×D ints (tiny — the J2 broadcast-scalars
-    pattern). Empty clusters keep their previous centroid. Returns
-    (centroids DataFrame [cent_id, cv], inertia history list) — inertia
-    is monotonically non-increasing, which the tests pin.
+    assignment pass over the distributed vectors (argmin ||x−c||² via
+    |c|²−2x·c — |x|² is constant per vector), then a grouped partial
+    fold, then a driver collect of exactly C×D scalars. Empty clusters
+    keep their previous centroid. ``history`` is the inertia per
+    iteration — monotonically non-increasing, which the tests pin.
 
     At 100 TB you'd train on a sample (`emb.sample(...)`) — assignment
     cost is the same one-scan shape ivf_topk pays once.
 
-    Physical shape: ONE mapInPandas action per iteration. The kernel
-    quantizes its Arrow batch, scores all centroids as a blocked int64
-    matmul (same integers the SQL expressions produce), and emits C
-    partial rows (count, per-dim sums, inertia part) — the driver folds
-    the C×n_batches tiny partials and computes the rounded means
-    locally, exactly the reference's J2 side-channel fold. An earlier
-    expression form (crossJoin + 128-term qdot + posexplode means) was
-    execution-equivalent but paid ~1.4 s of Catalyst/codegen per
-    iteration at tiny data sizes — the kernel plan is constant-size."""
+    Physical shape: ONE action per iteration — a mapInPandas kernel
+    (quantize the Arrow batch, score all centroids as a blocked int64
+    matmul — the same integers the SQL expressions produce — and emit C
+    partial rows of per-dim sums) followed by posexplode + a grouped
+    SUM keyed on (cent, dim). The grouped agg has map-side partial
+    combine, so what reaches the driver is exactly C×D scalars — the
+    new model itself, which a driver-hosted Lloyd's loop must hold
+    anyway to ship into the next iteration's closure (the reference's
+    J2 broadcast-scalars pattern, at its irreducible size). Before r5
+    the driver folded C×n_batches partial rows itself — equivalent
+    here, but at cluster scale n_batches = task count and the driver
+    fold would grow as tasks×C×D while the grouped form stays C×D.
+    An even earlier expression form (crossJoin + 64-term qdot +
+    posexplode means) was execution-equivalent but paid ~1.4 s of
+    Catalyst/codegen per iteration at tiny data sizes — the kernel
+    plan is constant-size."""
     import numpy as np
     import pandas as pd
 
-    spark = emb.sparkSession
     # seed centroids: first C quantized vectors
     seed_rows = sorted(
         (r.vec_id, list(r.embedding))
@@ -251,18 +259,36 @@ def train_centroids(
                     )
                 yield pd.DataFrame(out)
 
-        rows = src.mapInPandas(
+        partial = src.mapInPandas(
             partials,
             schema="cent int, cnt long, sums array<long>, inert long",
-        ).collect()
-        # driver-side fold of the tiny partials (J2 pattern)
+        )
+        # distributed fold keyed on (cent, dim): each exploded row
+        # carries its batch's cnt/inert alongside, so SUM(cnt)/SUM(inert)
+        # per (cent, dim) group equals the per-cent total (every dim
+        # group sees each batch's partial exactly once) — one grouped
+        # agg, one action, exactly C×D rows back to the driver
+        rows = (
+            partial.select(
+                "cent", "cnt", "inert",
+                F.posexplode("sums").alias("pos", "s"),
+            )
+            .groupBy("cent", "pos")
+            .agg(
+                F.sum("s").alias("s"),
+                F.sum("cnt").alias("cnt"),
+                F.sum("inert").alias("inert"),
+            )
+            .collect()
+        )
         cnt = np.zeros(len(cm), dtype=np.int64)
         sums = np.zeros_like(cm)
         inert_total = 0
         for r in rows:
-            cnt[r.cent] += r.cnt
-            sums[r.cent] += np.array(r.sums, dtype=np.int64)
-            inert_total += r.inert
+            sums[r.cent, r.pos] = r.s
+            cnt[r.cent] = r.cnt
+            if r.pos == 0:
+                inert_total += r.inert
         if compute_inertia:
             history.append(float(inert_total))
         # mean rounded half-up: exact int64 sum → IEEE double divide →
@@ -275,14 +301,25 @@ def train_centroids(
                     sums[ci].astype(np.float64) / float(cnt[ci]) + 0.5
                 ).astype(np.int64)
         cents_np = new
-    cents = spark.createDataFrame(
-        [
-            (cid, [int(x) for x in cents_np[i]])
-            for i, cid in enumerate(cent_ids)
-        ],
-        "cent_id long, cv array<long>",
+    rows_out = [
+        (cid, [int(x) for x in cents_np[i]]) for i, cid in enumerate(cent_ids)
+    ]
+    return rows_out, history
+
+
+CENTROID_SCHEMA = "cent_id long, cv array<long>"
+
+
+def train_centroids(
+    emb: DataFrame, n_centroids: int = N_CENTROIDS, iters: int = 3,
+    compute_inertia: bool = True,
+):
+    """train_centroid_rows materialized as a (DataFrame, history) pair —
+    the drop-in shape ivf_topk(centroids=...) consumes."""
+    rows, history = train_centroid_rows(
+        emb, n_centroids, iters, compute_inertia
     )
-    return cents, history
+    return emb.sparkSession.createDataFrame(rows, CENTROID_SCHEMA), history
 
 
 def ivf_topk(
@@ -505,18 +542,25 @@ def duck_trained_ivf_sql(
 
 def kmeans_cluster_stats(
     emb: DataFrame, n_centroids: int = N_CENTROIDS, iters: int = 3,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Training diagnostics as a relational query: train the IVF
-    centroids, then one assignment pass (broadcast join + grouped
-    argmax, the same shape assignment always takes) aggregated per
-    cluster. Output: [cent_id, n_members, d2_min, d2_max] — all exact
-    int64 per-row stats (no big-sum columns, which would need int128 at
-    scale and hash differently across engines).
+    centroids (or take a pre-trained model via ``centroids``), then one
+    assignment pass (broadcast join + grouped argmax, the same shape
+    assignment always takes) aggregated per cluster. Output: [cent_id,
+    n_members, d2_min, d2_max] — all exact int64 per-row stats (no
+    big-sum columns, which would need int128 at scale and hash
+    differently across engines).
 
     At 100 TB this is the monitoring query you run after each training
     round: one scan of the vector table, one tiny exchange keyed on
     cent_id."""
-    cents, _ = train_centroids(emb, n_centroids, iters, compute_inertia=False)
+    if centroids is not None:
+        cents = centroids.select("cent_id", "cv")
+    else:
+        cents, _ = train_centroids(
+            emb, n_centroids, iters, compute_inertia=False
+        )
     qz = emb.select("vec_id", F.expr(quantize_expr()).alias("qv"))
     scored = qz.crossJoin(F.broadcast(cents)).select(
         "vec_id", "qv", "cent_id",

@@ -40,3 +40,33 @@ def test_kmeans_inertia_monotone_and_ivf_pluggable(spark):
         (r.query_id, r.vec_id) for r in ann.ivf_topk(emb).collect()
     }
     assert len(trained & exact) >= len(seeded & exact)
+
+
+def test_trained_centroid_cache_shared_across_entries(spark, monkeypatch):
+    # the three trained-model entries (trained IVF, cluster stats,
+    # recall) must consume ONE training run per (dataset, C, iters) —
+    # r4 VERDICT flagged the triple retrain as redundant bench time
+    from geneticalgorithmsusingmapreduce_spark import catalog
+
+    catalog._CENTROID_CACHE.clear()
+    calls = {"n": 0}
+    real = ann.train_centroid_rows
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(ann, "train_centroid_rows", counting)
+    try:
+        for name in ("emb_ivf_topk_trained", "emb_kmeans_clusters",
+                     "emb_ivf_recall"):
+            catalog.QUERIES[name](spark, SF).collect()
+        assert calls["n"] == 1
+        # cached rows are plain session-independent python ints
+        rows = catalog.trained_centroid_rows(spark, SF)
+        assert len(rows) == 8 and all(
+            isinstance(x, int) for _, cv in rows for x in cv
+        )
+        assert calls["n"] == 1
+    finally:
+        catalog._CENTROID_CACHE.clear()
