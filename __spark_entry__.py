@@ -25,14 +25,31 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness gate verifies entries in queries() iteration
 # order and stops at a budget (50 entries per round).  Order therefore
-# encodes priority.  Round-4 rotation (VERDICT r3 "Next round" #1): the
-# 38 entries whose last driver-green row is r1/r2 (every name absent
-# from CORRECTNESS_r03.json) run FIRST so nothing goes more than two
-# rounds without a fresh hard signal; entries newly registered this
-# round slot immediately after; the 50 entries green in r3 fill the
-# tail, where being skipped costs nothing (their signal is fresh).
+# encodes priority.  Round-5 rotation (VERDICT r4 "Next round" #5): the
+# 42 entries whose last driver-green row is r3 (every name absent from
+# CORRECTNESS_r04.json) run FIRST so nothing goes more than two rounds
+# without a fresh hard signal; entries newly registered this round slot
+# immediately after; the 50 entries green in r4 fill the tail, where
+# being skipped costs nothing (their signal is fresh).
 _GATE_PRIORITY = [
-    # last driver-green in r1/r2 only — re-green in r4
+    # last driver-green in r3 — re-green in r5
+    "set_ops_custkeys", "orders_by_month", "orders_id_arrays",
+    "set_ops_all_custkeys", "pivot_status_by_flag", "distinct_counts",
+    "regex_funcs", "string_funcs", "sequencefile_roundtrip",
+    "streaming_running_best", "events_asof_join", "events_range_join",
+    "word_counts", "dedup_exact_digest", "doc_chunking", "chunk_packing",
+    "corpus_curation", "doc_train_val_test", "order_price_quartiles",
+    "text_token_stats", "streaming_dedup", "streaming_windowed_counts",
+    "events_resample", "events_series_similarity",
+    "events_partitioned_scan", "dedup_clusters", "dedup_clusters_star",
+    "corpus_curation_neardup", "corpus_mixture_sample",
+    "doc_importance_sample", "doc_stratified_sample",
+    "emb_ivf_topk_trained", "emb_kmeans_clusters", "cms_user_counts",
+    "hll_distinct_users", "bloom_join_prune", "decontaminate",
+    "pii_redact", "text_repetition", "csv_json_roundtrip",
+    "local_supplier_volume", "shipping_priority",
+    # <- newly registered entries (absent from this list) slot here
+    # driver-green in r4 (fresh signal; safe to lose to the budget)
     "flagship_best_by_flag", "population_generate", "cga_init_vectors",
     "sga_shuffle", "sga_tournament", "sga_generation", "cga_sample",
     "cga_member_fitness", "cga_generation", "cga_convergence",
@@ -45,35 +62,19 @@ _GATE_PRIORITY = [
     "emb_topk_dot", "emb_topk_numpy", "emb_lsh_pairs",
     "multimodal_features", "multimodal_frames", "multimodal_resize",
     "pricing_summary", "join_broadcast_revenue", "join_semi_anti",
-    "rollup_order_stats",
-    # <- newly registered entries (absent from this list) slot here
-    # driver-green in r3 (fresh signal; safe to lose to the budget)
-    "sga_mutation", "sga_mutation_sparse", "incremental_sga",
-    "cube_order_stats", "window_analytics", "skew_salted_revenue",
-    "events_json_extract", "emb_ivf_topk", "set_ops_custkeys",
-    "orders_by_month", "orders_id_arrays", "set_ops_all_custkeys",
-    "pivot_status_by_flag", "distinct_counts", "regex_funcs",
-    "string_funcs", "sequencefile_roundtrip", "streaming_running_best",
-    "events_asof_join", "events_range_join", "word_counts",
-    "dedup_exact_digest", "doc_chunking", "chunk_packing",
-    "corpus_curation", "doc_train_val_test", "order_price_quartiles",
-    "text_token_stats", "streaming_dedup", "streaming_windowed_counts",
-    "events_resample", "events_series_similarity",
-    "events_partitioned_scan", "dedup_clusters", "dedup_clusters_star",
-    "corpus_curation_neardup", "corpus_mixture_sample",
-    "doc_importance_sample", "doc_stratified_sample",
-    "emb_ivf_topk_trained", "emb_kmeans_clusters", "cms_user_counts",
-    "hll_distinct_users", "bloom_join_prune", "decontaminate",
-    "pii_redact", "text_repetition", "csv_json_roundtrip",
-    "local_supplier_volume", "shipping_priority",
+    "rollup_order_stats", "sga_mutation", "sga_mutation_sparse",
+    "incremental_sga", "cube_order_stats", "window_analytics",
+    "skew_salted_revenue", "events_json_extract", "emb_ivf_topk",
+    "orc_roundtrip", "hll_distinct_by_type", "join_bucketed_revenue",
+    "emb_ivf_recall",
 ]
 
 
 def _gate_order(names):
     rank = {n: i for i, n in enumerate(_GATE_PRIORITY)}
     # unknown (newly registered) names slot after the re-green block,
-    # ahead of the r3-fresh tail
-    new_slot = _GATE_PRIORITY.index("sga_mutation") - 0.5
+    # ahead of the r4-fresh tail
+    new_slot = _GATE_PRIORITY.index("flagship_best_by_flag") - 0.5
     return sorted(names, key=lambda n: (rank.get(n, new_slot), n))
 
 

@@ -148,6 +148,24 @@ def ga_loop_benchmarks(spark) -> dict[str, float]:
         dt = time.perf_counter() - t0
     out["cga_1kbit_gen_sec"] = round(dt, 4)
     vec.unpersist()
+
+    # cGA at a LARGER sharded scale (r4 VERDICT #7): 64 splits x 704
+    # bits = 45,056-bit model — 16x the README example's sharding,
+    # showing the model-parallel path (explode -> sample -> T-row agg ->
+    # shuffle-free update) holds beyond the 4-split demo. Steady-state
+    # sec/gen via run_cga's own one-job-per-generation driver (min over
+    # the post-warmup generations), plus the best-fitness trajectory.
+    res64 = cga_plan.run_cga(
+        spark, num_splits=64, t_size=4, seed=42, max_generations=5,
+        pop=450_560, verbose=False,
+    )
+    out["cga_64split_gen_sec"] = {
+        "total_bits": 64 * 704,
+        "sec_per_gen": round(
+            min(s.wall_ms for s in res64.stats[2:]) / 1000, 4
+        ),
+        "best_by_gen": [s.best_fitness for s in res64.stats],
+    }
     return out
 
 

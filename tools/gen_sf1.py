@@ -1,0 +1,219 @@
+"""Generate local sf1 testdata (10x the driver's sf0.1) for at-scale
+validation + bench — r4 VERDICT #1: every scale claim above sf0.1 was
+argued from plan shape, never measured. The driver's generator tops out
+at sf0.1; this produces schema- and distribution-compatible tables at
+10x so the scale-critical entries get measured rows (the oracle check
+is self-consistent: Spark result vs DuckDB oracle over the SAME
+parquet, so exact generator parity is not required — only shape/
+distribution fidelity, which is matched to the measured sf0.1 stats:
+row ratios, key densities, value ranges, vocab, ts windows).
+
+Deterministic: every column is a pure function of the row id via
+xxhash64 — no rand(), no partition sensitivity. Writes to the out dir
+(default /root/repo/.localdata/sf1, gitignored); region/nation are
+copied verbatim from sf0.1 (they are sf-invariant).
+
+Usage: python tools/gen_sf1.py [out_dir] [scale_multiplier]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from geneticalgorithmsusingmapreduce_spark.session import build_session  # noqa: E402
+
+SRC = "/root/testdata/sf0.1"
+
+# measured sf0.1 row counts (see BASELINE.md sf1 section)
+BASE = {
+    "customer": 15_000, "supplier": 1_000, "part": 20_000,
+    "orders": 150_000, "events": 100_000, "documents": 5_000,
+    "embeddings": 2_000,
+}
+
+VOCAB = [
+    "spark", "window", "merge", "table", "column", "vector", "stream",
+    "value", "data", "small", "join", "filter", "big", "group", "hash",
+    "customer", "sort", "order", "slow", "line", "part", "fast", "the",
+    "row", "agg", "key", "query", "a", "scan", "batch", "dup",
+]
+
+
+def h(tag: str, *cols: str) -> str:
+    """Deterministic non-negative int64 stream: one xxhash64 draw keyed
+    by a literal tag + the id columns."""
+    args = ", ".join(list(cols) + [f"'{tag}'"])
+    return f"(xxhash64({args}) & 9223372036854775807)"
+
+
+def pick(options: list[str], expr: str) -> str:
+    arr = ", ".join(f"'{o}'" for o in options)
+    return f"element_at(array({arr}), cast({expr} % {len(options)} as int) + 1)"
+
+
+def main() -> None:
+    out = sys.argv[1] if len(sys.argv) > 1 else f"{REPO}/.localdata/sf1"
+    mult = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    os.makedirs(out, exist_ok=True)
+    spark = build_session("gamr-gen-sf1")
+    spark.sparkContext.setLogLevel("ERROR")
+    n = {t: c * mult for t, c in BASE.items()}
+
+    def write(df, name):
+        df.write.mode("overwrite").parquet(f"{out}/{name}.parquet")
+        print(f"wrote {name}")
+
+    # sf-invariant dims: copy verbatim
+    for t in ("region", "nation"):
+        write(spark.read.parquet(f"{SRC}/{t}.parquet"), t)
+
+    write(
+        spark.range(n["customer"]).selectExpr(
+            "id AS c_custkey",
+            "concat('Customer#', lpad(cast(id as string), 9, '0')) AS c_name",
+            f"cast({h('cn', 'id')} % 25 as int) AS c_nationkey",
+            f"round(({h('cb', 'id')} % 1099999) / 100.0 - 999.99, 2)"
+            " AS c_acctbal",
+            pick(["BUILDING", "AUTOMOBILE", "MACHINERY", "HOUSEHOLD",
+                  "FURNITURE"], h("cm", "id")) + " AS c_mktsegment",
+        ), "customer",
+    )
+
+    write(
+        spark.range(n["supplier"]).selectExpr(
+            "id AS s_suppkey",
+            "concat('Supplier#', lpad(cast(id as string), 9, '0')) AS s_name",
+            f"cast({h('sn', 'id')} % 25 as int) AS s_nationkey",
+            f"round(({h('sb', 'id')} % 1099999) / 100.0 - 999.99, 2)"
+            " AS s_acctbal",
+        ), "supplier",
+    )
+
+    write(
+        spark.range(n["part"]).selectExpr(
+            "id AS p_partkey",
+            "concat('part ', " + pick(VOCAB[:12], h("p1", "id"))
+            + ", ' ', " + pick(VOCAB[12:24], h("p2", "id")) + ") AS p_name",
+            f"concat('Brand#', cast({h('pb', 'id')} % 5 + 1 as string),"
+            f" cast({h('pb2', 'id')} % 5 + 1 as string)) AS p_brand",
+            pick(["STANDARD", "SMALL", "MEDIUM", "LARGE", "ECONOMY",
+                  "PROMO"], h("pt", "id"))
+            + " || ' ' || "
+            + pick(["ANODIZED", "BURNISHED", "PLATED", "POLISHED",
+                    "BRUSHED"], h("pt2", "id"))
+            + " || ' ' || "
+            + pick(["TIN", "NICKEL", "BRASS", "STEEL", "COPPER"],
+                   h("pt3", "id")) + " AS p_type",
+            f"cast({h('ps', 'id')} % 50 + 1 as int) AS p_size",
+            f"round(900 + ({h('pp', 'id')} % 110000) / 100.0, 2)"
+            " AS p_retailprice",
+        ), "part",
+    )
+
+    n_cust, n_ord = n["customer"], n["orders"]
+    orders = spark.range(n_ord).selectExpr(
+        "id AS o_orderkey",
+        f"{h('oc', 'id')} % {n_cust} AS o_custkey",
+        pick(["O", "F", "P"], h("os", "id")) + " AS o_orderstatus",
+        f"round(1000 + ({h('op', 'id')} % 45000000) / 100.0, 2)"
+        " AS o_totalprice",
+        # 1995-01-01 .. 2001-08-01 (2404 days), day granularity like src
+        f"timestampadd(DAY, cast({h('od', 'id')} % 2405 as int),"
+        " timestamp'1995-01-01 00:00:00') AS o_orderdate",
+        pick(["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+              "5-LOW"], h("opr", "id")) + " AS o_orderpriority",
+    )
+    write(orders, "orders")
+
+    # lineitem: 1..7 lines per order (uniform, ~4 avg -> 4x orders rows)
+    li = (
+        spark.range(n_ord)
+        .selectExpr(
+            "id AS l_orderkey",
+            f"explode(sequence(1, cast({h('ln', 'id')} % 7 + 1 as int)))"
+            " AS l_linenumber",
+        )
+        .selectExpr(
+            "l_orderkey", "l_linenumber",
+            f"{h('lp', 'l_orderkey', 'l_linenumber')} % {n['part']}"
+            " AS l_partkey",
+            f"{h('ls', 'l_orderkey', 'l_linenumber')} % {n['supplier']}"
+            " AS l_suppkey",
+            f"cast({h('lq', 'l_orderkey', 'l_linenumber')} % 50 + 1"
+            " as double) AS l_quantity",
+            f"round(({h('le', 'l_orderkey', 'l_linenumber')} % 9000000)"
+            " / 100.0 + 1000, 2) AS l_extendedprice",
+            f"({h('ld', 'l_orderkey', 'l_linenumber')} % 11) / 100.0"
+            " AS l_discount",
+            f"({h('lt', 'l_orderkey', 'l_linenumber')} % 9) / 100.0"
+            " AS l_tax",
+            pick(["A", "N", "R"], h("lr", "l_orderkey", "l_linenumber"))
+            + " AS l_returnflag",
+            pick(["O", "F"], h("ll", "l_orderkey", "l_linenumber"))
+            + " AS l_linestatus",
+            "timestampadd(DAY, cast("
+            + h("lsd", "l_orderkey", "l_linenumber")
+            + " % 2500 as int), timestamp'1995-01-02 00:00:00')"
+            " AS l_shipdate",
+        )
+    )
+    write(li, "lineitem")
+
+    n_users = max(1, n["events"] * 1500 // 100_000)
+    write(
+        spark.range(n["events"]).selectExpr(
+            "id AS event_id",
+            # Jan 2024, microsecond jitter like the source table
+            "timestamp_micros(unix_micros(timestamp'2024-01-01 00:00:00')"
+            f" + {h('ets', 'id')} % (30 * 86400000000)) AS ts",
+            f"{h('eu', 'id')} % {n_users} AS user_id",
+            pick(["view", "view", "view", "view", "click", "click", "click",
+                  "signup", "error", "purchase"], h("et", "id"))
+            + " AS event_type",
+            f"round(({h('ev', 'id')} % 56022) / 100.0, 2) AS value",
+            f"concat('{{\"k\": ', cast({h('ep', 'id')} % 100 as string),"
+            " '}') AS props",
+        ), "events",
+    )
+
+    vocab_arr = "array(" + ", ".join(f"'{w}'" for w in VOCAB[:30]) + ")"
+    docs = spark.range(n["documents"]).selectExpr(
+        "id AS doc_id",
+        # 10..100 words from the shared vocab; every 20th doc ends in
+        # the 'dup' marker token (matches the ~5% marked docs at sf0.1)
+        "concat(concat_ws(' ', transform("
+        f"sequence(1, cast({h('dn', 'id')} % 91 + 10 as int)),"
+        f"i -> element_at({vocab_arr},"
+        " cast((xxhash64(id, i, 'dw') & 9223372036854775807)"
+        " % 30 as int) + 1))),"
+        " CASE WHEN id % 20 = 0 THEN ' dup' ELSE '' END) AS text",
+        pick(["en", "en", "en", "en", "de", "es", "fr", "zh"],
+             h("dl", "id")) + " AS lang",
+        f"concat('src', cast({h('ds', 'id')} % 20 as string)) AS source",
+    ).selectExpr(
+        "doc_id", "text", "lang", "source",
+        "cast(length(text) as bigint) AS n_chars",
+    )
+    write(docs, "documents")
+
+    write(
+        spark.range(n["embeddings"]).selectExpr(
+            "id AS vec_id",
+            # uniform(-0.577, 0.577) ~ the source table's range
+            "transform(sequence(0, 63), j ->"
+            " cast(((xxhash64(id, j, 'em') & 9223372036854775807)"
+            " % 1155) / 1000.0 - 0.577 as float)) AS embedding",
+            f"cast({h('elb', 'id')} % 10 as int) AS label",
+        ), "embeddings",
+    )
+
+    print(f"done -> {out}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
