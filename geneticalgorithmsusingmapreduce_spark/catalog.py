@@ -592,8 +592,8 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
            cast(sum(cast(round(value * 1000) as bigint)) as bigint)
              AS value_milli
     FROM events
-    WHERE ({win_ops.DUCK_TS_US}) // 86400000000 = (
-      SELECT min(({win_ops.DUCK_TS_US}) // 86400000000) FROM events)
+    WHERE {win_ops.duck_floor_day(win_ops.DUCK_TS_US)} = (
+      SELECT min({win_ops.duck_floor_day(win_ops.DUCK_TS_US)}) FROM events)
     GROUP BY event_type
     """,
 )

@@ -130,6 +130,17 @@ def duck_cms_sql(
 
 HLL_B = 4            # 2^4 = 16 registers
 HLL_M = 1 << HLL_B
+
+# err_pm divides a possibly NEGATIVE dividend (the sf0.01 events fixture
+# genuinely under-estimates: est 148 vs exact 150). Safe as written:
+# Spark's `div` and DuckDB's integer `//` BOTH truncate toward zero
+# (verified: -2000//150 = -13 in both engines) — the r4 ADVICE note that
+# DuckDB `//` floors applies only to FLOAT operands. Keep both sides on
+# integer operands and they stay identical.
+_ERR_PM_EXPR = (
+    "CASE WHEN exact_distinct = 0 THEN 0 ELSE "
+    "(hll_est - exact_distinct) * 1000 div exact_distinct END"
+)
 # raw HLL only (no LinearCounting small-range correction): the correction
 # needs ln(), whose last-ulp rounding is not guaranteed identical between
 # the JVM and DuckDB's libm — and M=16 keeps the gate fixture's
@@ -210,10 +221,7 @@ def hll_distinct(df: DataFrame, key: str) -> DataFrame:
         )
         .select(
             "exact_distinct", "hll_est",
-            F.expr(
-                "CASE WHEN exact_distinct = 0 THEN 0 ELSE "
-                "(hll_est - exact_distinct) * 1000 div exact_distinct END"
-            ).alias("err_pm"),
+            F.expr(_ERR_PM_EXPR).alias("err_pm"),
         )
     )
 
@@ -296,10 +304,7 @@ def hll_distinct_by(df: DataFrame, key: str, group: str) -> DataFrame:
         )
         .select(
             group, "exact_distinct", "hll_est",
-            F.expr(
-                "CASE WHEN exact_distinct = 0 THEN 0 ELSE "
-                "(hll_est - exact_distinct) * 1000 div exact_distinct END"
-            ).alias("err_pm"),
+            F.expr(_ERR_PM_EXPR).alias("err_pm"),
         )
     )
 

@@ -339,13 +339,16 @@ def duck_series_similarity_sql(
         for i in range(1, w)
     )
     notnull = _motif_notnull(w)
+    from ..streaming.windows import duck_floor_day
+
+    fday = duck_floor_day("epoch_us(ts)")
     return f"""(
       WITH daily AS (
         SELECT user_id, day, vm FROM (
-          SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+          SELECT user_id, {fday} AS day,
                  {MILLI} AS vm,
                  row_number() OVER (
-                   PARTITION BY user_id, epoch_us(ts) // 86400000000
+                   PARTITION BY user_id, {fday}
                    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
           FROM {table}
         ) _d WHERE rn = 1

@@ -28,15 +28,26 @@ from pyspark.sql import DataFrame, functions as F
 
 MILLI = "cast(round(value * 1000) as bigint)"
 DUCK_TS_US = "(epoch_ns(ts) // 1000)"  # floor to µs, matches Spark reader
-# exact integer floor(unix_micros/day): Spark's `div` truncates toward
-# zero while the DuckDB oracle's `//` floors, so a pre-epoch
-# (negative-micros) timestamp needs the quotient corrected whenever the
-# division leaves a remainder (r4 ADVICE) — no double rounding involved
+# exact integer floor(unix_micros/day): BOTH Spark's `div` and DuckDB's
+# integer `//` truncate toward zero (verified: -1 // 86400000000 = 0 in
+# both — the r4 ADVICE note that DuckDB floors holds only for FLOAT
+# operands), so a pre-epoch (negative-micros) timestamp needs the same
+# correction term in BOTH dialects to land in the previous day, which is
+# what a day bucket means (r4 ADVICE). `%` takes the dividend's sign in
+# both engines, so the idiom is shared.
 DAY_US = 86_400_000_000
 FLOOR_DAY = (
     f"((unix_micros(ts) div {DAY_US}) - "
     f"(CASE WHEN unix_micros(ts) % {DAY_US} < 0 THEN 1 ELSE 0 END))"
 )
+
+
+def duck_floor_day(us_expr: str) -> str:
+    """DuckDB twin of FLOOR_DAY over any integer-micros expression."""
+    return (
+        f"((({us_expr}) // {DAY_US}) - "
+        f"(CASE WHEN (({us_expr}) % {DAY_US}) < 0 THEN 1 ELSE 0 END))"
+    )
 
 
 def tumbling(events: DataFrame, width_sec: int = 3600) -> DataFrame:

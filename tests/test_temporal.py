@@ -187,3 +187,27 @@ def test_series_similarity_requires_day_alignment(spark):
         "user_id", "value",
     )
     assert temporal.series_similarity(ev, w=7, min_shared=1).count() == 0
+
+
+def test_floor_day_cross_engine_pre_epoch(spark):
+    # r4 ADVICE: day buckets must FLOOR, not truncate, so pre-epoch
+    # timestamps land in the previous day — and both dialects truncate
+    # on integer operands by default, so BOTH carry the correction term.
+    # Probe the boundary micros in Spark, DuckDB, and Python.
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from geneticalgorithmsusingmapreduce_spark.streaming.windows import (
+        DAY_US, FLOOR_DAY, duck_floor_day,
+    )
+
+    probes = [-DAY_US - 1, -DAY_US, -1, 0, DAY_US - 1, DAY_US, DAY_US + 1]
+    df = spark.createDataFrame([(u,) for u in probes], "us long").select(
+        "us", F.timestamp_micros(F.col("us")).alias("ts")
+    )
+    got = {r.us: r.fd for r in df.select("us", F.expr(FLOOR_DAY).alias("fd")).collect()}
+    for us in probes:
+        expect = us // DAY_US  # python floordiv IS floor
+        assert got[us] == expect, (us, got[us], expect)
+        d = duckdb.sql(f"SELECT {duck_floor_day(str(us))}").fetchone()[0]
+        assert d == expect, (us, d, expect)
