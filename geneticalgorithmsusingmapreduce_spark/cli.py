@@ -9,8 +9,14 @@ arguments with the same meanings and dispatches to the Spark drivers:
          pop = ceil(mult * n * log2 n) at ``:454``)
   cga    <nMaps> <nReducers> <vectorSize> <nIterations> <popTimesNLogN>
          <tournamentSize> <iter>
-         (``reference src/edu/illinois/ga/CGA.java:504-518``; pop =
-         ceil(strLen * log2(totalBits)) * mult at ``:331-335``)
+         (``reference src/edu/illinois/ga/CGA.java:504-518``; sizing
+         replicated exactly from ``:331-335`` with the reference's own
+         constants LONG_BITS=64 / LONGS_PER_ARRAY=12 (``:33-34``):
+         numSplits = ceil(strLen/nMaps/64/11) splits PER MAP of 704
+         payload bits each, tot = 704·numSplits·nMaps padded capacity,
+         pop = ceil(strLen·log2(tot))·mult — the printed "Splits =" is
+         the per-map count, and the engine evolves all tot bits, both
+         as the reference does)
   inc_ga <nMaps> <nReducers> <nIterations>
          (``reference src/edu/illinois/incr_ga/MapReduce.java:492-500``;
          genome width / population are the reference's hardcoded
