@@ -22,6 +22,7 @@ materialization, SURVEY.md §7.4.3).
 
 from __future__ import annotations
 
+import random as _random
 import time
 from dataclasses import dataclass, field
 
@@ -121,6 +122,7 @@ def run_sga(
     target_slack: int = 10,
     n_buckets: int | None = None,
     mutation_rate: float | None = None,
+    rng: "_random.Random | None" = None,
 ) -> SgaResult:
     """Iterative driver (P7 stop rule: best ≥ n_bits − target_slack,
     ``reference src/edu/illinois/ga/MapReduce.java:433-434``). Emits the
@@ -135,10 +137,16 @@ def run_sga(
     # generation — a literal-0 fallback reapplied the identical mask keyed
     # by child id every generation (bits toggling back and forth instead of
     # independent flips), so draw one random base seed per run and fold the
-    # generation index into it exactly like the seeded path
-    import random as _random
-
-    mut_base = _random.getrandbits(32) if seed is None else seed
+    # generation index into it exactly like the seeded path. The draw
+    # comes from `rng` when injected (r4 nit: an injectable source makes
+    # the unseeded MUTATION stream reproducible from a logged Random
+    # state); default remains a fresh stream per run, and the chosen
+    # base is echoed in telemetry either way. NOTE the echo replays only
+    # the mutation masks — the selection/shuffle path under seed=None
+    # deliberately stays on true F.rand (operators/shuffle.py policy).
+    mut_base = (rng or _random).getrandbits(32) if seed is None else seed
+    if seed is None:
+        print(f"GA:mut_base={mut_base}")
     if n_buckets is None:
         n_buckets = default_n_buckets(spark)
     t0 = time.perf_counter()

@@ -116,3 +116,19 @@ def test_run_sga_one_action_per_generation(spark):
     )
     jobs = len(tracker.getJobIdsForGroup(None)) - before
     assert jobs <= gens * 4 + 4, f"{jobs} jobs for {gens} generations"
+
+
+def test_unseeded_mutation_base_injectable(spark, capsys):
+    # r4 nit: seed=None draws its per-run mutation base from an
+    # injectable Random, so the unseeded mutation stream is reproducible
+    # from a logged state; the chosen base is echoed in telemetry.
+    import random
+
+    sga.run_sga(
+        spark, n_bits=32, pop_size=16, seed=None, max_generations=1,
+        target_slack=0, n_buckets=2, mutation_rate=0.05,
+        rng=random.Random(99),
+    )
+    out = capsys.readouterr().out
+    expect = random.Random(99).getrandbits(32)
+    assert f"GA:mut_base={expect}" in out
