@@ -1983,6 +1983,48 @@ def emb_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "emb_ivf_index_roundtrip",
+    f"SELECT * FROM {ann_ops.duck_trained_ivf_sql()} _q",
+)
+def emb_ivf_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DURABLE IVF index: the build/serve split a production ANN system
+    actually runs. Build = trained centroids (shared cache) + one
+    assignment pass; the artifact lands as parquet — centroids plus a
+    postings table PARTITIONED BY cent_id, so at 100 TB a probe of 2 of
+    C lists prunes the other C−2 at the directory level before any scan
+    (same layout story as events_partitioned_scan, applied to an index).
+    Serve = reload both tables and run only the probe/search stage — no
+    re-assignment scan of the vector table. The final ranking
+    hash-matches the SAME oracle as emb_ivf_topk_trained: a full
+    symbolic replay of training + assignment + probe, which therefore
+    also proves the artifact round-trips losslessly (int64 arrays
+    survive parquet bit-exactly)."""
+    import shutil
+    import tempfile
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents = _trained_centroids(spark, sf_dir)
+    qz = emb.select("vec_id", F.expr(ann_ops.quantize_expr()).alias("qv"))
+    d = tempfile.mkdtemp(prefix="gamr_ivf_idx_")
+    try:
+        ann_ops.assign_to_centroids(qz, cents).write.partitionBy(
+            "cent_id"
+        ).parquet(f"{d}/postings")
+        cents.write.parquet(f"{d}/centroids")
+        back_cents = spark.read.parquet(f"{d}/centroids")
+        postings = spark.read.parquet(f"{d}/postings").select(
+            "vec_id", "qv", F.col("cent_id").cast("long").alias("cent_id")
+        )
+        out = ann_ops.ivf_serve_topk(postings, back_cents)
+        # materialize (k rows per query) so the temp artifact can be
+        # deleted before returning — the pruned serve happens here
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@register(
     "emb_ivf_recall",
     f"""
     (WITH e AS (SELECT query_id, vec_id FROM {ann_ops.duck_topk_sql()} _e),

@@ -322,33 +322,14 @@ def train_centroids(
     return emb.sparkSession.createDataFrame(rows, CENTROID_SCHEMA), history
 
 
-def ivf_topk(
-    emb: DataFrame, n_queries: int = 5, k: int = 10,
-    n_centroids: int = N_CENTROIDS, n_probes: int = N_PROBES,
-    centroids: DataFrame | None = None,
-) -> DataFrame:
-    """IVF-style ANN: vectors are assigned to their nearest of
-    ``n_centroids`` centroid vectors (deterministically the first C
-    vectors when ``centroids`` is None — the oracle-checkable baseline;
-    pass train_centroids(...)[0] for Lloyd's-trained lists); queries
-    probe only their ``n_probes`` nearest centroid lists. Fully
-    relational: assignment is a broadcast join + grouped argmax — the
-    shape that scales (the vector table shuffles once, on the centroid
-    id).
-
-    Output: [query_id, vec_id, dot, rank] — approximate (recall < 1 vs
-    emb_topk_dot when the true neighbor lives in an unprobed list)."""
-    from pyspark.sql import Window
-
-    qz = emb.select("vec_id", F.expr(quantize_expr()).alias("qv"))
-    if centroids is not None:
-        cents = centroids.select("cent_id", "cv")
-    else:
-        cents = qz.filter(F.col("vec_id") < n_centroids).select(
-            F.col("vec_id").alias("cent_id"), F.col("qv").alias("cv")
-        )
-    # assignment: argmax dot over centroids (broadcast NLJ, one shuffle)
-    assigned = (
+def assign_to_centroids(qz: DataFrame, cents: DataFrame) -> DataFrame:
+    """IVF list assignment: each quantized vector to its max-dot centroid
+    (ties to the lowest cent_id). [vec_id, qv, cent_id] — the POSTINGS
+    table of an IVF index; persist it cent_id-partitioned and probes
+    prune whole lists at the file level (emb_ivf_index_roundtrip).
+    Broadcast NLJ over the C-row centroid side + grouped argmax — one
+    shuffle, keyed on vec_id."""
+    return (
         qz.crossJoin(F.broadcast(cents))
         .select(
             "vec_id", "qv", "cent_id",
@@ -363,6 +344,19 @@ def ivf_topk(
             F.first("qv").alias("qv"),
         )
     )
+
+
+def ivf_serve_topk(
+    assigned: DataFrame, cents: DataFrame,
+    n_queries: int = 5, k: int = 10, n_probes: int = N_PROBES,
+) -> DataFrame:
+    """The SERVE stage of IVF top-k over a prebuilt postings table
+    ([vec_id, qv, cent_id] — from assign_to_centroids or a reloaded
+    index artifact): queries probe their n_probes nearest centroid
+    lists, search joins only those lists. Output: [query_id, vec_id,
+    dot, rank]."""
+    from pyspark.sql import Window
+
     queries = assigned.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("qv").alias("qe")
     )
@@ -391,6 +385,33 @@ def ivf_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def ivf_topk(
+    emb: DataFrame, n_queries: int = 5, k: int = 10,
+    n_centroids: int = N_CENTROIDS, n_probes: int = N_PROBES,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-style ANN: vectors are assigned to their nearest of
+    ``n_centroids`` centroid vectors (deterministically the first C
+    vectors when ``centroids`` is None — the oracle-checkable baseline;
+    pass train_centroids(...)[0] for Lloyd's-trained lists); queries
+    probe only their ``n_probes`` nearest centroid lists. Fully
+    relational: assignment is a broadcast join + grouped argmax — the
+    shape that scales (the vector table shuffles once, on the centroid
+    id). Composition of assign_to_centroids + ivf_serve_topk.
+
+    Output: [query_id, vec_id, dot, rank] — approximate (recall < 1 vs
+    emb_topk_dot when the true neighbor lives in an unprobed list)."""
+    qz = emb.select("vec_id", F.expr(quantize_expr()).alias("qv"))
+    if centroids is not None:
+        cents = centroids.select("cent_id", "cv")
+    else:
+        cents = qz.filter(F.col("vec_id") < n_centroids).select(
+            F.col("vec_id").alias("cent_id"), F.col("qv").alias("cv")
+        )
+    assigned = assign_to_centroids(qz, cents)
+    return ivf_serve_topk(assigned, cents, n_queries, k, n_probes)
 
 
 def duck_ivf_topk_sql(

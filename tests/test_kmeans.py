@@ -70,3 +70,34 @@ def test_trained_centroid_cache_shared_across_entries(spark, monkeypatch):
         assert calls["n"] == 1
     finally:
         catalog._CENTROID_CACHE.clear()
+
+
+def test_ivf_index_artifact_layout_and_roundtrip(spark, tmp_path):
+    # the durable index: postings parquet partitioned by cent_id (the
+    # probe-prunable layout) and a lossless int64-array round trip
+    from pyspark.sql import functions as F
+
+    emb = read_table(spark, SF, "embeddings")
+    qz = emb.select("vec_id", F.expr(ann.quantize_expr()).alias("qv"))
+    cents, _ = ann.train_centroids(emb, n_centroids=8, iters=3,
+                                   compute_inertia=False)
+    assigned = ann.assign_to_centroids(qz, cents)
+    d = str(tmp_path / "idx")
+    assigned.write.partitionBy("cent_id").parquet(d)
+    import os
+
+    parts = sorted(p for p in os.listdir(d) if p.startswith("cent_id="))
+    assert parts and len(parts) <= 8  # one dir per non-empty list
+    back = spark.read.parquet(d).select(
+        "vec_id", "qv", F.col("cent_id").cast("long").alias("cent_id")
+    )
+    # round trip is exact: same (vec_id, cent_id) pairs, same qv ints
+    a = {(r.vec_id, r.cent_id, tuple(r.qv)) for r in assigned.collect()}
+    b = {(r.vec_id, r.cent_id, tuple(r.qv)) for r in back.collect()}
+    assert a == b
+    # serve over the reloaded index == serve over the live assignment
+    live = {(r.query_id, r.rank, r.vec_id)
+            for r in ann.ivf_serve_topk(assigned, cents).collect()}
+    stored = {(r.query_id, r.rank, r.vec_id)
+              for r in ann.ivf_serve_topk(back, cents).collect()}
+    assert live == stored
