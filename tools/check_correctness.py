@@ -14,6 +14,13 @@ import time
 
 import duckdb
 
+import builtins
+import functools
+
+# per-entry progress must survive pipe buffering (long oracles run for
+# minutes; a block-buffered pipe shows nothing until exit)
+print = functools.partial(builtins.print, flush=True)
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
