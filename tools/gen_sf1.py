@@ -76,8 +76,8 @@ def main() -> None:
             "id AS c_custkey",
             "concat('Customer#', lpad(cast(id as string), 9, '0')) AS c_name",
             f"cast({h('cn', 'id')} % 25 as int) AS c_nationkey",
-            f"round(({h('cb', 'id')} % 1099999) / 100.0 - 999.99, 2)"
-            " AS c_acctbal",
+            f"cast(round(({h('cb', 'id')} % 1099999) / 100.0 - 999.99, 2)"
+            " as double) AS c_acctbal",
             pick(["BUILDING", "AUTOMOBILE", "MACHINERY", "HOUSEHOLD",
                   "FURNITURE"], h("cm", "id")) + " AS c_mktsegment",
         ), "customer",
@@ -88,8 +88,8 @@ def main() -> None:
             "id AS s_suppkey",
             "concat('Supplier#', lpad(cast(id as string), 9, '0')) AS s_name",
             f"cast({h('sn', 'id')} % 25 as int) AS s_nationkey",
-            f"round(({h('sb', 'id')} % 1099999) / 100.0 - 999.99, 2)"
-            " AS s_acctbal",
+            f"cast(round(({h('sb', 'id')} % 1099999) / 100.0 - 999.99, 2)"
+            " as double) AS s_acctbal",
         ), "supplier",
     )
 
@@ -109,8 +109,8 @@ def main() -> None:
             + pick(["TIN", "NICKEL", "BRASS", "STEEL", "COPPER"],
                    h("pt3", "id")) + " AS p_type",
             f"cast({h('ps', 'id')} % 50 + 1 as int) AS p_size",
-            f"round(900 + ({h('pp', 'id')} % 110000) / 100.0, 2)"
-            " AS p_retailprice",
+            f"cast(round(900 + ({h('pp', 'id')} % 110000) / 100.0, 2)"
+            " as double) AS p_retailprice",
         ), "part",
     )
 
@@ -119,8 +119,8 @@ def main() -> None:
         "id AS o_orderkey",
         f"{h('oc', 'id')} % {n_cust} AS o_custkey",
         pick(["O", "F", "P"], h("os", "id")) + " AS o_orderstatus",
-        f"round(1000 + ({h('op', 'id')} % 45000000) / 100.0, 2)"
-        " AS o_totalprice",
+        f"cast(round(1000 + ({h('op', 'id')} % 45000000) / 100.0, 2)"
+        " as double) AS o_totalprice",
         # 1995-01-01 .. 2001-08-01 (2404 days), day granularity like src
         f"timestampadd(DAY, cast({h('od', 'id')} % 2405 as int),"
         " timestamp'1995-01-01 00:00:00') AS o_orderdate",
@@ -145,12 +145,12 @@ def main() -> None:
             " AS l_suppkey",
             f"cast({h('lq', 'l_orderkey', 'l_linenumber')} % 50 + 1"
             " as double) AS l_quantity",
-            f"round(({h('le', 'l_orderkey', 'l_linenumber')} % 9000000)"
-            " / 100.0 + 1000, 2) AS l_extendedprice",
-            f"({h('ld', 'l_orderkey', 'l_linenumber')} % 11) / 100.0"
-            " AS l_discount",
-            f"({h('lt', 'l_orderkey', 'l_linenumber')} % 9) / 100.0"
-            " AS l_tax",
+            f"cast(round(({h('le', 'l_orderkey', 'l_linenumber')} % 9000000)"
+            " / 100.0 + 1000, 2) as double) AS l_extendedprice",
+            f"cast(({h('ld', 'l_orderkey', 'l_linenumber')} % 11) / 100.0"
+            " as double) AS l_discount",
+            f"cast(({h('lt', 'l_orderkey', 'l_linenumber')} % 9) / 100.0"
+            " as double) AS l_tax",
             pick(["A", "N", "R"], h("lr", "l_orderkey", "l_linenumber"))
             + " AS l_returnflag",
             pick(["O", "F"], h("ll", "l_orderkey", "l_linenumber"))
@@ -174,7 +174,7 @@ def main() -> None:
             pick(["view", "view", "view", "view", "click", "click", "click",
                   "signup", "error", "purchase"], h("et", "id"))
             + " AS event_type",
-            f"round(({h('ev', 'id')} % 56022) / 100.0, 2) AS value",
+            f"cast(round(({h('ev', 'id')} % 56022) / 100.0, 2) as double) AS value",
             f"concat('{{\"k\": ', cast({h('ep', 'id')} % 100 as string),"
             " '}') AS props",
         ), "events",
