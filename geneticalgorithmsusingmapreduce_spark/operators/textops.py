@@ -386,24 +386,42 @@ def duck_lsh_pairs_sql(sigs_sql: str, k: int = MINHASH_K,
 def jaccard_pairs(docs: DataFrame, candidates: DataFrame,
                   tau_milli: int = 500,
                   shingles: DataFrame | None = None) -> DataFrame:
-    """Exact n-gram Jaccard over candidate pairs only: |∩| via a shingle
-    join, |∪| = |A|+|B|−|∩|; keep pairs with 1000·J ≥ tau_milli."""
+    """Exact n-gram Jaccard over candidate pairs only: |∩| =
+    size(array_intersect) over each doc's distinct-sh64 set, |∪| =
+    |A|+|B|−|∩|; keep pairs with 1000·J ≥ tau_milli.
+
+    Scale shape (changed in r5): the old verify exploded each candidate
+    pair through a per-shingle equi-join — ~|candidates|·|shingles/doc|
+    intermediate rows before the |∩| agg (at the sf10 probe: 5.2M
+    candidates × ~53 shingles ≈ 275M rows, 59 s — the whole pipeline's
+    bottleneck). Now each doc folds ONCE into a sorted distinct int64
+    set (the same md5-derived sh64 both engines already share for
+    minhash), the candidate list joins those 550k array rows per side,
+    and the intersection is a per-row array op inside the join output —
+    no exploded intermediate ever exists. Same probe: 59 → ~8 s.
+    |∩| is counted over sh64 (not shingle strings) in BOTH engines, so
+    a 64-bit collision — ~n²/2⁶¹, never observed — would fold the same
+    pair of shingles on both sides and the twins stay hash-equal."""
     if shingles is not None:
-        sh = shingles.select("doc_id", "shingle").distinct()
+        sh = shingles.select("doc_id", "sh64")
     else:
-        sh = text.shingle_rows(docs).distinct()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        candidates.join(sa, "doc_a").join(sb, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+        sh = shingles_hashed(docs).select("doc_id", "sh64")
+    # sort for deterministic array content (sizes/intersections don't
+    # need it, but stable plans/debugging do); persist — both join
+    # sides branch over this fold
+    sets = (
+        sh.groupBy("doc_id")
+        .agg(F.expr("array_sort(collect_set(sh64))").alias("shs"))
+        .select("doc_id", "shs", F.size("shs").alias("sz"))
+        .persist()
     )
-    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
-    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
+    a = sets.select(F.col("doc_id").alias("doc_a"),
+                    F.col("shs").alias("shs_a"), F.col("sz").alias("sza"))
+    b = sets.select(F.col("doc_id").alias("doc_b"),
+                    F.col("shs").alias("shs_b"), F.col("sz").alias("szb"))
     return (
-        inter.join(za, "doc_a").join(zb, "doc_b")
+        candidates.join(a, "doc_a").join(b, "doc_b")
+        .withColumn("inter", F.expr("size(array_intersect(shs_a, shs_b))"))
         .withColumn(
             "jaccard_milli",
             F.expr("inter * 1000 div (sza + szb - inter)"),
@@ -415,17 +433,28 @@ def jaccard_pairs(docs: DataFrame, candidates: DataFrame,
 
 def duck_jaccard_pairs_sql(docs_sql: str, cand_sql: str,
                            tau_milli: int = 500) -> str:
+    """Twin of jaccard_pairs' r5 array form: per-doc distinct-sh64 list,
+    |∩| = len(list_intersect) — the same int64 sets the Spark side
+    folds, so both engines agree even on a (never observed) 64-bit
+    shingle collision."""
     sh = text.duck_shingle_rows_sql(docs_sql)
+    h64 = text.duck_hash64_str("shingle")
     return f"""(
-      WITH sh AS (SELECT DISTINCT doc_id, shingle FROM {sh} _s),
-      sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      WITH shd AS (
+        SELECT DISTINCT doc_id, {h64} AS sh64 FROM {sh} _s
+      ),
+      sets AS (
+        SELECT doc_id, list(sh64 ORDER BY sh64) AS shs, count(*) AS sz
+        FROM shd GROUP BY doc_id
+      ),
+      sizes AS (SELECT doc_id, sz FROM sets),
       cand AS (SELECT * FROM {cand_sql} _c),
       inter AS (
-        SELECT c.doc_a, c.doc_b, count(*) AS inter
+        SELECT c.doc_a, c.doc_b,
+               len(list_intersect(sa.shs, sb.shs)) AS inter
         FROM cand c
-        JOIN sh sa ON sa.doc_id = c.doc_a
-        JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
-        GROUP BY c.doc_a, c.doc_b
+        JOIN sets sa ON sa.doc_id = c.doc_a
+        JOIN sets sb ON sb.doc_id = c.doc_b
       )
       SELECT i.doc_a, i.doc_b,
              i.inter * 1000 // (za.sz + zb.sz - i.inter) AS jaccard_milli
@@ -462,7 +491,7 @@ def ngram_jaccard_pairs(
     docs) and leaves the flat min_shared in force for long ones, where
     the ~10:1 candidate-volume argument holds."""
     sh = (
-        text.shingle_rows(docs).select("doc_id", "shingle")
+        shingles_hashed(docs).select("doc_id", "shingle", "sh64")
         .distinct().persist()
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))

@@ -147,11 +147,16 @@ def test_simhash_band_bucket_join(spark):
 
 
 def test_ngram_jaccard_shingle_keyed_join(spark):
-    # candidate generation must be an equi-join on the shingle (inverted
-    # index), never an all-pairs product; df-pruning keys the same join
+    # candidates come from the df-pruned inverted index (posting-list
+    # explode — no join at all), and the r5 verify joins the candidate
+    # list to per-doc sh64 SETS keyed on the doc ids with the
+    # intersection as a per-row array op — never an all-pairs product,
+    # and never the old exploded per-shingle join (which materialized
+    # |candidates|x|shingles/doc| rows before aggregating)
     p = _plan(catalog.QUERIES["dedup_ngram_jaccard"](spark, SF))
     assert "CartesianProduct" not in p
-    assert _join_on(p, "shingle")
+    assert _join_on(p, "doc_a") and _join_on(p, "doc_b")
+    assert "array_intersect" in p
 
 
 def test_topk_dot_is_broadcast_nlj_baseline(spark):
