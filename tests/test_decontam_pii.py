@@ -83,3 +83,27 @@ def test_redact_phone_inside_email_not_double_counted(spark):
     r = textops.redact_pii(docs).collect()[0]
     assert r.text_redacted == "call <EMAIL> now"
     assert r.n_emails == 1 and r.n_phones == 0
+
+
+def test_jaccard_pairs_hand_computed(spark):
+    # pin the verify arithmetic independent of the corpus fixtures:
+    # 3-token shingles, |∩|/|∪| in exact integer milli, threshold 500
+    from geneticalgorithmsusingmapreduce_spark.operators import textops
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),      # shingles {abc, bcd}
+            (2, "a b c e"),      # {abc, bce}: vs 1 -> 1/3 = 333, dropped
+            (3, "a b c d"),      # duplicate of 1 -> 1000
+            (4, "a b c d e"),    # {abc, bcd, cde}: vs 1 -> 2/3 = 666
+        ],
+        "doc_id long, text string",
+    )
+    cand = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "doc_a long, doc_b long"
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard_milli
+        for r in textops.jaccard_pairs(docs, cand).collect()
+    }
+    assert got == {(1, 3): 1000, (1, 4): 666}
