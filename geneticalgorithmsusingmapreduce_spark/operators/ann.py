@@ -637,15 +637,16 @@ def duck_kmeans_stats_sql(
     )"""
 
 
-def lsh_bucket_expr(emb_col: str, seed: int, dialect: str = "spark") -> str:
+def lsh_bucket_expr(emb_col: str, seed: int, dialect: str = "spark",
+                    n_planes: int = N_PLANES) -> str:
     """Sign-LSH bucket: hyperplane p's component j is ±1 drawn from
     the seeded hash stream. The draws depend only on (seed, p, j) —
     literals — so they fold to Python-side constants and the emitted
-    expression is just 16 signed sums of quantized components (identical
-    text shape in both dialects)."""
+    expression is just n_planes signed sums of quantized components
+    (identical text shape in both dialects)."""
     f = _q if dialect == "spark" else _duck_q
     bits = []
-    for p in range(N_PLANES):
+    for p in range(n_planes):
         terms = []
         for j in range(DIMS):
             sign = 1 if prng.py_xxhash64([seed, p * DIMS + j]) > 0 else -1
@@ -655,10 +656,11 @@ def lsh_bucket_expr(emb_col: str, seed: int, dialect: str = "spark") -> str:
     return "(" + " + ".join(bits) + ")"
 
 
-def lsh_bucket_from_q(qarr: str, seed: int) -> str:
+def lsh_bucket_from_q(qarr: str, seed: int,
+                      n_planes: int = N_PLANES) -> str:
     """Bucket bits over a pre-quantized array column (Spark hot path)."""
     bits = []
-    for p in range(N_PLANES):
+    for p in range(n_planes):
         terms = []
         for j in range(DIMS):
             sign = 1 if prng.py_xxhash64([seed, p * DIMS + j]) > 0 else -1
@@ -669,14 +671,29 @@ def lsh_bucket_from_q(qarr: str, seed: int) -> str:
 
 
 def lsh_near_pairs(
-    emb: DataFrame, seed: int = 7, min_dot: int = 0
+    emb: DataFrame, seed: int = 7, min_dot: int = 0,
+    n_planes: int = N_PLANES,
 ) -> DataFrame:
     """Sign-LSH bucketing + exact integer-dot verification inside each
     bucket. Output: [vec_a, vec_b, dot]. Quantizes once per row, then
-    bucket bits and the verification dot both index the int64 array."""
+    bucket bits and the verification dot both index the int64 array.
+
+    SIZE THE BUCKET SPACE TO THE CORPUS: expected candidate volume is
+    ~n²/2^(n_planes+1) per sign-symmetric half, so a FIXED n_planes is
+    quadratic in corpus density — at 200k vectors the 8-plane default
+    (256 buckets) self-joins ~10⁸ in-bucket pairs while 16 planes
+    (65,536 buckets) keeps it ~10⁵·recall-bound. Rule of thumb at
+    scale: n_planes ≈ log2(n_vecs) + 2, traded against per-plane
+    recall loss (each extra plane halves the chance an angled-near
+    pair shares the bucket; band multiple independent bucket sets —
+    as the MinHash path does — when recall matters more than cost).
+    The registered gate entry keeps the 8-plane default so the oracle
+    string stays static; both dialects accept the same n_planes and
+    fold identical ±1 constants, so any choice stays hash-equal."""
     qz = emb.select("vec_id", F.expr(quantize_expr()).alias("qv"))
     b = qz.select(
-        "vec_id", "qv", F.expr(lsh_bucket_from_q("qv", seed)).alias("bucket")
+        "vec_id", "qv",
+        F.expr(lsh_bucket_from_q("qv", seed, n_planes)).alias("bucket"),
     )
     a, c = b.alias("a"), b.alias("b")
     return (
@@ -692,9 +709,10 @@ def lsh_near_pairs(
 
 
 def duck_lsh_near_pairs_sql(
-    seed: int = 7, min_dot: int = 0, table: str = "embeddings"
+    seed: int = 7, min_dot: int = 0, table: str = "embeddings",
+    n_planes: int = N_PLANES,
 ) -> str:
-    bucket = lsh_bucket_expr("embedding", seed, "duckdb")
+    bucket = lsh_bucket_expr("embedding", seed, "duckdb", n_planes)
     dot = dot_sql("a.embedding", "b.embedding", "duckdb")
     return f"""(
       WITH b AS (

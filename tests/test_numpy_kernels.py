@@ -70,3 +70,38 @@ def test_wide_generation_runs_and_conserves_bits(spark):
     ).collect()[0]
     for j in range(nl):
         assert (union_out[j] & ~union_in[j]) == 0
+
+
+def test_lsh_plane_count_scales_bucket_space(spark):
+    # r5: the sign-LSH bucket space must be sizable to the corpus —
+    # candidate volume is ~n^2 / 2^(planes+1), so a fixed plane count is
+    # quadratic in corpus density. Both dialects take n_planes and fold
+    # the same seeded ±1 constants, so any choice stays hash-equal; more
+    # planes must strictly shrink the in-bucket pair volume.
+    import duckdb
+
+    from geneticalgorithmsusingmapreduce_spark.operators import ann
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/embeddings.parquet')"
+    )
+    sizes = {}
+    for n_planes in (8, 16):
+        got = {
+            (r.vec_a, r.vec_b, r.dot)
+            for r in ann.lsh_near_pairs(emb, n_planes=n_planes).collect()
+        }
+        duck = {
+            tuple(r) for r in con.sql(
+                f"SELECT * FROM "
+                f"{ann.duck_lsh_near_pairs_sql(n_planes=n_planes)} _q"
+            ).fetchall()
+        }
+        assert got == duck, f"engine mismatch at n_planes={n_planes}"
+        sizes[n_planes] = len(got)
+    assert sizes[16] < sizes[8]
