@@ -762,19 +762,20 @@ DUCK_AUG_EMB = """(
 )"""
 
 
-def _sign_matrix(seed: int):
+def _sign_matrix(seed: int, n_planes: int = N_PLANES):
     """±1 hyperplane components, same (seed, p·DIMS+j) xxhash64 stream the
     SQL bucket expressions fold to literals."""
     import numpy as np
 
-    s = np.empty((N_PLANES, DIMS), dtype=np.int64)
-    for p in range(N_PLANES):
+    s = np.empty((n_planes, DIMS), dtype=np.int64)
+    for p in range(n_planes):
         for j in range(DIMS):
             s[p, j] = 1 if prng.py_xxhash64([seed, p * DIMS + j]) > 0 else -1
     return s
 
 
-def quantize_bucket_norm(emb: DataFrame, seed: int) -> DataFrame:
+def quantize_bucket_norm(emb: DataFrame, seed: int,
+                         n_planes: int = N_PLANES) -> DataFrame:
     """(vec_id, qv, bucket, n2) via one Arrow/numpy kernel.
 
     The SQL form of this projection (quantize array + 8-plane bucket +
@@ -788,8 +789,8 @@ def quantize_bucket_norm(emb: DataFrame, seed: int) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    s_t = _sign_matrix(seed).T  # (DIMS, N_PLANES)
-    pw = 1 << np.arange(N_PLANES, dtype=np.int64)
+    s_t = _sign_matrix(seed, n_planes).T  # (DIMS, n_planes)
+    pw = 1 << np.arange(n_planes, dtype=np.int64)
 
     def kernel(batches):
         for pdf in batches:
@@ -813,7 +814,8 @@ def quantize_bucket_norm(emb: DataFrame, seed: int) -> DataFrame:
 
 
 def cosine_near_pairs(
-    emb: DataFrame, tau_milli: int = 800, seed: int = 7
+    emb: DataFrame, tau_milli: int = 800, seed: int = 7,
+    n_planes: int = N_PLANES,
 ) -> DataFrame:
     """Embedding-cosine near-duplicates: sign-LSH bucket candidates +
     EXACT cosine-threshold verification in integer arithmetic.
@@ -836,7 +838,9 @@ def cosine_near_pairs(
     3-column comparison inside whole-stage codegen."""
     import numpy as np
 
-    b = quantize_bucket_norm(emb, seed).filter(F.col("n2") > 0)
+    # bucket-space sizing: same quadratic-in-density story as
+    # lsh_near_pairs — size n_planes ~ log2(n_vecs) + 2 at scale
+    b = quantize_bucket_norm(emb, seed, n_planes).filter(F.col("n2") > 0)
     a, c = b.alias("a"), b.alias("b")
     cand = (
         a.join(c, "bucket")
@@ -877,9 +881,10 @@ def cosine_near_pairs(
 
 
 def duck_cosine_near_pairs_sql(
-    tau_milli: int = 800, seed: int = 7, table: str = DUCK_AUG_EMB
+    tau_milli: int = 800, seed: int = 7, table: str = DUCK_AUG_EMB,
+    n_planes: int = N_PLANES,
 ) -> str:
-    bucket = lsh_bucket_expr("embedding", seed, "duckdb")
+    bucket = lsh_bucket_expr("embedding", seed, "duckdb", n_planes)
     n2 = dot_sql("embedding", "embedding", "duckdb")
     dot = dot_sql("a.embedding", "b.embedding", "duckdb")
     t2 = tau_milli * tau_milli
