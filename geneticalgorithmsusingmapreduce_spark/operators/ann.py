@@ -813,9 +813,47 @@ def quantize_bucket_norm(emb: DataFrame, seed: int,
     )
 
 
+def quantize_bucket_norm_banded(
+    emb: DataFrame, seed: int, n_planes: int = N_PLANES, bands: int = 2,
+) -> DataFrame:
+    """(vec_id, qv, buckets[bands], n2) — quantize_bucket_norm with B
+    independent bucket sets in ONE kernel pass (band b's plane signs
+    drawn from seed+b, matching lsh_bucket_expr(seed+b) literally)."""
+    import numpy as np
+    import pandas as pd
+
+    mats = [
+        _sign_matrix(seed + b, n_planes).T for b in range(bands)
+    ]  # each (DIMS, n_planes)
+    pw = 1 << np.arange(n_planes, dtype=np.int64)
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            e = np.stack(
+                [np.asarray(v, dtype=np.float32) for v in pdf["embedding"]]
+            ).astype(np.float64)
+            q = np.floor(e * float(SCALE) + 0.5).astype(np.int64)
+            bks = np.stack(
+                [((q @ m > 0) * pw).sum(axis=1) for m in mats], axis=1
+            )  # (N, bands)
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"].to_numpy(),
+                "qv": list(q),
+                "buckets": list(bks),
+                "n2": np.einsum("ij,ij->i", q, q),
+            })
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        kernel,
+        schema="vec_id long, qv array<long>, buckets array<long>, n2 long",
+    )
+
+
 def cosine_near_pairs(
     emb: DataFrame, tau_milli: int = 800, seed: int = 7,
-    n_planes: int = N_PLANES,
+    n_planes: int = N_PLANES, bands: int = 1,
 ) -> DataFrame:
     """Embedding-cosine near-duplicates: sign-LSH bucket candidates +
     EXACT cosine-threshold verification in integer arithmetic.
@@ -835,25 +873,65 @@ def cosine_near_pairs(
     pushdown) and blew the 64 KB codegen limit — the whole join stage ran
     interpreted. The Arrow kernel computes the dot once per candidate and
     is itself a pushdown barrier, so the decimal filter above it stays a
-    3-column comparison inside whole-stage codegen."""
+    3-column comparison inside whole-stage codegen.
+
+    RECALL vs bucket-space sizing: a single n_planes-bit bucket set
+    drops any near pair whose angle flips even one plane — at sf10
+    (220k vectors) 16 planes measure recall 0.748 on the planted
+    near-dups. ``bands > 1`` runs B INDEPENDENT bucket sets (plane
+    signs seeded seed+b, the MinHash-banding construction: recall
+    1−(1−r)^B, so 4×16-plane bands ≈ 0.996 at 4× the candidate cost,
+    still ~100× under the single-8-plane-space cliff). Banded shape:
+    the self-join moves only skinny (vec_id, band, bucket) rows, pairs
+    are deduped across bands BEFORE the arrays join back for the one
+    verify kernel — a pair found by 3 bands is verified once."""
     import numpy as np
 
     # bucket-space sizing: same quadratic-in-density story as
     # lsh_near_pairs — size n_planes ~ log2(n_vecs) + 2 at scale
-    b = quantize_bucket_norm(emb, seed, n_planes).filter(F.col("n2") > 0)
-    a, c = b.alias("a"), b.alias("b")
-    cand = (
-        a.join(c, "bucket")
-        .filter(F.expr("a.vec_id < b.vec_id"))
-        .select(
-            F.expr("a.vec_id").alias("vec_a"),
-            F.expr("b.vec_id").alias("vec_b"),
-            F.expr("a.qv").alias("qa"),
-            F.expr("b.qv").alias("qb"),
-            F.expr("a.n2").alias("na2"),
-            F.expr("b.n2").alias("nb2"),
+    if bands == 1:
+        b = quantize_bucket_norm(emb, seed, n_planes).filter(
+            F.col("n2") > 0
         )
-    )
+        a, c = b.alias("a"), b.alias("b")
+        cand = (
+            a.join(c, "bucket")
+            .filter(F.expr("a.vec_id < b.vec_id"))
+            .select(
+                F.expr("a.vec_id").alias("vec_a"),
+                F.expr("b.vec_id").alias("vec_b"),
+                F.expr("a.qv").alias("qa"),
+                F.expr("b.qv").alias("qb"),
+                F.expr("a.n2").alias("na2"),
+                F.expr("b.n2").alias("nb2"),
+            )
+        )
+    else:
+        base = quantize_bucket_norm_banded(
+            emb, seed, n_planes, bands
+        ).filter(F.col("n2") > 0).persist()
+        rows = base.select(
+            "vec_id", F.posexplode("buckets").alias("band", "bucket")
+        )
+        ra, rb = rows.alias("a"), rows.alias("b")
+        pair_ids = (
+            ra.join(rb, ["band", "bucket"])
+            .filter(F.expr("a.vec_id < b.vec_id"))
+            .select(
+                F.expr("a.vec_id").alias("vec_a"),
+                F.expr("b.vec_id").alias("vec_b"),
+            )
+            .distinct()
+        )
+        qa = base.select(
+            F.col("vec_id").alias("vec_a"),
+            F.col("qv").alias("qa"), F.col("n2").alias("na2"),
+        )
+        qb = base.select(
+            F.col("vec_id").alias("vec_b"),
+            F.col("qv").alias("qb"), F.col("n2").alias("nb2"),
+        )
+        cand = pair_ids.join(qa, "vec_a").join(qb, "vec_b")
 
     def dot_kernel(batches):
         for pdf in batches:
@@ -898,6 +976,44 @@ def duck_cosine_near_pairs_sql(
                a.n2 AS na2, b.n2 AS nb2
         FROM b a JOIN b b ON a.bucket = b.bucket
         WHERE a.vec_id < b.vec_id
+      ) _p
+      WHERE dot >= 0 AND na2 > 0 AND nb2 > 0
+        AND 1000000::HUGEINT * dot::HUGEINT * dot::HUGEINT
+            >= {t2}::HUGEINT * na2::HUGEINT * nb2::HUGEINT
+    )"""
+
+
+def duck_cosine_near_pairs_banded_sql(
+    tau_milli: int = 800, seed: int = 7, table: str = DUCK_AUG_EMB,
+    n_planes: int = N_PLANES, bands: int = 2,
+) -> str:
+    """Twin of cosine_near_pairs(bands > 1): B independent bucket sets
+    (plane signs seeded seed+b), candidates deduped across bands, one
+    exact-HUGEINT verify."""
+    n2 = dot_sql("embedding", "embedding", "duckdb")
+    dot = dot_sql("a.embedding", "b.embedding", "duckdb")
+    t2 = tau_milli * tau_milli
+    band_rows = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, "
+        f"{lsh_bucket_expr('embedding', seed + b, 'duckdb', n_planes)}"
+        f" AS bucket FROM base"
+        for b in range(bands)
+    )
+    return f"""(
+      WITH base AS (
+        SELECT vec_id, embedding, {n2} AS n2 FROM {table} _e
+      ), rows_ AS ({band_rows}),
+      pair_ids AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM rows_ a JOIN rows_ b
+          ON a.band = b.band AND a.bucket = b.bucket
+        WHERE a.vec_id < b.vec_id
+      )
+      SELECT vec_a, vec_b, dot, na2, nb2 FROM (
+        SELECT p.vec_a, p.vec_b, {dot} AS dot, a.n2 AS na2, b.n2 AS nb2
+        FROM pair_ids p
+        JOIN base a ON a.vec_id = p.vec_a
+        JOIN base b ON b.vec_id = p.vec_b
       ) _p
       WHERE dot >= 0 AND na2 > 0 AND nb2 > 0
         AND 1000000::HUGEINT * dot::HUGEINT * dot::HUGEINT

@@ -105,3 +105,37 @@ def test_lsh_plane_count_scales_bucket_space(spark):
         assert got == duck, f"engine mismatch at n_planes={n_planes}"
         sizes[n_planes] = len(got)
     assert sizes[16] < sizes[8]
+
+
+def test_cosine_banded_recall_and_engine_parity(spark):
+    # banding B independent bucket sets is the recall lever for a sized
+    # bucket space (recall 1-(1-r)^B); candidates dedupe across bands
+    # before the single verify. Both dialects band identically (plane
+    # signs seeded seed+b), and more bands can only add pairs.
+    import duckdb
+
+    from geneticalgorithmsusingmapreduce_spark.operators import ann
+
+    aug = ann.augmented_embeddings(spark, "/root/testdata/sf0.001")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/embeddings.parquet')"
+    )
+    sizes = {}
+    for bands in (2, 4):
+        got = {
+            (r.vec_a, r.vec_b, r.dot, r.na2, r.nb2)
+            for r in ann.cosine_near_pairs(
+                aug, n_planes=16, bands=bands
+            ).collect()
+        }
+        duck = {
+            tuple(r) for r in con.sql(
+                "SELECT * FROM " + ann.duck_cosine_near_pairs_banded_sql(
+                    n_planes=16, bands=bands) + " _q"
+            ).fetchall()
+        }
+        assert got == duck, f"engine mismatch at bands={bands}"
+        sizes[bands] = got
+    assert sizes[2] <= sizes[4]  # bands only ever ADD candidates
