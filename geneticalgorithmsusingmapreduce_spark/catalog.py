@@ -1374,6 +1374,24 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_cosine_banded",
+    f"SELECT * FROM {ann_ops.duck_cosine_near_pairs_banded_sql(n_planes=16, bands=2)} _q",
+)
+def dedup_cosine_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup in the AT-SCALE configuration: the
+    bucket space sized to the corpus (16 planes, rule-of-thumb
+    log2(n)+2) recovers candidate cost, and 2 independent banded
+    bucket sets recover the recall a single sized set loses (measured
+    at sf10: 0.748 -> 0.933; see BASELINE.md). Same exact-integer
+    verify as dedup_embedding_cosine — only candidate generation
+    differs, so at gate scale the two entries' verified outputs agree
+    on every pair both surface."""
+    return ann_ops.cosine_near_pairs(
+        ann_ops.augmented_embeddings(spark, sf_dir), n_planes=16, bands=2
+    )
+
+
+@register(
     "dedup_simhash",
     f"""SELECT * FROM {textops.duck_simhash_pairs_sql(
         text_fns.duck_simhash_query(
