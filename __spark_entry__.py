@@ -25,53 +25,56 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness gate verifies entries in queries() iteration
 # order and stops at a budget (50 entries per round).  Order therefore
-# encodes priority.  Round-5 rotation (VERDICT r4 "Next round" #5): the
-# 42 entries whose last driver-green row is r3 (every name absent from
-# CORRECTNESS_r04.json) run FIRST so nothing goes more than two rounds
-# without a fresh hard signal; entries newly registered this round slot
-# immediately after; the 50 entries green in r4 fill the tail, where
-# being skipped costs nothing (their signal is fresh).
+# encodes priority.  Round-6 rotation (r5 VERDICT "Next round" #8): the
+# 44 entries whose last driver-green row is r4 (every name present in
+# CORRECTNESS_r04.json but absent from r05) run FIRST, followed by the
+# two entries registered this round, so after r6 no entry's last green
+# row is older than r5.  The r5-green entries fill the tail, where being
+# skipped costs nothing; four cheap r5 entries pad the head to the full
+# 50-budget.
 _GATE_PRIORITY = [
-    # last driver-green in r3 — re-green in r5
-    "set_ops_custkeys", "orders_by_month", "orders_id_arrays",
-    "set_ops_all_custkeys", "pivot_status_by_flag", "distinct_counts",
+    # last driver-green in r4 — re-green in r6
+    "cga_sample", "cga_member_fitness", "cga_generation",
+    "cga_convergence", "sga_tournament_pandas", "cga_update_join",
+    "dedup_genomes", "top_k_individuals", "cga_tagged_union",
+    "scan_filter_project", "events_tumbling", "events_sliding",
+    "events_session", "text_language_guess", "text_quality",
+    "text_fingerprint", "dedup_exact_text",
+    # minhash/shingle family grouped so the codegen shapes compile once
+    "minhash_signatures", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "dedup_embedding_cosine", "dedup_simhash",
+    "emb_topk_dot", "emb_topk_numpy", "emb_lsh_pairs",
+    "multimodal_features", "multimodal_frames", "multimodal_resize",
+    "pricing_summary", "join_broadcast_revenue", "join_semi_anti",
+    "rollup_order_stats", "emb_ivf_recall", "hll_distinct_by_type",
+    "join_bucketed_revenue", "orc_roundtrip", "sga_mutation",
+    "sga_mutation_sparse", "incremental_sga", "cube_order_stats",
+    "window_analytics", "skew_salted_revenue", "events_json_extract",
+    "emb_ivf_topk",
+    # registered in r6 — first driver check
+    "neardup_pairs_roundtrip", "emb_cosine_banded_recall",
+    # cheap r5-green pads to fill the 50-budget
+    "set_ops_custkeys", "set_ops_all_custkeys", "distinct_counts",
+    "word_counts",
+    # <- entries registered after this round (absent from this list)
+    #    slot here, ahead of the r5-fresh tail
+    "flagship_best_by_flag", "population_generate", "cga_init_vectors",
+    "sga_shuffle", "sga_tournament", "sga_generation",
+    "orders_by_month", "orders_id_arrays", "pivot_status_by_flag",
     "regex_funcs", "string_funcs", "sequencefile_roundtrip",
     "streaming_running_best", "events_asof_join", "events_range_join",
-    "word_counts", "dedup_exact_digest", "doc_chunking", "chunk_packing",
-    # corpus_curation_neardup runs BEFORE the two cluster entries: it
-    # compiles/warms the whole shingle->minhash->LSH->jaccard->star
-    # codegen shapes, so the cluster entries (which share the pair
-    # artifact) measure their own loops, not cold plan compilation
+    "dedup_exact_digest", "doc_chunking", "chunk_packing",
     "corpus_curation", "corpus_curation_neardup", "doc_train_val_test",
-    "order_price_quartiles",
-    "text_token_stats", "streaming_dedup", "streaming_windowed_counts",
-    "events_resample", "events_series_similarity",
-    "events_partitioned_scan", "dedup_clusters", "dedup_clusters_star",
-    "corpus_mixture_sample",
+    "order_price_quartiles", "text_token_stats", "streaming_dedup",
+    "streaming_windowed_counts", "events_resample",
+    "events_series_similarity", "events_partitioned_scan",
+    "dedup_clusters", "dedup_clusters_star", "dedup_cosine_banded",
+    "emb_ivf_index_roundtrip", "corpus_mixture_sample",
     "doc_importance_sample", "doc_stratified_sample",
     "emb_ivf_topk_trained", "emb_kmeans_clusters", "cms_user_counts",
     "hll_distinct_users", "bloom_join_prune", "decontaminate",
     "pii_redact", "text_repetition", "csv_json_roundtrip",
     "local_supplier_volume", "shipping_priority",
-    # <- newly registered entries (absent from this list) slot here
-    # driver-green in r4 (fresh signal; safe to lose to the budget)
-    "flagship_best_by_flag", "population_generate", "cga_init_vectors",
-    "sga_shuffle", "sga_tournament", "sga_generation", "cga_sample",
-    "cga_member_fitness", "cga_generation", "cga_convergence",
-    "sga_tournament_pandas", "cga_update_join", "dedup_genomes",
-    "top_k_individuals", "cga_tagged_union", "scan_filter_project",
-    "events_tumbling", "events_sliding", "events_session",
-    "text_language_guess", "text_quality", "text_fingerprint",
-    "dedup_exact_text", "minhash_signatures", "dedup_minhash_lsh",
-    "dedup_ngram_jaccard", "dedup_embedding_cosine", "dedup_simhash",
-    "emb_topk_dot", "emb_topk_numpy", "emb_lsh_pairs",
-    "multimodal_features", "multimodal_frames", "multimodal_resize",
-    "pricing_summary", "join_broadcast_revenue", "join_semi_anti",
-    "rollup_order_stats", "sga_mutation", "sga_mutation_sparse",
-    "incremental_sga", "cube_order_stats", "window_analytics",
-    "skew_salted_revenue", "events_json_extract", "emb_ivf_topk",
-    "orc_roundtrip", "hll_distinct_by_type", "join_bucketed_revenue",
-    "emb_ivf_recall",
 ]
 
 

@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ..functions import prng
+from ..runtime import scoped_persist
 
 DIMS = 64
 SCALE = 1_000_000
@@ -907,9 +908,9 @@ def cosine_near_pairs(
             )
         )
     else:
-        base = quantize_bucket_norm_banded(
+        base = scoped_persist(quantize_bucket_norm_banded(
             emb, seed, n_planes, bands
-        ).filter(F.col("n2") > 0).persist()
+        ).filter(F.col("n2") > 0))
         rows = base.select(
             "vec_id", F.posexplode("buckets").alias("band", "bucket")
         )
@@ -932,6 +933,16 @@ def cosine_near_pairs(
             F.col("qv").alias("qb"), F.col("n2").alias("nb2"),
         )
         cand = pair_ids.join(qa, "vec_a").join(qb, "vec_b")
+
+    return _verify_cosine_candidates(cand, tau_milli)
+
+
+def _verify_cosine_candidates(cand: DataFrame, tau_milli: int) -> DataFrame:
+    """Shared exact-integer verify: cand = [vec_a, vec_b, qa, qb, na2,
+    nb2] → one vectorized pairwise-dot kernel, then the decimal(38,0)
+    certificate filter (see cosine_near_pairs docstring for why the dot
+    runs in Arrow/numpy and the comparison in decimal)."""
+    import numpy as np
 
     def dot_kernel(batches):
         for pdf in batches:
@@ -956,6 +967,56 @@ def cosine_near_pairs(
         " * cast(nb2 as decimal(38,0))"
     )
     return verified.filter(F.expr(keep))
+
+
+def exact_cosine_pairs(
+    emb: DataFrame, tau_milli: int = 800, seed: int = 7,
+) -> DataFrame:
+    """EXACT all-pairs cosine near-dup — the labeled brute-force ground
+    truth the banded recall gate (emb_cosine_banded_recall) measures
+    against, the same role the NLJ emb_topk_dot plays for IVF recall.
+    O(n²) candidates by construction (explicit crossJoin): fixture/gate
+    scale only — the scale path is cosine_near_pairs, whose banded
+    recall vs THIS set is the oracle-gated dial. Identical integer
+    certificate (Arrow dot + decimal(38,0) compare), so the exact and
+    banded pair sets are directly comparable with no float boundary."""
+    base = scoped_persist(
+        quantize_bucket_norm(emb, seed, 1)
+        .filter(F.col("n2") > 0).select("vec_id", "qv", "n2")
+    )
+    a = base.select(
+        F.col("vec_id").alias("vec_a"), F.col("qv").alias("qa"),
+        F.col("n2").alias("na2"),
+    )
+    b = base.select(
+        F.col("vec_id").alias("vec_b"), F.col("qv").alias("qb"),
+        F.col("n2").alias("nb2"),
+    )
+    cand = a.crossJoin(b).filter(F.col("vec_a") < F.col("vec_b"))
+    return _verify_cosine_candidates(cand, tau_milli)
+
+
+def duck_exact_cosine_pairs_sql(
+    tau_milli: int = 800, table: str = DUCK_AUG_EMB,
+) -> str:
+    """Twin of exact_cosine_pairs: all-pairs (vec_a < vec_b), same
+    HUGEINT certificate, no bucketing anywhere."""
+    n2 = dot_sql("embedding", "embedding", "duckdb")
+    dot = dot_sql("a.embedding", "b.embedding", "duckdb")
+    t2 = tau_milli * tau_milli
+    return f"""(
+      WITH b AS (
+        SELECT vec_id, embedding, {n2} AS n2 FROM {table} _e
+      )
+      SELECT vec_a, vec_b FROM (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {dot} AS dot,
+               a.n2 AS na2, b.n2 AS nb2
+        FROM b a JOIN b b ON a.vec_id < b.vec_id
+      ) _p
+      WHERE na2 > 0 AND nb2 > 0 AND dot >= 0
+        AND 1000000::HUGEINT * dot::HUGEINT * dot::HUGEINT
+            >= {t2}::HUGEINT * na2::HUGEINT * nb2::HUGEINT
+    )"""
 
 
 def duck_cosine_near_pairs_sql(

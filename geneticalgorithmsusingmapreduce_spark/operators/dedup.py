@@ -144,10 +144,19 @@ def cluster_pairs(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     components are short chains, so 3-5 rounds in practice). Each round
     is one keyed join + one grouped min — the same two-exchange shape at
     any scale — with the frontier localCheckpoint'd to truncate lineage
-    (same policy as the GA loops). At billions of edges you'd switch to
-    the large-star/small-star variant (alternating rounds that contract
-    high-degree stars) to bound skew; the dataflow per round is
-    identical. Driver sees only a 1-row changed-count per round (J2).
+    (same policy as the GA loops). Driver sees only a 1-row
+    changed-count per round (J2).
+
+    WHICH VARIANT TO USE: ``cluster_pairs_star`` is the recommended
+    default for unknown topologies and the only recommended path at
+    scale — its round count is O(log n) regardless of component
+    diameter, while this min-label loop pays one round per diameter
+    hop AND re-joins the full hub fan-out every round (measured on the
+    100k-spoke-hub + chains topology: min-label 10.2 s vs star 4.8 s,
+    BASELINE.md r5 skew rows; the curation pipeline uses star for this
+    reason, pinned in tests/test_dedup_clusters.py). Min-label stays
+    registered as the simple baseline for short-chain graphs — typical
+    near-dup families — where its per-round cost is lower.
 
     Input: [doc_a, doc_b] (+ignored extras). Output: [doc_id,
     cluster_id] for every document that appears in some pair."""

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from . import split as split_ops
 from ..functions import text as text_fns
+from ..runtime import scoped_persist
 from .textops import LANGS, STOPWORDS, _count_in
 
 _TOKS = text_fns.SPARK_TOKENS
@@ -261,9 +262,10 @@ def curate_corpus_neardup(
         F.min("doc_id").alias("doc_id"),
         F.min("n_tokens").alias("n_tokens"),
         F.count(F.lit(1)).alias("dup_count"),
-    ).persist()
+    )
+    survivors = scoped_persist(survivors)
     sdocs = docs.join(survivors.select("doc_id"), "doc_id", "leftsemi")
-    shingles = tx.shingles_hashed(sdocs).persist()
+    shingles = scoped_persist(tx.shingles_hashed(sdocs))
     sigs = tx.minhash_signatures(sdocs, shingles=shingles)
     cands = tx.lsh_candidate_pairs(sigs)
     pairs = tx.jaccard_pairs(sdocs, cands, shingles=shingles)

@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions import prng, text
+from ..runtime import scoped_persist
 from ..sources.registry import read_table
 
 STOPWORDS = {
@@ -348,7 +349,10 @@ def lsh_candidate_pairs(sigs: DataFrame, k: int = MINHASH_K,
     )
     band_rows = sigs.select(
         "doc_id", F.explode(F.expr(f"array({structs})")).alias("bb")
-    ).select("doc_id", "bb.band", "bb.bucket").persist()
+    )
+    band_rows = scoped_persist(
+        band_rows.select("doc_id", "bb.band", "bb.bucket")
+    )
     a = band_rows.alias("a")
     bb = band_rows.alias("b")
     return (
@@ -409,11 +413,10 @@ def jaccard_pairs(docs: DataFrame, candidates: DataFrame,
     # sort for deterministic array content (sizes/intersections don't
     # need it, but stable plans/debugging do); persist — both join
     # sides branch over this fold
-    sets = (
+    sets = scoped_persist(
         sh.groupBy("doc_id")
         .agg(F.expr("array_sort(collect_set(sh64))").alias("shs"))
         .select("doc_id", "shs", F.size("shs").alias("sz"))
-        .persist()
     )
     a = sets.select(F.col("doc_id").alias("doc_a"),
                     F.col("shs").alias("shs_a"), F.col("sz").alias("sza"))
@@ -490,9 +493,9 @@ def ngram_jaccard_pairs(
     cap makes the cut lossless whenever the bound < min_shared (short
     docs) and leaves the flat min_shared in force for long ones, where
     the ~10:1 candidate-volume argument holds."""
-    sh = (
+    sh = scoped_persist(
         shingles_hashed(docs).select("doc_id", "shingle", "sh64")
-        .distinct().persist()
+        .distinct()
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     # posting lists in ONE shuffle: collect_set per shingle computes df
@@ -587,7 +590,10 @@ def simhash_pairs(sigs: DataFrame, max_hamming: int = 6) -> DataFrame:
     bands = sigs.select(
         "doc_id", "simhash",
         F.explode(F.expr(f"array({structs})")).alias("bb"),
-    ).select("doc_id", "simhash", "bb.band", "bb.bucket").persist()
+    )
+    bands = scoped_persist(
+        bands.select("doc_id", "simhash", "bb.band", "bb.bucket")
+    )
     a, bb = bands.alias("a"), bands.alias("b")
     return (
         a.join(bb, ["band", "bucket"])

@@ -41,10 +41,15 @@ class CgaResult:
 def reference_pop_size(
     num_splits: int, bits_per_split: int = cga.BITS_PER_SPLIT, multiplier: int = 10
 ) -> int:
-    """Reference sizing: pop = ceil(strLen · log2(totalBits)) · multiplier
-    (``reference src/edu/illinois/ga/CGA.java:331-335``)."""
+    """Reference sizing: pop = ceil(strLen · log(totalBits)/log 2) · mult
+    (``reference src/edu/illinois/ga/CGA.java:331-335``).  The quotient
+    form (not math.log2) replicates the reference's floating-point
+    expression op-for-op — the two can differ in the last ulp, which
+    ceil() amplifies into a whole-pop difference for unlucky sizes."""
     total_bits = num_splits * bits_per_split
-    return int(math.ceil(total_bits * math.log2(total_bits))) * multiplier
+    return int(
+        math.ceil(total_bits * math.log(total_bits) / math.log(2))
+    ) * multiplier
 
 
 def reference_cli_sizing(
@@ -69,7 +74,12 @@ def reference_cli_sizing(
     lb, lpa = 64, 11  # LONG_BITS, LONGS_PER_ARRAY - 1
     splits_per_map = math.ceil(vec_size / n_maps / lb / lpa)
     tot = lb * lpa * splits_per_map * n_maps
-    pop = int(math.ceil(vec_size * math.log2(tot))) * multiplier
+    # Math.log(tot)/Math.log(2) op-for-op (NOT log2): CGA.java:334's
+    # exact float expression — an ulp difference under ceil() shifts pop
+    # by strLen*multiplier for unlucky sizes (r5 ADVICE)
+    pop = int(
+        math.ceil(vec_size * math.log(tot) / math.log(2))
+    ) * multiplier
     return splits_per_map, splits_per_map * n_maps, tot, pop
 
 

@@ -117,3 +117,18 @@ def test_star_skewed_giant_component(spark):
         for r in dedup.cluster_pairs(df, max_iters=20).collect()
     }
     assert lp == set(got.items())
+
+
+def test_curation_pipeline_uses_star():
+    # r5 VERDICT #5: star is the documented default for unknown
+    # topologies (min-label pays O(diameter) rounds and re-joins hub
+    # fan-out every round — measured 2.1x slower on the skew fixture).
+    # Pin that the curation pipeline clusters via the star contraction,
+    # not min-label, so a refactor can't silently regress the choice.
+    import inspect
+
+    from geneticalgorithmsusingmapreduce_spark.operators import pipeline
+
+    src = inspect.getsource(pipeline.curate_corpus_neardup)
+    assert "cluster_pairs_star(" in src
+    assert "cluster_pairs(" not in src.replace("cluster_pairs_star(", "")
