@@ -31,7 +31,8 @@ DEFAULT_ENTRIES = [
     # dedup / LSH / cluster / curation
     "dedup_exact_text", "dedup_exact_digest", "minhash_signatures",
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
-    "dedup_embedding_cosine", "dedup_clusters", "dedup_clusters_star",
+    "dedup_embedding_cosine", "dedup_cosine_banded",
+    "dedup_clusters", "dedup_clusters_star", "neardup_pairs_roundtrip",
     "corpus_curation", "corpus_curation_neardup", "decontaminate",
     # ANN / IVF
     "emb_topk_dot", "emb_lsh_pairs", "emb_ivf_topk",
