@@ -53,8 +53,13 @@ _GATE_PRIORITY = [
     "emb_ivf_topk",
     # registered in r6 — first driver check
     "neardup_pairs_roundtrip", "emb_cosine_banded_recall",
-    # cheap r5-green pads to fill the 50-budget
-    "set_ops_custkeys", "set_ops_all_custkeys", "distinct_counts",
+    # the clustering trio re-enters the head deliberately (r5 VERDICT
+    # #6): its driver-gate cost is the neutral referee for the r3
+    # gate-cost ask — curation_neardup first to warm the shingle/LSH/
+    # star codegen shapes, the cluster entries then reuse the pair
+    # artifact neardup_pairs_roundtrip just built; word_counts pads to
+    # the full 50-budget
+    "corpus_curation_neardup", "dedup_clusters", "dedup_clusters_star",
     "word_counts",
     # <- entries registered after this round (absent from this list)
     #    slot here, ahead of the r5-fresh tail
@@ -64,11 +69,12 @@ _GATE_PRIORITY = [
     "regex_funcs", "string_funcs", "sequencefile_roundtrip",
     "streaming_running_best", "events_asof_join", "events_range_join",
     "dedup_exact_digest", "doc_chunking", "chunk_packing",
-    "corpus_curation", "corpus_curation_neardup", "doc_train_val_test",
+    "corpus_curation", "doc_train_val_test",
     "order_price_quartiles", "text_token_stats", "streaming_dedup",
     "streaming_windowed_counts", "events_resample",
     "events_series_similarity", "events_partitioned_scan",
-    "dedup_clusters", "dedup_clusters_star", "dedup_cosine_banded",
+    "dedup_cosine_banded", "set_ops_custkeys", "set_ops_all_custkeys",
+    "distinct_counts",
     "emb_ivf_index_roundtrip", "corpus_mixture_sample",
     "doc_importance_sample", "doc_stratified_sample",
     "emb_ivf_topk_trained", "emb_kmeans_clusters", "cms_user_counts",
