@@ -276,3 +276,34 @@ def test_cached_plans_get_adaptive_coalescing(spark):
     finally:
         cached.unpersist()
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_neardup_pairs_read_from_parquet_artifact(spark):
+    # r5 VERDICT #2: the verified pair graph must arrive via a parquet
+    # scan (distributed serve), never through the driver — a regression
+    # back to collect+createDataFrame would show as LocalTableScan
+    p = _plan(catalog.QUERIES["neardup_pairs_roundtrip"](spark, SF))
+    assert "FileScan parquet" in p
+    assert "LocalTableScan" not in p
+    # consumers read the identical artifact
+    p2 = _plan(catalog.QUERIES["dedup_clusters_star"](spark, SF))
+    assert "LocalTableScan" not in p2
+
+
+def test_banded_cosine_pairids_join_is_skinny(spark):
+    # the banded self-join must move only (vec_id, band, bucket) rows;
+    # the quantized arrays join back AFTER cross-band dedup — qv must
+    # not appear among the self-join keys' exchange
+    from geneticalgorithmsusingmapreduce_spark.operators import ann
+
+    df = ann.cosine_near_pairs(
+        ann.augmented_embeddings(spark, SF), n_planes=16, bands=2
+    )
+    p = _plan(df)
+    # exactly one pair-dedup (the cross-band distinct) before verify
+    assert "HashAggregate" in p or "SortAggregate" in p
+    # the quantize kernel runs ONCE: every later reference to the banded
+    # base (band rows + both array sides) must be served from the
+    # persisted materialization, not recomputed (the plan TEXT repeats
+    # the cached subtree per reference, so count cache scans, not nodes)
+    assert "InMemoryTableScan" in p
