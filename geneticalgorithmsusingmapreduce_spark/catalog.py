@@ -1822,10 +1822,13 @@ def join_broadcast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def join_bucketed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB fact⋈fact layout made driver-checkable: both sides
-    land as bucketed tables on the join key (8 buckets, sorted), then
-    the join plans with ZERO exchanges — each task reads bucket i of
-    both sides and joins locally (plan property pinned in
-    tests/test_bucketing.py; broadcast disabled here so the
+    land as bucketed tables on the join key (sorted; bucket count sized
+    to the fact side's bytes — see buckets_for_path, which exists
+    because the fixed count this entry shipped with capped read
+    parallelism at 8 tasks and measured 16× for 10× data on the
+    sf10→sf100 decade), then the join plans with ZERO exchanges — each
+    task reads bucket i of both sides and joins locally (plan property
+    pinned in tests/test_bucketing.py; broadcast disabled here so the
     demonstration is honest — at real scale neither fact side fits a
     broadcast). The per-orderkey work rides the bucketing; only the
     5-row priority regroup exchanges. Oracle: the same join computed
@@ -1848,10 +1851,19 @@ def join_bucketed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = tempfile.mkdtemp(prefix="gamr_bkt_")
     prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # both sides MUST agree on the count; size it from the big (fact)
+    # side's raw bytes × the 2/7 filter fraction so each bucket lands
+    # near the 128 MB target at any sf (sf0.1 → 8, sf100 → 32)
+    nb = bucketing.buckets_for_path(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        target_bytes=int((128 << 20) * 7 / 2),
+    )
     try:
-        bucketing.write_bucketed(o, "gamr_b_orders", f"{d}/o", 8, "o_orderkey")
         bucketing.write_bucketed(
-            li, "gamr_b_lineitem", f"{d}/li", 8, "l_orderkey"
+            o, "gamr_b_orders", f"{d}/o", nb, "o_orderkey"
+        )
+        bucketing.write_bucketed(
+            li, "gamr_b_lineitem", f"{d}/li", nb, "l_orderkey"
         )
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         a = bucketing.read_bucketed(spark, "gamr_b_orders")
