@@ -50,6 +50,15 @@ def time_entry(spark, fn, sf_dir: str, runs: int = 3) -> float:
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         best = min(best, time.perf_counter() - t0)
+        # shuffle files of a finished run are only deleted once the
+        # driver GCs the plan objects (ContextCleaner is weak-ref
+        # driven) — at sf100 three runs of one heavy entry accumulated
+        # >39 GB of dead spill and filled the disk. Drop the Python
+        # refs, then force a JVM GC so the cleaner fires between runs.
+        import gc
+
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
     return round(best, 4)
 
 
