@@ -13,10 +13,20 @@ import os
 from pyspark.sql import SparkSession
 
 
-def build_session(app: str = "gamr-spark", cpus: int | None = None) -> SparkSession:
+def build_session(
+    app: str = "gamr-spark",
+    cpus: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """extra_conf entries are applied last, so they can override the
+    defaults below AND set create-time-only core confs (e.g.
+    spark.io.compression.codec — a SparkConf setting that cannot be
+    changed on a live session; zstd roughly halves shuffle-spill bytes
+    vs the lz4 default on text-heavy workloads, the knob a real cluster
+    would flip when local disks bound wide text shuffles)."""
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    return (
+    builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app)
         .config("spark.sql.shuffle.partitions", str(cpus))
@@ -47,5 +57,7 @@ def build_session(app: str = "gamr-spark", cpus: int | None = None) -> SparkSess
         # at sf0.1. (On a real cluster the default is right — tune per
         # executor-memory/core ratio, not this constant.)
         .config("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
-        .getOrCreate()
     )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -43,7 +43,9 @@ DEFAULT_ENTRIES = [
 ]
 
 
-def time_entry(spark, fn, sf_dir: str, runs: int = 3) -> float:
+def time_entry(spark, fn, sf_dir: str, runs: int | None = None) -> float:
+    if runs is None:
+        runs = int(os.environ.get("SCALE_BENCH_RUNS", "3"))
     best = float("inf")
     for _ in range(runs):
         spark.catalog.clearCache()
@@ -66,7 +68,15 @@ def main() -> None:
     small = os.environ.get("SMALL_SF_DIR", "/root/testdata/sf0.1")
     big = os.environ.get("BIG_SF_DIR", f"{REPO}/.localdata/sf1")
     names = sys.argv[1:] or DEFAULT_ENTRIES
-    spark = build_session("gamr-scale-bench")
+    # SCALE_BENCH_CONF="k=v,k=v" reaches create-time-only core confs
+    # (spark.io.compression.codec=zstd keeps the widest text shuffles
+    # inside a laptop-sized spill budget at the sf100 decade).
+    extra = dict(
+        kv.split("=", 1)
+        for kv in os.environ.get("SCALE_BENCH_CONF", "").split(",")
+        if "=" in kv
+    )
+    spark = build_session("gamr-scale-bench", extra_conf=extra or None)
     spark.sparkContext.setLogLevel("ERROR")
     rows = []
     for name in names:
