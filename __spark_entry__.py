@@ -40,9 +40,12 @@ _GATE_PRIORITY = [
     "scan_filter_project", "events_tumbling", "events_sliding",
     "events_session", "text_language_guess", "text_quality",
     "text_fingerprint", "dedup_exact_text",
-    # minhash/shingle family grouped so the codegen shapes compile once
-    "minhash_signatures", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-    "dedup_embedding_cosine", "dedup_simhash",
+    # minhash/shingle family grouped so the codegen shapes compile once;
+    # the r6 hot-bucket-guard entries sit next to their uncapped
+    # siblings for the same reason (first driver check this round)
+    "minhash_signatures", "dedup_minhash_lsh", "dedup_minhash_lsh_capped",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine", "dedup_simhash", "dedup_simhash_capped",
     "emb_topk_dot", "emb_topk_numpy", "emb_lsh_pairs",
     "multimodal_features", "multimodal_frames", "multimodal_resize",
     "pricing_summary", "join_broadcast_revenue", "join_semi_anti",
@@ -53,14 +56,15 @@ _GATE_PRIORITY = [
     "emb_ivf_topk",
     # registered in r6 — first driver check
     "neardup_pairs_roundtrip", "emb_cosine_banded_recall",
-    # the clustering trio re-enters the head deliberately (r5 VERDICT
-    # #6): its driver-gate cost is the neutral referee for the r3
-    # gate-cost ask — curation_neardup first to warm the shingle/LSH/
-    # star codegen shapes, the cluster entries then reuse the pair
-    # artifact neardup_pairs_roundtrip just built; word_counts pads to
-    # the full 50-budget
-    "corpus_curation_neardup", "dedup_clusters", "dedup_clusters_star",
-    "word_counts",
+    # the clustering referee pair stays in the head (r5 VERDICT #6):
+    # curation_neardup warms the shingle/LSH/star codegen shapes, star
+    # reuses the pair artifact neardup_pairs_roundtrip just built. The
+    # 50-budget forced two r5-green heads out when the hot-bucket-guard
+    # entries registered: word_counts (a pad) and dedup_clusters —
+    # min-label is the documented-deprecated clustering path, star is
+    # what the curation pipeline ships, and both displaced entries stay
+    # one round fresh (r5-green) and slot at 51-52 via the new_slot rank
+    "corpus_curation_neardup", "dedup_clusters_star",
     # <- entries registered after this round (absent from this list)
     #    slot here, ahead of the r5-fresh tail
     "flagship_best_by_flag", "population_generate", "cga_init_vectors",

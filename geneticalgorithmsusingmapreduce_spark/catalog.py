@@ -1184,6 +1184,32 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_minhash_lsh_capped",
+    f"""SELECT * FROM {textops.duck_jaccard_pairs_sql(
+        textops.DUCK_AUG,
+        textops.duck_lsh_pairs_sql(
+            textops.duck_minhash_sql(textops.DUCK_AUG), max_bucket=2
+        ),
+    )} _q""",
+)
+def dedup_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_minhash_lsh with the hot-bucket skew guard engaged
+    (max_bucket=2 — the tightest setting, chosen so the guard provably
+    bites at the sf0.01 gate where the largest LSH bucket holds 3 docs):
+    oversized band buckets are skipped before the candidate self-join,
+    bounding every join task's pair fan-out at max_bucket²/2. At the
+    sf100 decade the uncapped candidate join OOM'd a 48 GB heap on
+    hot-bucket tasks; the cap is the production dial for low-entropy
+    corpora (the verify stage is untouched — skipped docs can still
+    reach it through their other bands)."""
+    docs = textops.augmented_corpus(spark, sf_dir)
+    shingles = runtime.scoped_persist(textops.shingles_hashed(docs))
+    sigs = textops.minhash_signatures(docs, shingles=shingles)
+    cands = textops.lsh_candidate_pairs(sigs, max_bucket=2)
+    return textops.jaccard_pairs(docs, cands, shingles=shingles)
+
+
+@register(
     "corpus_curation_neardup",
     f"SELECT * FROM "
     f"{pipeline_ops.duck_curate_neardup_sql(textops.DUCK_CLUSTER_AUG)} _q",
@@ -1544,6 +1570,31 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = textops.augmented_corpus(spark, sf_dir)
     sigs = textops.simhash_signatures(docs)
     return textops.simhash_pairs(sigs)
+
+
+@register(
+    "dedup_simhash_capped",
+    f"""SELECT * FROM {textops.duck_simhash_pairs_sql(
+        text_fns.duck_simhash_query(
+            text_fns.duck_token_rows_sql(textops.DUCK_AUG)
+        ),
+        max_bucket=16,
+    )} _q""",
+)
+def dedup_simhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_simhash with the hot-bucket skew guard engaged
+    (max_bucket=16): band buckets holding more docs are skipped, so no
+    single sort-merge-join task ever owns a quadratic in-bucket pair
+    set. This is the configuration that survives low-entropy corpora at
+    scale — a heavy Zipf head pins most SimHash vote signs to the head
+    words' hash bits, fingerprints cluster, and the uncapped self-join
+    stalls on hot-bucket stragglers (measured at the sf100 decade; even
+    this gate fixture's 550 docs grow a 61-doc bucket). The cap bites at
+    sf0.01 too, so the oracle checks the guard's exact semantics, not a
+    no-op."""
+    docs = textops.augmented_corpus(spark, sf_dir)
+    sigs = textops.simhash_signatures(docs)
+    return textops.simhash_pairs(sigs, max_bucket=16)
 
 
 # --- similarity search over embeddings (scale extensions) ---------------

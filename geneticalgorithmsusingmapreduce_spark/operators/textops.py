@@ -22,7 +22,7 @@ identical in both engines, yielding known-answer near-dup pairs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions import prng, text
 from ..runtime import scoped_persist
@@ -330,10 +330,51 @@ def duck_minhash_sql(docs_sql: str, k: int = MINHASH_K) -> str:
     return text.duck_minhash_query(text.duck_shingle_rows_sql(docs_sql), k)
 
 
+def _prune_hot_buckets(band_rows: DataFrame,
+                       max_bucket: int | None) -> DataFrame:
+    """Drop every (band, bucket) group larger than max_bucket via a
+    window count partitioned by the join key itself (no new exchange
+    topology; the self-join re-shuffles on the same key). No-op when
+    max_bucket is None."""
+    if max_bucket is None:
+        return band_rows
+    w = Window.partitionBy("band", "bucket")
+    return (
+        band_rows.withColumn("_bsz", F.count(F.lit(1)).over(w))
+        .filter(F.col("_bsz") <= max_bucket)
+        .drop("_bsz")
+    )
+
+
+def _duck_bucket_qualify(max_bucket: int | None) -> str:
+    """DuckDB twin of _prune_hot_buckets: a QUALIFY over the same window."""
+    if max_bucket is None:
+        return ""
+    return (f" QUALIFY count(*) OVER (PARTITION BY band, bucket)"
+            f" <= {max_bucket}")
+
+
 def lsh_candidate_pairs(sigs: DataFrame, k: int = MINHASH_K,
-                        bands: int = LSH_BANDS) -> DataFrame:
+                        bands: int = LSH_BANDS,
+                        max_bucket: int | None = None) -> DataFrame:
     """Band → bucket → self-join: docs sharing any band bucket become
-    candidate pairs (a < b)."""
+    candidate pairs (a < b).
+
+    max_bucket is the hot-bucket skew guard: buckets holding more than
+    this many docs are skipped ENTIRELY (their members can still pair
+    through their other bands). A bucket of size m contributes m·(m−1)/2
+    candidates to ONE sort-merge-join task, so on low-entropy corpora
+    (boilerplate mass, a heavy Zipf head) a single hot bucket turns the
+    candidate stage quadratic — the sf100 probe stalled on 6 straggler
+    tasks and spilled past the disk before dying. Same philosophy as the
+    n-gram index's max_df dial: an over-popular bucket carries almost no
+    pair-level information, and true mass-duplicates are the exact-digest
+    pass's job, which runs BEFORE near-dup in the curation pipeline.
+    The prune is a window count over (band, bucket) — the very key the
+    self-join shuffles on — so it adds no new exchange topology, and it
+    runs before the persist so both join sides read the pruned rows.
+    None (the default) disables the guard; every pre-existing oracle is
+    byte-identical."""
     r = k // bands
     # one explode, not a bands-way union: each union branch re-evaluated
     # the k-min signature aggregation, and the self-join doubled it (2b
@@ -349,10 +390,8 @@ def lsh_candidate_pairs(sigs: DataFrame, k: int = MINHASH_K,
     )
     band_rows = sigs.select(
         "doc_id", F.explode(F.expr(f"array({structs})")).alias("bb")
-    )
-    band_rows = scoped_persist(
-        band_rows.select("doc_id", "bb.band", "bb.bucket")
-    )
+    ).select("doc_id", "bb.band", "bb.bucket")
+    band_rows = scoped_persist(_prune_hot_buckets(band_rows, max_bucket))
     a = band_rows.alias("a")
     bb = band_rows.alias("b")
     return (
@@ -366,9 +405,11 @@ def lsh_candidate_pairs(sigs: DataFrame, k: int = MINHASH_K,
 
 
 def duck_lsh_pairs_sql(sigs_sql: str, k: int = MINHASH_K,
-                       bands: int = LSH_BANDS) -> str:
+                       bands: int = LSH_BANDS,
+                       max_bucket: int | None = None) -> str:
     """Band rows exploded via UNION ALL, then ONE hash chain for the
-    bucket key (flat nesting — see functions.text.duck_minhash_query)."""
+    bucket key (flat nesting — see functions.text.duck_minhash_query).
+    max_bucket twins lsh_candidate_pairs' hot-bucket guard."""
     r = k // bands
     assert r == 2, "bucket hash below assumes 2 minhashes per band"
     band_rows = " UNION ALL ".join(
@@ -380,7 +421,8 @@ def duck_lsh_pairs_sql(sigs_sql: str, k: int = MINHASH_K,
                               ["a1", "a2", "band"], "bucket_h")
     return f"""(
       WITH _sigs AS (SELECT * FROM {sigs_sql} _c),
-      _rows AS (SELECT doc_id, band, bucket_h AS bucket FROM {hq} _h)
+      _rows AS (SELECT doc_id, band, bucket_h AS bucket FROM {hq} _h
+                {_duck_bucket_qualify(max_bucket)})
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM _rows a JOIN _rows b USING (band, bucket)
       WHERE a.doc_id < b.doc_id
@@ -573,7 +615,8 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     return votes.select("doc_id", text.simhash_from_votes().alias("simhash"))
 
 
-def simhash_pairs(sigs: DataFrame, max_hamming: int = 6) -> DataFrame:
+def simhash_pairs(sigs: DataFrame, max_hamming: int = 6,
+                  max_bucket: int | None = None) -> DataFrame:
     """Candidate pairs via 4×16-bit band buckets (any equal band →
     candidate), verified by exact Hamming distance ≤ max_hamming.
 
@@ -581,7 +624,14 @@ def simhash_pairs(sigs: DataFrame, max_hamming: int = 6) -> DataFrame:
     union: a union re-evaluates the 64-vote signature aggregation once
     per branch, and the self-join doubles that to 8 recomputes), and the
     banded relation is persisted so both join sides read the same
-    materialization — the signature agg runs exactly once."""
+    materialization — the signature agg runs exactly once.
+
+    max_bucket: hot-bucket skew guard, see lsh_candidate_pairs. SimHash
+    is MORE exposed than MinHash here: a heavy-head token distribution
+    pins most of the 64 vote signs to the head words' hash bits, so
+    fingerprints cluster into few 16-bit band buckets and the in-bucket
+    pair count goes quadratic (the sf100 corpus stalled this self-join
+    on 6 hot-bucket tasks)."""
     structs = ", ".join(
         f"struct({b} as band,"
         f" (shiftright(simhash, {b * 16}) & 65535) as bucket)"
@@ -590,10 +640,8 @@ def simhash_pairs(sigs: DataFrame, max_hamming: int = 6) -> DataFrame:
     bands = sigs.select(
         "doc_id", "simhash",
         F.explode(F.expr(f"array({structs})")).alias("bb"),
-    )
-    bands = scoped_persist(
-        bands.select("doc_id", "simhash", "bb.band", "bb.bucket")
-    )
+    ).select("doc_id", "simhash", "bb.band", "bb.bucket")
+    bands = scoped_persist(_prune_hot_buckets(bands, max_bucket))
     a, bb = bands.alias("a"), bands.alias("b")
     return (
         a.join(bb, ["band", "bucket"])
@@ -608,14 +656,17 @@ def simhash_pairs(sigs: DataFrame, max_hamming: int = 6) -> DataFrame:
     )
 
 
-def duck_simhash_pairs_sql(sigs_sql: str, max_hamming: int = 6) -> str:
+def duck_simhash_pairs_sql(sigs_sql: str, max_hamming: int = 6,
+                           max_bucket: int | None = None) -> str:
     unions = " UNION ALL ".join(
         f"SELECT doc_id, simhash, {b} AS band, "
         f"((simhash >> {b * 16}) & 65535) AS bucket FROM _sg"
         for b in range(4)
     )
     return f"""(
-      WITH _sg AS (SELECT * FROM {sigs_sql} _s), _rows AS ({unions})
+      WITH _sg AS (SELECT * FROM {sigs_sql} _s),
+      _rows AS (SELECT * FROM ({unions}) _u
+                {_duck_bucket_qualify(max_bucket)})
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
              bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
       FROM _rows a JOIN _rows b USING (band, bucket)
