@@ -231,6 +231,7 @@ def curate_corpus_neardup(
     seed: int = 42,
     train_pm: int = 800,
     val_pm: int = 100,
+    max_bucket: int | None = 64,
 ) -> DataFrame:
     """The FULL curation pipeline: quality/language gates → exact-digest
     dedup → NEAR-dup cluster collapse (MinHash→LSH→verify→connected
@@ -243,7 +244,20 @@ def curate_corpus_neardup(
     16-byte digests; the near-dup stage touches only exact-dedup
     SURVIVORS (banded candidates, verify on candidates only); the
     cluster loop exchanges (node, label) pairs. No stage ever moves
-    document text except the shingle projection."""
+    document text except the shingle projection.
+
+    max_bucket is the hot-bucket skew guard threaded into the LSH
+    candidate stage (textops.lsh_candidate_pairs): on a low-entropy
+    corpus at the sf100 decade, the UNGUARDED candidate self-join hit
+    575 billion in-bucket pairs and spilled past disk (BASELINE.md r6);
+    with the guard, oversized (band, bucket) groups are skipped before
+    the self-join, bounding every join task at max_bucket²/2 pairs. The
+    default (64) is scale-safe because exact-digest dedup runs FIRST —
+    byte-identical mass duplicates never reach the LSH stage, so a
+    >64-doc bucket is hash skew, not signal — and a skipped doc still
+    pairs through its other bands (zero planted-pair recall loss
+    measured even at max_bucket=2, dedup_minhash_lsh_capped). Pass
+    None to disable."""
     from . import dedup as dedup_ops, textops as tx
 
     facets = docs.select(
@@ -267,7 +281,7 @@ def curate_corpus_neardup(
     sdocs = docs.join(survivors.select("doc_id"), "doc_id", "leftsemi")
     shingles = scoped_persist(tx.shingles_hashed(sdocs))
     sigs = tx.minhash_signatures(sdocs, shingles=shingles)
-    cands = tx.lsh_candidate_pairs(sigs)
+    cands = tx.lsh_candidate_pairs(sigs, max_bucket=max_bucket)
     pairs = tx.jaccard_pairs(sdocs, cands, shingles=shingles)
     # star contraction, not label propagation: same components (asserted
     # equivalent in tests), but O(log n) rounds regardless of component
@@ -298,6 +312,7 @@ def duck_curate_neardup_sql(
     seed: int = 42,
     train_pm: int = 800,
     val_pm: int = 100,
+    max_bucket: int | None = 64,
 ) -> str:
     from . import dedup as dedup_ops, textops as tx
     from ..functions import text as text_fns
@@ -307,7 +322,10 @@ def duck_curate_neardup_sql(
     sdocs = "(SELECT doc_id, text FROM _aug WHERE doc_id IN "\
             "(SELECT doc_id FROM _surv))"
     pairs = tx.duck_jaccard_pairs_sql(
-        sdocs, tx.duck_lsh_pairs_sql(tx.duck_minhash_sql(sdocs))
+        sdocs,
+        tx.duck_lsh_pairs_sql(
+            tx.duck_minhash_sql(sdocs), max_bucket=max_bucket
+        ),
     )
     clusters = dedup_ops.duck_cluster_sql(
         f"(SELECT doc_a, doc_b FROM {pairs} _pp)"

@@ -119,16 +119,59 @@ def test_star_skewed_giant_component(spark):
     assert lp == set(got.items())
 
 
-def test_curation_pipeline_uses_star():
+def test_curation_pipeline_uses_star_and_carries_guard(spark):
     # r5 VERDICT #5: star is the documented default for unknown
     # topologies (min-label pays O(diameter) rounds and re-joins hub
     # fan-out every round — measured 2.1x slower on the skew fixture).
-    # Pin that the curation pipeline clusters via the star contraction,
-    # not min-label, so a refactor can't silently regress the choice.
-    import inspect
+    # r6 ADVICE: pin the BEHAVIOR via recording wrappers, not source
+    # text (the old inspect.getsource pin broke on benign refactors and
+    # passed if the call was present but unreached).
+    # r6 VERDICT #1: also pin that the pipeline's LSH candidate stage
+    # carries the hot-bucket skew guard (max_bucket), engaged by
+    # default — the sf100-proven dial must reach the one entry that
+    # represents "run the whole curation job".
+    from geneticalgorithmsusingmapreduce_spark.operators import (
+        dedup as dd, pipeline, textops,
+    )
 
-    from geneticalgorithmsusingmapreduce_spark.operators import pipeline
+    calls = {"star": 0, "minlabel": 0, "lsh_max_bucket": []}
+    real_star, real_min = dd.cluster_pairs_star, dd.cluster_pairs
+    real_lsh = textops.lsh_candidate_pairs
 
-    src = inspect.getsource(pipeline.curate_corpus_neardup)
-    assert "cluster_pairs_star(" in src
-    assert "cluster_pairs(" not in src.replace("cluster_pairs_star(", "")
+    def rec_star(*a, **k):
+        calls["star"] += 1
+        return real_star(*a, **k)
+
+    def rec_min(*a, **k):
+        calls["minlabel"] += 1
+        return real_min(*a, **k)
+
+    def rec_lsh(sigs, *a, **k):
+        calls["lsh_max_bucket"].append(k.get("max_bucket"))
+        return real_lsh(sigs, *a, **k)
+
+    # each doc: 6 en stopwords (wins the language vote) + 10 unique
+    # filler tokens, so distinct docs share (almost) no shingles
+    def text_for(i):
+        fill = " ".join(f"u{i}x{j}" for j in range(10))
+        return f"the a and of to is {fill}"
+
+    rows = [(i, text_for(i)) for i in range(1, 9)]
+    rows.append((100, text_for(1) + " zz9"))  # near-dup of doc 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    try:
+        dd.cluster_pairs_star = rec_star
+        dd.cluster_pairs = rec_min
+        textops.lsh_candidate_pairs = rec_lsh
+        out = pipeline.curate_corpus_neardup(docs).collect()
+    finally:
+        dd.cluster_pairs_star = real_star
+        dd.cluster_pairs = real_min
+        textops.lsh_candidate_pairs = real_lsh
+
+    assert calls["star"] == 1 and calls["minlabel"] == 0
+    assert calls["lsh_max_bucket"] == [64]
+    got = {r.doc_id: r.nd_dropped for r in out}
+    # the planted near-dup collapsed into doc 1 with the guard engaged
+    assert 100 not in got and got[1] == 1
+    assert len(got) == 8
