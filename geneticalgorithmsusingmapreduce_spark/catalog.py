@@ -1511,6 +1511,30 @@ def dedup_cosine_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_cosine_banded_sized",
+    f"SELECT * FROM "
+    f"{ann_ops.duck_cosine_near_pairs_banded_sql(n_planes=24, bands=4)} _q",
+)
+def dedup_cosine_banded_sized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded cosine near-dup at the THIRD-DECADE bucket space:
+    n_planes=24 = ann.planes_for_count(2_200_000) — the ⌈log2(n)⌉+2
+    rule applied to the sf100 corpus (2M vectors + 10% planted
+    near-dups), the exact configuration BASELINE.md measured at
+    1.26× for 10× data where the frozen 16-plane space measured
+    39.28× (the r6 VERDICT's one `weak` grade). The plane count must
+    be a registered constant because the DuckDB twin unrolls it into
+    literal ±1 terms at import time; this sibling entry pins the
+    cross-engine equality of the SIZED space (extended to 24 planes in
+    tests/test_numpy_kernels.py) while dedup_cosine_banded keeps the
+    gate-corpus-sized 16-plane space. At gate scale the finer space
+    passes only near-identical vectors per band; the 4 bands recover
+    the planted perturbed copies — the oracle replays both facts."""
+    return ann_ops.cosine_near_pairs(
+        ann_ops.augmented_embeddings(spark, sf_dir), n_planes=24, bands=4
+    )
+
+
+@register(
     "emb_cosine_banded_recall",
     f"""
     (WITH e AS (SELECT vec_a, vec_b FROM {ann_ops.duck_exact_cosine_pairs_sql()} _e)

@@ -34,6 +34,32 @@ SCALE = 1_000_000
 N_PLANES = 8
 
 
+def planes_for_count(n_vecs: int, min_planes: int = 8,
+                     max_planes: int = 30) -> int:
+    """Size the sign-LSH bucket space to the corpus: ⌈log2(n)⌉ + 2.
+
+    Expected in-bucket candidate volume is ~n²/2^(planes+1), so a FIXED
+    plane count is quadratic in corpus density — the r6 sf100 decade
+    measured it directly: at 2.2M vectors the frozen 16-plane space ran
+    39.28× for 10× data while this rule's 24 planes ran 1.26×
+    (BASELINE.md r6). ⌈log2(n)⌉ + 2 keeps the expected bucket occupancy
+    ≤ ~n/4·2⁻ˡᵒᵍ²⁽ⁿ⁾ < 1, i.e. the exchange stays near-flat as the
+    corpus grows; recall lost to the finer space is recovered by
+    banding B independent bucket sets (cosine_near_pairs bands > 1).
+    Mirrors sources.bucketing.buckets_for_path, which sizes bucketed
+    join spaces the same data-driven way. Clamped to [min_planes,
+    max_planes]: below 8 the space is too coarse even for tiny corpora;
+    int64 bucket keys cap at 63 planes, and past ~30 the per-plane
+    recall loss outpaces any candidate saving at feasible band counts.
+    planes_for_count(2_200_000) == 24 — the exact configuration the
+    sf100 row measured."""
+    import math
+
+    if n_vecs <= 1:
+        return min_planes
+    return max(min_planes, min(max_planes, math.ceil(math.log2(n_vecs)) + 2))
+
+
 def _q(arr: str, j: int) -> str:
     """Quantized component. The float32 → float64 cast must be explicit
     and FIRST: both engines otherwise multiply in single precision

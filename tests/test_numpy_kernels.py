@@ -123,19 +123,46 @@ def test_cosine_banded_recall_and_engine_parity(spark):
         "read_parquet('/root/testdata/sf0.001/embeddings.parquet')"
     )
     sizes = {}
-    for bands in (2, 4):
+    # (16, 2) / (16, 4): the recall dial at the gate-corpus space;
+    # (24, 4): the corpus-sized third-decade space (planes_for_count at
+    # 2.2M vectors — r6 VERDICT #2: the equality pin must cover the
+    # plane count the sf100 row actually measured)
+    for n_planes, bands in ((16, 2), (16, 4), (24, 4)):
         got = {
             (r.vec_a, r.vec_b, r.dot, r.na2, r.nb2)
             for r in ann.cosine_near_pairs(
-                aug, n_planes=16, bands=bands
+                aug, n_planes=n_planes, bands=bands
             ).collect()
         }
         duck = {
             tuple(r) for r in con.sql(
                 "SELECT * FROM " + ann.duck_cosine_near_pairs_banded_sql(
-                    n_planes=16, bands=bands) + " _q"
+                    n_planes=n_planes, bands=bands) + " _q"
             ).fetchall()
         }
-        assert got == duck, f"engine mismatch at bands={bands}"
-        sizes[bands] = got
-    assert sizes[2] <= sizes[4]  # bands only ever ADD candidates
+        assert got == duck, (
+            f"engine mismatch at n_planes={n_planes} bands={bands}"
+        )
+        sizes[(n_planes, bands)] = got
+    # bands only ever ADD candidates; a finer space only ever DROPS them
+    assert sizes[(16, 2)] <= sizes[(16, 4)]
+    assert sizes[(24, 4)] <= sizes[(16, 4)]
+
+
+def test_planes_for_count_rule():
+    # the ⌈log2(n)⌉+2 sizing rule, pinned at the measured decades:
+    # 24 planes at the sf100 corpus (2M + 10% planted = 2.2M vectors)
+    # is the config BASELINE.md measured at 1.26×/decade vs 39.28× for
+    # a frozen 16-plane space.
+    from geneticalgorithmsusingmapreduce_spark.operators import ann
+
+    assert ann.planes_for_count(2_200_000) == 24
+    assert ann.planes_for_count(220_000) == 20
+    assert ann.planes_for_count(16_384) == 16
+    assert ann.planes_for_count(1) == 8          # clamp floor
+    assert ann.planes_for_count(10) == 8         # clamp floor
+    assert ann.planes_for_count(10**12) == 30    # clamp ceiling
+    # monotone non-decreasing across decades
+    ns = [10**k for k in range(1, 10)]
+    ps = [ann.planes_for_count(n) for n in ns]
+    assert ps == sorted(ps)
