@@ -132,15 +132,18 @@ LI_POP_WHERE = "l_linenumber <= 2"
 # the population-genome oracles replay 11 emulated-128-bit hash chains
 # per individual in DuckDB — ~500 s at sf1 — so "validated at sf1" for
 # those entries would otherwise stay implicit. GAMR_POP_SAMPLE=k keeps
-# only every k-th order (seeded-hash draw, not modulo-of-id, so the
-# sample is uniform over orderkeys) in the population fixture of BOTH
-# engines — the oracle strings are baked at import time, so the knob
-# must be set before import (tools/check_correctness.py subprocess runs
-# qualify). The predicate is dialect-NEUTRAL (plain modulo — DuckDB has
-# no xxhash64) and keys on l_orderkey, so whole orders survive intact.
-# The sampled check exercises the identical operator surface at seconds
-# of oracle cost; the full-population row stays the occasional
-# long-batch run.
+# only every k-th order in the population fixture of BOTH engines — the
+# oracle strings are baked at import time, so the knob must be set
+# before import (tools/check_correctness.py subprocess runs qualify).
+# The predicate is PLAIN MODULO of l_orderkey (dialect-neutral — DuckDB
+# has no xxhash64; keying on l_orderkey keeps whole orders intact).
+# Modulo is only uniform because this repo's generator emits DENSE
+# range orderkeys; on sparse/structured keys (real TPC-H dbgen strides)
+# some k would skew or empty the sample, so lineitem_population fails
+# loudly on an empty fixture rather than letting both engines pass
+# vacuously (r6 ADVICE). The sampled check exercises the identical
+# operator surface at seconds of oracle cost; the full-population row
+# stays the occasional long-batch run.
 _pop_sample = int(os.environ.get("GAMR_POP_SAMPLE", "0"))
 if _pop_sample > 1:
     LI_POP_WHERE += f" AND l_orderkey % {_pop_sample} = 0"
@@ -155,6 +158,15 @@ def lineitem_population(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(LI_POP_WHERE)
         .select(F.expr(LI_IID).alias("iid"), "l_returnflag")
     )
+    if _pop_sample > 1 and not li.head(1):
+        # surrogate sampling is modulo-of-id (see LI_POP_WHERE): valid
+        # only for dense range orderkeys — fail loudly, never let both
+        # engines pass vacuously on an empty fixture (r6 ADVICE)
+        raise ValueError(
+            f"GAMR_POP_SAMPLE={_pop_sample} emptied the population "
+            f"fixture under {sf_dir} — modulo sampling assumes dense "
+            "range orderkeys"
+        )
     return generate.population_from_table(li, "iid", GENOME_BITS, SEED)
 
 

@@ -83,46 +83,43 @@ def main() -> None:
                 with open(p) as f:
                     yield from f
 
+        # one pass: stage counts + task-level sums (TaskEnd carries the
+        # metrics) — r6 ADVICE: the log was parsed twice
         for line in _lines():
             try:
                 ev = json.loads(line)
             except json.JSONDecodeError:
                 continue
-            if ev.get("Event") == "SparkListenerStageCompleted":
+            kind = ev.get("Event")
+            if kind == "SparkListenerStageCompleted":
                 tot["n_stages"] += 1
-        # task-level sums (TaskEnd carries the metrics)
-        if True:
-            for line in _lines():
-                try:
-                    ev = json.loads(line)
-                except json.JSONDecodeError:
-                    continue
-                if ev.get("Event") != "SparkListenerTaskEnd":
-                    continue
-                m = ev.get("Task Metrics") or {}
-                tot["executor_run_sec"] += m.get("Executor Run Time", 0) / 1e3
-                tot["jvm_gc_sec"] += m.get("JVM GC Time", 0) / 1e3
-                tot["deser_sec"] += (
-                    m.get("Executor Deserialize Time", 0) / 1e3
-                )
-                tot["result_ser_sec"] += (
-                    m.get("Result Serialization Time", 0) / 1e3
-                )
-                srm = m.get("Shuffle Read Metrics") or {}
-                tot["shuffle_fetch_wait_sec"] += (
-                    srm.get("Fetch Wait Time", 0) / 1e3
-                )
-                tot["shuffle_read_mb"] += (
-                    srm.get("Local Bytes Read", 0)
-                    + srm.get("Remote Bytes Read", 0)
-                ) / 1e6
-                swm = m.get("Shuffle Write Metrics") or {}
-                tot["shuffle_write_sec"] += (
-                    swm.get("Shuffle Write Time", 0) / 1e9  # ns
-                )
-                tot["shuffle_write_mb"] += (
-                    swm.get("Shuffle Bytes Written", 0) / 1e6
-                )
+                continue
+            if kind != "SparkListenerTaskEnd":
+                continue
+            m = ev.get("Task Metrics") or {}
+            tot["executor_run_sec"] += m.get("Executor Run Time", 0) / 1e3
+            tot["jvm_gc_sec"] += m.get("JVM GC Time", 0) / 1e3
+            tot["deser_sec"] += (
+                m.get("Executor Deserialize Time", 0) / 1e3
+            )
+            tot["result_ser_sec"] += (
+                m.get("Result Serialization Time", 0) / 1e3
+            )
+            srm = m.get("Shuffle Read Metrics") or {}
+            tot["shuffle_fetch_wait_sec"] += (
+                srm.get("Fetch Wait Time", 0) / 1e3
+            )
+            tot["shuffle_read_mb"] += (
+                srm.get("Local Bytes Read", 0)
+                + srm.get("Remote Bytes Read", 0)
+            ) / 1e6
+            swm = m.get("Shuffle Write Metrics") or {}
+            tot["shuffle_write_sec"] += (
+                swm.get("Shuffle Write Time", 0) / 1e9  # ns
+            )
+            tot["shuffle_write_mb"] += (
+                swm.get("Shuffle Bytes Written", 0) / 1e6
+            )
         out["stages"] = {k: round(v, 2) for k, v in tot.items()}
 
     print(json.dumps(out))

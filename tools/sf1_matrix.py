@@ -1,6 +1,7 @@
-"""Assemble the 96-entry sf1 validation matrix (r5 VERDICT #3) from a
+"""Assemble the sf1 validation matrix (r5 VERDICT #3) from a
 check_correctness sweep log into a markdown table — one row per
-registered entry, zero blank cells.
+registered entry (the table is computed from catalog.QUERIES, so the
+row count tracks registrations), zero blank cells.
 
 Usage: python tools/sf1_matrix.py /tmp/sf1_sweep.log
 """
