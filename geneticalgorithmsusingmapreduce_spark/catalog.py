@@ -1139,6 +1139,49 @@ def chunk_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# 32 tokens = exactly one chunk window (chunk_documents defaults), so
+# chunk 0 of every boilerplated document is byte-identical while chunk 1
+# (boilerplate tail + document head, stride 16) stays unique per doc —
+# the planted repeated-paragraph structure chunk dedup must collapse.
+_BOILERPLATE = " ".join(f"bp{j}" for j in range(32))
+_BOILER_DOCS_DUCK = f"""(
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0 THEN '{_BOILERPLATE} ' || text
+              ELSE text END AS text
+  FROM documents
+)"""
+
+
+@register(
+    "chunk_dedup_exact",
+    f"""SELECT * FROM {dedup_ops.duck_dedup_exact_chunks_sql(
+        pipeline_ops.duck_chunk_documents_sql(_BOILER_DOCS_DUCK)
+    )} _q""",
+)
+def chunk_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level exact dedup over a corpus with PLANTED boilerplate:
+    every 4th document gets the same 32-token paragraph prepended —
+    invisible to document-digest dedup (each document stays globally
+    unique) but exactly the duplication mode paragraph/chunk dedup
+    exists for. Chunking and the md5 digest are one map-side
+    projection; the single exchange carries 16-byte digests + ids,
+    never chunk text (see operators/dedup.dedup_exact_chunks). The
+    boilerplate chunk must collapse to ONE representative with
+    dup_count = the number of boilerplated docs, which the oracle
+    replays symbolically."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    boiled = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit(_BOILERPLATE + " "), F.col("text")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return dedup_ops.dedup_exact_chunks(
+        pipeline_ops.chunk_documents(boiled)
+    )
+
+
 _DUP_DOCS_DUCK = """(
   SELECT doc_id, text FROM documents
   UNION ALL

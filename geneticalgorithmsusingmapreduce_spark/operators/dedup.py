@@ -121,6 +121,59 @@ def dedup_exact_digest(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def dedup_exact_chunks(chunks: DataFrame) -> DataFrame:
+    """CHUNK-level exact dedup — the missing granularity in document
+    dedup (r6 VERDICT #5): boilerplate paragraphs repeated inside
+    otherwise-unique documents are the dominant duplication mode in web
+    corpora, and document-digest dedup cannot see them. Input is the
+    chunk_documents contract [doc_id, chunk_id, n_chunk_tokens,
+    chunk_text]; output one row per distinct chunk content: [digest,
+    doc_id, chunk_id, dup_count] with (doc_id, chunk_id) = the
+    lexicographically smallest owner (min over a struct — deterministic
+    representative, same policy as dedup_exact_digest's min(doc_id)).
+
+    100 TB shape: chunking (sequence+explode+slice) and the md5 digest
+    are one map-side projection; the single exchange groups 16-byte
+    binary digests carrying only (digest, doc_id, chunk_id) — chunk
+    text never shuffles, and map-side partial aggs collapse
+    boilerplate-heavy partitions before the wire."""
+    d = chunks.select(
+        F.unhex(
+            F.md5(F.col("chunk_text").cast("binary"))
+        ).alias("digest_bin"),
+        "doc_id", "chunk_id",
+    )
+    return (
+        d.groupBy("digest_bin")
+        .agg(
+            F.min(F.struct("doc_id", "chunk_id")).alias("rep"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+        .select(
+            F.lower(F.hex("digest_bin")).alias("digest"),
+            F.col("rep.doc_id").alias("doc_id"),
+            F.col("rep.chunk_id").alias("chunk_id"),
+            "dup_count",
+        )
+    )
+
+
+def duck_dedup_exact_chunks_sql(chunks_sql: str) -> str:
+    # struct min is lexicographic by field order in BOTH engines, so
+    # the representative pick cannot diverge
+    return f"""(
+      SELECT digest, rep.doc_id AS doc_id, rep.chunk_id AS chunk_id,
+             dup_count
+      FROM (
+        SELECT md5(chunk_text) AS digest,
+               min({{'doc_id': doc_id, 'chunk_id': chunk_id}}) AS rep,
+               count(*) AS dup_count
+        FROM {chunks_sql} _dc
+        GROUP BY md5(chunk_text)
+      ) _g
+    )"""
+
+
 def duck_dedup_exact_digest_sql(table: str = "documents") -> str:
     # DuckDB md5() already yields lowercase hex of the UTF-8 bytes —
     # identical to Spark's md5(cast(text as binary)).

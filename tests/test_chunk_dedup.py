@@ -1,0 +1,71 @@
+"""Chunk-level exact dedup (operators/dedup.dedup_exact_chunks): the
+repeated-paragraph duplication mode document-level digests cannot see.
+Reference scope note: the reference engine has no text pipeline at all —
+this is part of the LLM-training-data extension surface (SURVEY.md §6)."""
+
+from __future__ import annotations
+
+from geneticalgorithmsusingmapreduce_spark.operators import (
+    dedup, pipeline,
+)
+
+
+def _mk_docs(spark, boiler, n=8, boil_every=4):
+    rows = []
+    for i in range(1, n + 1):
+        body = " ".join(f"d{i}w{j}" for j in range(40))
+        text = f"{boiler} {body}" if i % boil_every == 0 else body
+        rows.append((i, text))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_boilerplate_chunks_collapse(spark):
+    # 32-token boilerplate == one full chunk window: chunk 0 of every
+    # boilerplated doc is byte-identical, every other chunk is unique
+    boiler = " ".join(f"bp{j}" for j in range(32))
+    docs = _mk_docs(spark, boiler, n=8, boil_every=4)  # docs 4, 8 boiled
+    out = dedup.dedup_exact_chunks(pipeline.chunk_documents(docs)).collect()
+    by_rep = {(r.doc_id, r.chunk_id): r.dup_count for r in out}
+    # the boilerplate chunk collapsed to its smallest owner (doc 4,
+    # chunk 0) and absorbed doc 8's copy
+    assert by_rep[(4, 0)] == 2
+    assert (8, 0) not in by_rep
+    # everything else is unique
+    assert all(c == 1 for k, c in by_rep.items() if k != (4, 0))
+    # document-level dedup would have seen NOTHING: all texts distinct
+    assert docs.select("text").distinct().count() == 8
+
+
+def test_representative_is_lexicographic_min(spark):
+    # identical chunk content owned by (doc 2, chunk 1) and (doc 2,
+    # chunk 3) and (doc 1, chunk 5): representative must be the struct
+    # min (1, 5), NOT min doc with min chunk independently
+    rows = [
+        (2, 1, 3, "x y z"),
+        (2, 3, 3, "x y z"),
+        (1, 5, 3, "x y z"),
+        (1, 0, 2, "a b"),
+    ]
+    chunks = spark.createDataFrame(
+        rows, "doc_id long, chunk_id long, n_chunk_tokens long, "
+              "chunk_text string",
+    )
+    out = {
+        (r.doc_id, r.chunk_id): r.dup_count
+        for r in dedup.dedup_exact_chunks(chunks).collect()
+    }
+    assert out == {(1, 5): 3, (1, 0): 1}
+
+
+def test_chunk_dedup_shuffles_digests_not_text(spark):
+    # the exchange must carry the 16-byte digest projection, never
+    # chunk_text — pin it in the optimized plan: no Exchange input
+    # schema contains chunk_text
+    boiler = " ".join(f"bp{j}" for j in range(32))
+    docs = _mk_docs(spark, boiler)
+    df = dedup.dedup_exact_chunks(pipeline.chunk_documents(docs))
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    # the Aggregate's child projection carries digest_bin + ids only;
+    # chunk_text exists below the digest projection, not above it
+    agg_idx = plan.index("Aggregate")
+    assert "chunk_text" not in plan[:agg_idx]
