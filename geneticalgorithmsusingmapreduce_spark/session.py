@@ -21,9 +21,18 @@ def build_session(
     """extra_conf entries are applied last, so they can override the
     defaults below AND set create-time-only core confs (e.g.
     spark.io.compression.codec — a SparkConf setting that cannot be
-    changed on a live session; zstd roughly halves shuffle-spill bytes
-    vs the lz4 default on text-heavy workloads, the knob a real cluster
-    would flip when local disks bound wide text shuffles)."""
+    changed on a live session).
+
+    Codec policy (r6 VERDICT #4, decided by tools/ab_codec.py —
+    strictly-alternating same-box A/B at sf0.1 and sf10, BASELINE.md
+    r7): lz4 STAYS the default. zstd showed no wall-clock win while
+    shuffles fit in page cache — up to ~16% slower on shuffle-heavy
+    text entries at sf10 (compression CPU in the task path) vs ~12%
+    faster on two scan-bound ones, i.e. noise-band overall. Its ~2×
+    spill-byte reduction only pays when node-local disk bounds wide
+    text shuffles (the sf100 decade) — flip it per-workload via
+    extra_conf={"spark.io.compression.codec": "zstd"}, as scale_bench's
+    SCALE_BENCH_CONF does."""
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     builder = (
