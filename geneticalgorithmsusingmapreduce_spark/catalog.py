@@ -1559,7 +1559,10 @@ def dedup_cosine_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-gated in emb_cosine_banded_recall. Same exact-integer
     verify as dedup_embedding_cosine — only candidate generation
     differs, so at gate scale the two entries' verified outputs agree
-    on every pair both surface."""
+    on every pair both surface. The 16-plane space is sized to the
+    GATE corpus; at the sf100 decade it is the measured 39.28x cliff —
+    dedup_cosine_banded_sized registers the planes_for_count-sized
+    third-decade space (24 planes, measured 1.26x)."""
     return ann_ops.cosine_near_pairs(
         ann_ops.augmented_embeddings(spark, sf_dir), n_planes=16, bands=4
     )
@@ -1880,20 +1883,42 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local-supplier volume (TPC-H Q5 shape): a 6-table join where the
     customer-nation = supplier-nation residual runs on top of the equi
-    keys. supplier/nation/region broadcast (pinned class of plan: only
-    the two fact tables exchange); revenue in exact cents."""
-    c = read_table(spark, sf_dir, "customer")
+    keys. supplier/nation/region broadcast; revenue in exact cents.
+
+    Join ORDER matters and Catalyst won't fix it (CBO join reordering
+    is off by default; AQE never reorders): the naive
+    li⋈o → (⋈c on custkey) shape re-exchanges the 600M-row fact-join
+    OUTPUT at full width on a second key — measured 16.28× for 10×
+    data at sf10→sf100 (BASELINE.md r7). Instead orders⋈customer runs
+    FIRST on two-column projections (the filtered 2-col orders side vs
+    2-col customer), reducing to a skinny (o_orderkey, c_nationkey)
+    frame; lineitem then exchanges ONCE, on orderkey, carrying only
+    (orderkey, suppkey, price, discount). The dims broadcast as
+    key/nation projections. Re-measured 8.34× / 110.9→59.9 s absolute
+    at the same decade (saturation on a fixed 32-thread box implies
+    ~10×; the win is the 1.85× absolute drop) — the biggest fact never
+    crosses an exchange twice."""
+    c = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
     o = read_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= "1996-01-01")
         & (F.col("o_orderdate") < "1999-01-01")
+    ).select("o_orderkey", "o_custkey")
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
     )
-    li = read_table(spark, sf_dir, "lineitem")
-    s = read_table(spark, sf_dir, "supplier")
+    s = read_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
     n = read_table(spark, sf_dir, "nation")
     r = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    oc = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .select("o_orderkey", "c_nationkey")
+    )
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
+        li.join(oc, li.l_orderkey == oc.o_orderkey)
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -2681,20 +2706,48 @@ def incremental_sga(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-column DISTINCT aggregation (absent from the reference,
-    SURVEY.md §2.4) — Spark expands to a grouping-id union internally;
-    approx_count_distinct exists alongside but can't be oracle-matched
-    (different sketches), so the exact forms are the checked surface."""
-    li = read_table(spark, sf_dir, "lineitem")
-    o = read_table(spark, sf_dir, "orders")
-    return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .groupBy("l_returnflag")
-        .agg(
-            F.countDistinct("l_partkey").alias("parts"),
-            F.countDistinct("l_suppkey").alias("supps"),
-            F.countDistinct("o_custkey").alias("custs"),
-        )
+    SURVEY.md §2.4). approx_count_distinct exists alongside but can't
+    be oracle-matched (different sketches), so the exact forms are the
+    checked surface.
+
+    Plan shape (r7 rewrite — the sf10→sf100 decade measured the naive
+    form at 25.24× for 10× data): the obvious single
+    `join.groupBy.agg(3 × countDistinct)` makes Spark EXPAND the joined
+    fact rows 3× (one copy per distinct agg) AFTER shuffling the full
+    600M-row join — the exchange carries every lineitem row at full
+    width, then triples it through the partial-agg hash tables.
+    Instead: (1) parts/supps never needed the join — each is its own
+    two-level distinct agg straight off a 2-column lineitem projection
+    (map-side partial dedup, the exchange carries distinct (flag, key)
+    pairs only); (2) custs joins orders against the DISTINCT
+    (l_orderkey, l_returnflag) pairs — ~4× fewer and far narrower rows
+    than the raw fact join; (3) the three 3-row results broadcast-join
+    back on the flag. No Expand anywhere (pinned in test_plans), and
+    nothing wider than (flag, key) ever crosses an exchange —
+    re-measured 6.19× at sf10→sf100, 302→138 s absolute at sf100
+    (BASELINE.md r7). Honest tradeoff: three separate jobs cost more
+    fixed overhead at small scale (12→22 s at sf10) — the naive form
+    wins while everything fits in memory; this engine optimizes the
+    decade where it doesn't."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_partkey", "l_suppkey"
     )
+    parts = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("parts")
+    )
+    supps = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("supps")
+    )
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    ofk = li.select("l_orderkey", "l_returnflag").distinct()
+    custs = (
+        ofk.join(o, ofk.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(F.countDistinct("o_custkey").alias("custs"))
+    )
+    return parts.join(supps, "l_returnflag").join(custs, "l_returnflag")
 
 
 @register(

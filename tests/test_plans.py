@@ -307,3 +307,16 @@ def test_banded_cosine_pairids_join_is_skinny(spark):
     # persisted materialization, not recomputed (the plan TEXT repeats
     # the cached subtree per reference, so count cache scans, not nodes)
     assert "InMemoryTableScan" in p
+
+
+def test_distinct_counts_no_expand(spark):
+    # r7: the naive 3-way countDistinct over the joined fact measured
+    # 25.24x for 10x data at the sf10->sf100 decade — Spark EXPANDs the
+    # joined rows 3x (one copy per distinct agg) after shuffling them at
+    # full width. The rewrite keeps each distinct agg two-level on a
+    # narrow projection and joins orders only against DISTINCT
+    # (orderkey, flag) pairs: no Expand node anywhere, and the tiny
+    # 3-row per-column results come back via broadcast joins.
+    p = _plan(catalog.QUERIES["distinct_counts"](spark, SF))
+    assert "Expand" not in p
+    assert "BroadcastHashJoin" in p  # the 3-row result stitch-up

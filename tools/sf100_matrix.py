@@ -80,6 +80,11 @@ FIXTURE_BOUND = {
     "streaming_running_best": "seeded 512-row 4-micro-batch fixture; "
         "stateful machinery is the surface, not the volume",
     "incremental_sga": "fixed-size 2-generation foreachBatch fixture",
+    "csv_json_roundtrip": "seeded 256-row interchange-fidelity fixture "
+        "(format round-trip is the surface, not the volume)",
+    "orc_roundtrip": "seeded 256-row interchange-fidelity fixture",
+    "sequencefile_roundtrip": "seeded 512-row interchange-fidelity "
+        "fixture (byte-exact LongArrayWritable layout)",
 }
 
 # measured rows whose ratio is itself the documented finding
