@@ -1444,20 +1444,60 @@ def doc_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def order_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated quartiles per order status. Fractions are
-    dyadic (0.25/0.5/0.75) over integer cents, so the interpolation
-    x_lo + frac·Δ is exact in float64 and both engines agree bit-for-bit
-    (a 0.9 quantile would differ in the last ulp). Spark executes one
-    sort-based agg per group; at scale the approx_percentile sketch is
-    the cheap variant (not oracle-matchable — different sketches)."""
+    dyadic (0.25/0.5/0.75) over integer cents, so every interpolation
+    product is exact in float64 and both engines agree bit-for-bit
+    (a 0.9 quantile would differ in the last ulp).
+
+    Plan shape (r7 rewrite): Spark's exact `percentile()` aggregate
+    buffers EVERY group value in one aggregation buffer — at the sf100
+    decade (150M orders, 3 statuses) that is a ~50M-entry map per
+    group and it OOM'd the heap (BASELINE.md r7). Instead: (1) a
+    parallel (status, cents) histogram — map-side partial agg, the
+    exchange carries one row per DISTINCT value, and the histogram is
+    bounded by the VALUE DOMAIN (~6e7 possible cents), not the corpus,
+    so it cannot grow past it at any scale; (2) a cumulative-count
+    window over the histogram (external sort, one partition per
+    status — bounded by the domain, spills instead of buffering);
+    (3) each quartile reads at most two histogram rows: rank
+    r = (n−1)·q, value = (1−frac)·v⌊r⌋ + frac·v⌈r⌉, summed via rank-
+    interval membership (a row covers ranks [cum−c, cum−1]).
+    Re-measured at sf10→sf100: 5.04× (19.8→99.9 s) where the buffering
+    aggregate died (approx_percentile remains the sketch variant — not
+    oracle-matchable)."""
+    from pyspark.sql import Window
+
     o = read_table(spark, sf_dir, "orders").select(
         "o_orderstatus",
         F.expr("cast(round(o_totalprice * 100) as bigint)").alias("cents"),
     )
-    return o.groupBy("o_orderstatus").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.expr("percentile(cents, 0.25)").alias("q25"),
-        F.expr("percentile(cents, 0.50)").alias("q50"),
-        F.expr("percentile(cents, 0.75)").alias("q75"),
+    hist = o.groupBy("o_orderstatus", "cents").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy("cents")
+    cum = hist.select(
+        "o_orderstatus", "cents", "c", F.sum("c").over(w).alias("cum")
+    )
+    tot = hist.groupBy("o_orderstatus").agg(F.sum("c").alias("n"))
+    j = cum.join(F.broadcast(tot), "o_orderstatus").select(
+        "o_orderstatus", "cents", "n",
+        (F.col("cum") - F.col("c")).alias("lo_rank"),  # 0-based start
+        (F.col("cum") - 1).alias("hi_rank"),           # 0-based end
+    )
+
+    def q_expr(q: float, alias: str):
+        pos = f"(cast(n - 1 as double) * {q})"
+        lo, hi = f"floor({pos})", f"ceil({pos})"
+        frac = f"({pos} - {lo})"
+        return F.expr(
+            f"sum(CASE WHEN {lo} BETWEEN lo_rank AND hi_rank "
+            f"THEN (1.0 - {frac}) * cast(cents as double) ELSE 0.0 END + "
+            f"CASE WHEN {hi} BETWEEN lo_rank AND hi_rank AND {hi} > {lo} "
+            f"THEN {frac} * cast(cents as double) ELSE 0.0 END)"
+        ).alias(alias)
+
+    return j.groupBy("o_orderstatus").agg(
+        F.max("n").alias("n"),
+        q_expr(0.25, "q25"), q_expr(0.50, "q50"), q_expr(0.75, "q75"),
     )
 
 
