@@ -842,7 +842,19 @@ def sga_tournament_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W3: the tournament as a stateful per-partition Pandas kernel
     (applyInPandas) — the idiomatic successor of the reference's reducer
     class. Checked against the *same* oracle as the window-expression form:
-    both must produce identical parents."""
+    both must produce identical parents.
+
+    n_buckets is this operator's WORKING-SET dial: each bucket becomes
+    ONE pandas frame in a worker, so a fixed count scales per-worker
+    memory linearly with the population — at the sf10→sf100 decade
+    (278.6M individuals) 32 buckets put ~8.7M rows in every pandas
+    group and the worker was OOM-killed, while shuffle.buckets_for_pop's
+    512 ran it at 40.9→402.7 s = 9.84× (saturation-linear), with W1/W3
+    parity verified row-identical at the sized count (BASELINE.md r7,
+    tools/probe_tournament_buckets.py). The entry keeps 32 — the sized
+    value for the sf10 population (buckets_for_pop(27.9M) = 32) and the
+    count the static oracle bakes in; size it to the population
+    everywhere else."""
     sh = shuffle_ops.with_shuffle_key(
         _pop_with_fitness(spark, sf_dir), SEED * 1_000_033, n_buckets=32
     )

@@ -26,6 +26,31 @@ from pyspark.sql import DataFrame, functions as F
 from ..functions import bits, prng
 
 
+def buckets_for_pop(
+    n_rows: int, target_rows: int = 1_000_000, lo: int = 8, hi: int = 65536
+) -> int:
+    """Shuffle-bucket count sized to the population: next power of two
+    of ⌈n_rows / target_rows⌉, clamped to [lo, hi].
+
+    The per-bucket row count is the WORKING-SET unit of every consumer
+    of `part`: the window tournament sorts one bucket per task, and the
+    applyInPandas reducer twin materializes one bucket as ONE pandas
+    frame. A fixed bucket count therefore scales the per-task memory
+    linearly with the population — at the sf10→sf100 decade, 32 buckets
+    put ~8.7M rows (GBs with genomes) in each pandas group and the
+    worker was OOM-killed; the sized count (512 at 278.6M individuals)
+    ran it saturation-linear at 9.84× (BASELINE.md r7). Same rule
+    family as
+    sources.bucketing.buckets_for_path and ann.planes_for_count: the
+    fan-out constant must follow the data. ~1M rows/bucket keeps a
+    bucket's genomes in the hundreds of MB at reference genome widths
+    while leaving enough buckets for full parallelism."""
+    n = lo
+    while n < hi and n * target_rows < n_rows:
+        n *= 2
+    return n
+
+
 def with_shuffle_key(
     df: DataFrame, seed: int | None, id_col: str = "id", n_buckets: int = 8
 ) -> DataFrame:

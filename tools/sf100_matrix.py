@@ -36,6 +36,10 @@ ALIASES = {
     "simhash_capped64": "dedup_simhash_capped",
     "minhash_capped64": "dedup_minhash_lsh_capped",
     "cosine_planes24_b4": "dedup_cosine_banded_sized",
+    # W3 at shuffle.buckets_for_pop (512 @ 278.6M) — the fixed-32 gate
+    # config OOM-killed the worker at sf100; W1/W3 parity verified at
+    # the sized count (tools/probe_tournament_buckets.py)
+    "tournament_pandas_sized": "sga_tournament_pandas",
 }
 
 EXCLUDED = {
