@@ -91,6 +91,20 @@ FIXTURE_BOUND = {
         "fixture (byte-exact LongArrayWritable layout)",
 }
 
+# ran at sf100, did not complete on THIS box: the shuffle spill exceeds
+# the tenant's free disk even with the zstd dial — an environment
+# ceiling, not a plan defect (the plan never goes all-pairs); at 1000
+# executors the same spill distributes across node-local disks
+SPILL_BOUND = {
+    "events_series_similarity": (
+        "day+pattern bucket equi-join over 100M events spills past this "
+        "box's ~60 GB free even at zstd (killed at 90% disk, "
+        ".localdata/sf100_p.err). sf1 full-hash green; sf10 side "
+        "measured 4.4 s in the killed run's small phase; the join is "
+        "day+pattern bucketed, never all-pairs."
+    ),
+}
+
 # measured rows whose ratio is itself the documented finding
 CLIFF = {
     "dedup_cosine_banded": (
@@ -130,6 +144,8 @@ def main() -> None:
     for n in catalog.QUERIES:
         if n in EXCLUDED:
             rows.append((n, "excluded-by-design", "—", EXCLUDED[n]))
+        elif n in SPILL_BOUND:
+            rows.append((n, "spill-bound (box)", "—", SPILL_BOUND[n]))
         elif n in FIXTURE_BOUND:
             rows.append((n, "fixture-bound", "—", FIXTURE_BOUND[n]))
         elif n in measured:
@@ -150,6 +166,7 @@ def main() -> None:
     print(
         f"\n{len(rows)} entries: {n_meas} measured, "
         f"{len(EXCLUDED)} excluded-by-design, "
+        f"{len(SPILL_BOUND)} spill-bound, "
         f"{len(FIXTURE_BOUND)} fixture-bound, {len(blanks)} blank"
     )
     if blanks:
