@@ -75,6 +75,13 @@ def main():
         spark = build_session("correctness-check")
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
+    # bounded + spillable: a 100-entry sweep in ONE process grew the
+    # shared connection until allocation failed at entry #100 (the
+    # all-pairs recall oracle) while the 48 GB Spark JVM held the rest
+    # of the box — cap DuckDB and give it a temp dir so heavy oracles
+    # spill instead of dying (r7; the entry passes alone in 19 s)
+    con.execute("SET memory_limit='24GB'")
+    con.execute("SET temp_directory='/tmp/gamr_duck_spill'")
     for t in TABLES:
         p = table_path(sf_dir, t)
         if os.path.isdir(p):
