@@ -1076,7 +1076,14 @@ def duck_cosine_near_pairs_banded_sql(
 ) -> str:
     """Twin of cosine_near_pairs(bands > 1): B independent bucket sets
     (plane signs seeded seed+b), candidates deduped across bands, one
-    exact-HUGEINT verify."""
+    exact-HUGEINT verify.
+
+    The CTEs are MATERIALIZED: DuckDB inlines plain CTEs by
+    substitution (the repo's documented landmine), so the
+    bands × n_planes × DIMS bucket expression was re-expanded into
+    both join sides and the DISTINCT — at n_planes=24 the sf1 oracle
+    (22k vectors) ran 228 s and then failed allocation; materialized
+    it runs in 9 s (r7)."""
     n2 = dot_sql("embedding", "embedding", "duckdb")
     dot = dot_sql("a.embedding", "b.embedding", "duckdb")
     t2 = tau_milli * tau_milli
@@ -1087,10 +1094,10 @@ def duck_cosine_near_pairs_banded_sql(
         for b in range(bands)
     )
     return f"""(
-      WITH base AS (
+      WITH base AS MATERIALIZED (
         SELECT vec_id, embedding, {n2} AS n2 FROM {table} _e
-      ), rows_ AS ({band_rows}),
-      pair_ids AS (
+      ), rows_ AS MATERIALIZED ({band_rows}),
+      pair_ids AS MATERIALIZED (
         SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
         FROM rows_ a JOIN rows_ b
           ON a.band = b.band AND a.bucket = b.bucket
