@@ -320,3 +320,17 @@ def test_distinct_counts_no_expand(spark):
     p = _plan(catalog.QUERIES["distinct_counts"](spark, SF))
     assert "Expand" not in p
     assert "BroadcastHashJoin" in p  # the 3-row result stitch-up
+
+
+def test_q5_orders_customer_join_first(spark):
+    # r7: Catalyst never reorders joins without CBO, so the Q5 rewrite's
+    # property must be pinned structurally: the orders x customer join
+    # reduces to a skinny (o_orderkey, c_nationkey) projection BEFORE
+    # lineitem joins — the optimized plan must contain that two-column
+    # Project (it cannot exist under the old li-first ordering, where
+    # customer joined the full-width fact output).
+    import re
+
+    df = catalog.QUERIES["local_supplier_volume"](spark, SF)
+    p = df._jdf.queryExecution().optimizedPlan().toString()
+    assert re.search(r"Project \[o_orderkey#\d+L?, c_nationkey#\d+L?\]", p)
