@@ -2896,14 +2896,24 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_series_similarity",
-    f"SELECT * FROM {temporal_ops.duck_series_similarity_sql()} _q",
+    f"SELECT * FROM "
+    f"{temporal_ops.duck_series_similarity_sql(max_bucket=64)} _q",
 )
 def events_series_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed time-series shape similarity: SAX-style derivative
     symbols over each user's daily series, fixed-width motif windows as
     base-3 pattern ids, candidate pairs via the pattern-bucket equi-join
-    (never all-pairs)."""
-    return temporal_ops.series_similarity(read_events(spark, sf_dir))
+    (never all-pairs) — with the hot-bucket skew guard engaged
+    (max_bucket=64, twinned in the oracle): at sf10 the UNGUARDED join
+    held 2.75 BILLION in-bucket pairs (periodic series pin ~4,700 users
+    into single (day, pattern) buckets) and the sf100 run spilled past
+    the disk; a motif shared by thousands of users carries no
+    similarity information, and the guard turned the entry from
+    spill-dead to a measured 2.19× sf10→sf100 row (14.1→30.8 s,
+    BASELINE.md r7)."""
+    return temporal_ops.series_similarity(
+        read_events(spark, sf_dir), max_bucket=64
+    )
 
 
 @register(

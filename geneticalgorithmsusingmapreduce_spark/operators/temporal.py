@@ -237,7 +237,8 @@ def _motif_notnull(w: int) -> str:
 
 
 def series_similarity(
-    events: DataFrame, w: int = 7, min_shared: int = 2
+    events: DataFrame, w: int = 7, min_shared: int = 2,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Distributed time-series similarity search over the per-user daily
     value series, in the shape of the ICDE/VLDB distributed-similarity
@@ -273,9 +274,17 @@ def series_similarity(
     Scale: the symbol/window stages are per-user windows over daily rows
     (tiny vs raw events — one row per user-day); the join is bucketed by
     (day, pattern). A hot bucket (market-wide move: many users, same
-    day, same motif) can skew the join — at 100 TB, cap bucket size
-    (drop (day, pattern) keys with df > threshold, the same df-cap
-    discipline as the n-gram Jaccard path) before the join."""
+    day, same motif) makes the join output-quadratic — measured at sf10:
+    periodic series pin ~4,700 users into single (day, pattern) buckets
+    = 2.75 BILLION in-bucket pairs, and the sf100 run spilled past the
+    disk (BASELINE.md r7). ``max_bucket`` is the hot-bucket skew guard
+    (same dial as textops.lsh_candidate_pairs): (day, pattern) keys
+    held by more than max_bucket users are skipped before the self-join
+    via a window count over the join key itself (no extra exchange). A
+    market-wide motif shared by thousands of users carries ~zero
+    similarity information (it would match everyone); genuinely
+    co-moving pairs still meet in their other, rarer aligned windows —
+    the planted-pair test pins zero recall loss at max_bucket=4."""
     daily = (
         events.select(
             "user_id",
@@ -316,6 +325,13 @@ def series_similarity(
             F.expr(_motif_pattern_expr(w)).alias("pattern"),
         )
     )
+    if max_bucket is not None:
+        wb = Window.partitionBy("day", "pattern")
+        pats = (
+            pats.withColumn("_bsz", F.count(F.lit(1)).over(wb))
+            .filter(F.col("_bsz") <= max_bucket)
+            .drop("_bsz")
+        )
     a, b = pats.alias("a"), pats.alias("b")
     return (
         a.join(b, ["day", "pattern"])
@@ -330,8 +346,20 @@ def series_similarity(
     )
 
 
+def _duck_bucket_qualify(max_bucket: int | None) -> str:
+    """Twin of the max_bucket prune: QUALIFY over the same window
+    (DuckDB's post-window filter — same shape as textops')."""
+    if max_bucket is None:
+        return ""
+    return (
+        "QUALIFY count(*) OVER (PARTITION BY day, pattern)"
+        f" <= {max_bucket}"
+    )
+
+
 def duck_series_similarity_sql(
-    table: str = "events", w: int = 7, min_shared: int = 2
+    table: str = "events", w: int = 7, min_shared: int = 2,
+    max_bucket: int | None = None,
 ) -> str:
     pat = _motif_pattern_expr(w)
     lead_cols = ", ".join(
@@ -362,9 +390,12 @@ def duck_series_similarity_sql(
           FROM daily
         ) _l WHERE prev IS NOT NULL
       ), pats AS (
-        SELECT user_id, day, {pat} AS pattern FROM (
-          SELECT user_id, day, s, {lead_cols} FROM sym
-        ) _w WHERE {notnull}
+        SELECT user_id, day, pattern FROM (
+          SELECT user_id, day, {pat} AS pattern FROM (
+            SELECT user_id, day, s, {lead_cols} FROM sym
+          ) _w WHERE {notnull}
+        ) _p
+        {_duck_bucket_qualify(max_bucket)}
       )
       SELECT a.user_id AS user_a, b.user_id AS user_b,
              count(*) AS n_shared

@@ -211,3 +211,57 @@ def test_floor_day_cross_engine_pre_epoch(spark):
         assert got[us] == expect, (us, got[us], expect)
         d = duckdb.sql(f"SELECT {duck_floor_day(str(us))}").fetchone()[0]
         assert d == expect, (us, d, expect)
+
+
+def test_series_similarity_hot_bucket_guard(spark):
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from geneticalgorithmsusingmapreduce_spark.operators import temporal
+
+    # 12 "market" users share one strictly-rising motif (a hot
+    # (day, pattern) bucket of 12 — no similarity information, 66
+    # chance pairs); users 100/101 co-move on a DISTINCT zig-zag motif
+    # (bucket of 2 — real signal). With max_bucket=4 the hot bucket is
+    # skipped, the planted pair survives.
+    rise = [float(i) for i in range(9)]          # derivative: all 2s
+    zig = [1.0, 2.0, 1.5, 3.0, 2.5, 4.0, 3.5, 5.0, 4.5]
+    rows, eid = [], 0
+    for day in range(9):
+        for uid in range(12):
+            rows.append((eid, day * 86_400_000_000, uid, rise[day]))
+            eid += 1
+        for uid, off in ((100, 0.0), (101, 10.0)):
+            rows.append((eid, day * 86_400_000_000, uid, zig[day] + off))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, us long, user_id long, value double"
+    ).select(
+        "event_id", F.timestamp_micros(F.col("us")).alias("ts"),
+        "user_id", "value",
+    )
+    uncapped = {
+        (r.user_a, r.user_b)
+        for r in temporal.series_similarity(ev, w=7, min_shared=2).collect()
+    }
+    capped = {
+        (r.user_a, r.user_b)
+        for r in temporal.series_similarity(
+            ev, w=7, min_shared=2, max_bucket=4
+        ).collect()
+    }
+    assert (100, 101) in uncapped and len(uncapped) == 66 + 1
+    assert capped == {(100, 101)}  # hot bucket gone, signal intact
+
+    # cross-engine: the DuckDB twin with the same cap hashes identically
+    con = duckdb.connect()
+    con.register("events_py", ev.toPandas())
+    con.execute("CREATE VIEW events AS SELECT * FROM events_py")
+    duck = {
+        (a, b) for a, b, _ in con.sql(
+            "SELECT * FROM " + temporal.duck_series_similarity_sql(
+                max_bucket=4
+            ) + " _q"
+        ).fetchall()
+    }
+    assert duck == capped

@@ -91,19 +91,13 @@ FIXTURE_BOUND = {
         "fixture (byte-exact LongArrayWritable layout)",
 }
 
-# ran at sf100, did not complete on THIS box: the shuffle spill exceeds
-# the tenant's free disk even with the zstd dial — an environment
-# ceiling, not a plan defect (the plan never goes all-pairs); at 1000
-# executors the same spill distributes across node-local disks
-SPILL_BOUND = {
-    "events_series_similarity": (
-        "day+pattern bucket equi-join over 100M events spills past this "
-        "box's ~60 GB free even at zstd (killed at 90% disk, "
-        ".localdata/sf100_p.err). sf1 full-hash green; sf10 side "
-        "measured 4.4 s in the killed run's small phase; the join is "
-        "day+pattern bucketed, never all-pairs."
-    ),
-}
+# ran at sf100, did not complete on THIS box — an environment ceiling
+# or hot-bucket structure; currently EMPTY: events_series_similarity
+# (the one r7 spill death — 2.75G in-bucket pairs at sf10, disk-killed
+# at sf100 even with zstd) was fixed in-round by threading the
+# hot-bucket guard into the registered entry (max_bucket=64, oracle
+# twinned) and now carries a measured 2.19x row (.localdata/sf100_r).
+SPILL_BOUND: dict[str, str] = {}
 
 # measured rows whose ratio is itself the documented finding
 CLIFF = {
