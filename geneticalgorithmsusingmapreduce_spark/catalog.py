@@ -149,6 +149,14 @@ if _pop_sample > 1:
     LI_POP_WHERE += f" AND l_orderkey % {_pop_sample} = 0"
 
 
+# sf_dirs whose sampled population fixture has been proven non-empty
+# this process (r7 ADVICE: the head(1) guard is an eager Spark action
+# during DataFrame CONSTRUCTION — without this cache every population
+# entry's build, including plan-only/EXPLAIN paths, re-ran a
+# filter-scan job whenever sampling was enabled)
+_pop_nonempty_dirs: set[str] = set()
+
+
 def lineitem_population(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic population derived from lineitem rows (SURVEY.md §7.2):
     one individual per row, genome seeded by the (orderkey, linenumber) id.
@@ -158,15 +166,19 @@ def lineitem_population(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(LI_POP_WHERE)
         .select(F.expr(LI_IID).alias("iid"), "l_returnflag")
     )
-    if _pop_sample > 1 and not li.head(1):
-        # surrogate sampling is modulo-of-id (see LI_POP_WHERE): valid
-        # only for dense range orderkeys — fail loudly, never let both
-        # engines pass vacuously on an empty fixture (r6 ADVICE)
-        raise ValueError(
-            f"GAMR_POP_SAMPLE={_pop_sample} emptied the population "
-            f"fixture under {sf_dir} — modulo sampling assumes dense "
-            "range orderkeys"
-        )
+    if _pop_sample > 1 and sf_dir not in _pop_nonempty_dirs:
+        if not li.head(1):
+            # surrogate sampling is modulo-of-id (see LI_POP_WHERE):
+            # valid only for dense range orderkeys — fail loudly, never
+            # let both engines pass vacuously on an empty fixture
+            # (r6 ADVICE). Checked once per (process, sf_dir): the
+            # dataset under a fixed dir is immutable within a run.
+            raise ValueError(
+                f"GAMR_POP_SAMPLE={_pop_sample} emptied the population "
+                f"fixture under {sf_dir} — modulo sampling assumes dense "
+                "range orderkeys"
+            )
+        _pop_nonempty_dirs.add(sf_dir)
     return generate.population_from_table(li, "iid", GENOME_BITS, SEED)
 
 
@@ -1999,16 +2011,23 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def join_broadcast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-way join with broadcast dims: lineitem⋈orders shuffles on the
-    orderkey; customer and nation ride in as broadcasts (Catalyst picks
-    BroadcastHashJoin under the threshold — asserted in tests). Revenue
-    quantized to cents so the aggregation is exact-integer."""
+    orderkey; nation (25 rows, SF-invariant) is a FORCED broadcast,
+    customer is left to AQE — customer grows with the corpus (~15M rows
+    at sf100), so a pinned ``F.broadcast(customer)`` is a scale trap:
+    the build+ship cost grows linearly and at real scale OOMs executors
+    (r7 VERDICT #1 — the forced hint measured 10.70× for 10× data at
+    the sf10→sf100 decade, the only entry above the saturation bound).
+    AQE broadcasts customer while it fits the threshold and shuffles it
+    once it doesn't; only the dims that CANNOT outgrow the threshold
+    earn a hint. Revenue quantized to cents so the aggregation is
+    exact-integer."""
     li = read_table(spark, sf_dir, "lineitem")
     o = read_table(spark, sf_dir, "orders")
     c = read_table(spark, sf_dir, "customer")
     n = read_table(spark, sf_dir, "nation")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
         .agg(

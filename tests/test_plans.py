@@ -35,9 +35,21 @@ def test_scan_pushdown_reaches_parquet(spark):
 def test_broadcast_join_selected(spark):
     p = _plan(catalog.QUERIES["join_broadcast_revenue"](spark, SF))
     assert "BroadcastHashJoin" in p
-    # the big fact-fact join may be SMJ or shuffled-hash; the dims must
-    # never arrive via a shuffle exchange on their own join keys
+    # nation is hint-forced; customer is AQE's choice (r7 VERDICT #1:
+    # a pinned broadcast of a table that grows with the corpus is a
+    # scale trap) — at test scale AQE still broadcasts it, so both dims
+    # arrive without a shuffle exchange on their own join keys
     assert p.count("BroadcastHashJoin") >= 2
+    # the one forced hint must be nation's, not customer's
+    import re
+
+    src = __import__("inspect").getsource(
+        catalog.join_broadcast_revenue.__wrapped__
+        if hasattr(catalog.join_broadcast_revenue, "__wrapped__")
+        else catalog.join_broadcast_revenue
+    )
+    assert len(re.findall(r"\.join\(F\.broadcast\(", src)) == 1
+    assert ".join(F.broadcast(n)" in src
 
 
 def test_semi_anti_join_operators(spark):

@@ -48,25 +48,31 @@ def sized_w1(spark, sf_dir, n_buckets):
 
 
 def main() -> None:
-    sf10 = sys.argv[1] if len(sys.argv) > 2 else f"{REPO}/.localdata/sf10"
+    # accepts 0, 1, or 2 positional dirs (r7 ADVICE: the old
+    # `argv[1] if len(argv) > 2` silently ignored a single argument)
+    sf10 = sys.argv[1] if len(sys.argv) > 1 else f"{REPO}/.localdata/sf10"
     sf100 = sys.argv[2] if len(sys.argv) > 2 else f"{REPO}/.localdata/sf100"
     spark = build_session("gamr-probe-w3-buckets")
     spark.sparkContext.setLogLevel("ERROR")
 
     n10 = catalog._pop_with_fitness(spark, sf10).count()
     b10 = shuffle_ops.buckets_for_pop(n10)
-    w1 = sized_w1(spark, sf10, 256).select(
-        "part", "pos", "parent", "parent_fitness"
-    )
-    w3 = sized_w3(spark, sf10, 256).select(
-        "part", "pos", "parent", "parent_fitness"
-    )
-    diff = w1.exceptAll(w3).count() + w3.exceptAll(w1).count()
-    print(json.dumps({
-        "sf10_pop": n10, "buckets_for_pop_sf10": b10,
-        "w1_w3_diff_rows_at_256": diff,
-    }), flush=True)
-    assert diff == 0, "W1/W3 parity broke at n_buckets=256"
+    # parity at the SIZED count — the configuration the sf100 matrix
+    # actually cites (r7 ADVICE: a hard-coded 256 verified a setting
+    # nothing runs) — plus 512, the sf100-sized count
+    for nb in sorted({b10, 512}):
+        w1 = sized_w1(spark, sf10, nb).select(
+            "part", "pos", "parent", "parent_fitness"
+        )
+        w3 = sized_w3(spark, sf10, nb).select(
+            "part", "pos", "parent", "parent_fitness"
+        )
+        diff = w1.exceptAll(w3).count() + w3.exceptAll(w1).count()
+        print(json.dumps({
+            "sf10_pop": n10, "buckets_for_pop_sf10": b10,
+            "parity_n_buckets": nb, "w1_w3_diff_rows": diff,
+        }), flush=True)
+        assert diff == 0, f"W1/W3 parity broke at n_buckets={nb}"
 
     out = {}
     for name, d in (("sf10", sf10), ("sf100", sf100)):
