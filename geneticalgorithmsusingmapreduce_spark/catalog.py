@@ -739,13 +739,17 @@ def sga_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sga_tournament(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1: sliding-window tournament (size 5, wrap-around flush) as ROWS
-    frame window aggregation."""
+    frame window aggregation — skinny-shuffled (the windows sort
+    (id, fitness, skey) only; winner genomes hash-join back by id —
+    operators/selection module doc). unique_ids=False: the lineitem
+    fixture repeats ~24% of iids (equal genomes), so the genome lookup
+    collapses duplicates before the join."""
     sh = shuffle_ops.with_shuffle_key(
         _pop_with_fitness(spark, sf_dir), SEED * 1_000_033, n_buckets=32
     )
-    return selection_ops.tournament_parents(sh).withColumn(
-        "parent", _gstr("parent")
-    )
+    return selection_ops.tournament_parents(
+        sh, unique_ids=False
+    ).withColumn("parent", _gstr("parent"))
 
 
 @register(
@@ -761,10 +765,12 @@ def sga_tournament(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sga_generation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full composed generation: evaluate → shuffle → tournament → pair →
     crossover → children (+ child fitness). The reference's entire
-    map-shuffle-reduce job (§3.1) as one declarative plan with a single
-    exchange."""
+    map-shuffle-reduce job (§3.1) as one declarative plan whose
+    window exchanges are genome-free (skinny composition — see
+    plans/sga.next_generation)."""
     children = sga_plan.next_generation(
-        _pop_with_fitness(spark, sf_dir), GENOME_BITS, SEED, generation=0
+        _pop_with_fitness(spark, sf_dir), GENOME_BITS, SEED, generation=0,
+        unique_ids=False,
     )
     return fit_ops.with_fitness(children, nl=NL).select(
         "id", _gstr("genome").alias("genome"), "fitness"
@@ -1203,6 +1209,70 @@ def chunk_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return dedup_ops.dedup_exact_chunks(
         pipeline_ops.chunk_documents(boiled)
+    )
+
+
+# Planted PERTURBED boilerplate for chunk-level NEAR-dup: docs 8k and
+# 8k+4 share a pair-unique 32-token paragraph — every 4th token carries
+# the pair key KK (so chunks from DIFFERENT pairs have near-zero shingle
+# overlap: every 3-shingle window spans a keyed token), and the 8k+4
+# variant swaps the last token bp31→zz8 (so the paired chunk-0s are
+# near- but NOT exact-duplicates: J = 29/31 ≈ 0.935, invisible to
+# chunk_dedup_exact's digests by construction).
+def _nd_boiler_tpl(last: str) -> str:
+    toks = [
+        f"pKK_{j}" if j % 4 == 0 else f"bp{j}" for j in range(31)
+    ]
+    return " ".join(toks + [last])
+
+
+_ND_TPL_A = _nd_boiler_tpl("bp31")
+_ND_TPL_B = _nd_boiler_tpl("zz8")
+_ND_BOILER_DUCK = f"""(
+  SELECT doc_id,
+         CASE WHEN doc_id % 8 = 0
+              THEN replace('{_ND_TPL_A}', 'KK', cast(doc_id // 8 AS varchar)) || ' ' || text
+              WHEN doc_id % 8 = 4
+              THEN replace('{_ND_TPL_B}', 'KK', cast(doc_id // 8 AS varchar)) || ' ' || text
+              ELSE text END AS text
+  FROM documents
+)"""
+
+
+def _nd_boiler_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    k = "cast(doc_id div 8 as string)"
+    return docs.select(
+        "doc_id",
+        F.expr(
+            f"""CASE WHEN doc_id % 8 = 0
+                 THEN replace('{_ND_TPL_A}', 'KK', {k}) || ' ' || text
+                 WHEN doc_id % 8 = 4
+                 THEN replace('{_ND_TPL_B}', 'KK', {k}) || ' ' || text
+                 ELSE text END"""
+        ).alias("text"),
+    )
+
+
+@register(
+    "chunk_dedup_neardup",
+    f"SELECT * FROM {pipeline_ops.duck_chunk_near_dup_sql(_ND_BOILER_DUCK)} _q",
+)
+def chunk_dedup_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level NEAR-dup (r7 VERDICT "Next round" #3): the capped
+    MinHash→LSH→exact-Jaccard pipeline re-keyed over doc_chunking
+    output, on a corpus where docs 8k and 8k+4 carry pair-unique
+    PERTURBED copies of a 32-token paragraph — near-identical within a
+    pair (one trailing token differs, J ≈ 0.935), near-disjoint across
+    pairs (8 pair-keyed tokens kill every shared shingle window). The
+    planted chunk-0 pairs are exactly what chunk_dedup_exact's digests
+    provably cannot collapse (the texts differ) and document-level
+    near-dup cannot see (each full document stays below τ); the
+    hot-bucket guard is threaded at its scale-safe default
+    (max_bucket=64), twinned in the oracle. tests/test_chunk_dedup.py
+    pins the planted-pair recall cross-engine."""
+    return pipeline_ops.chunk_near_dup_pairs(
+        _nd_boiler_docs(spark, sf_dir)
     )
 
 

@@ -9,20 +9,42 @@ over the partition's head (``:252-272``) — so a partition of n rows yields
 exactly n parents. Every 2nd parent pairs with the previous one for
 crossover (``:235-243``).
 
-Spark mapping: one shuffle on the seeded bucket, then ranking/analytic
-window functions over it —
+Spark mapping: one SKINNY shuffle on the seeded bucket, then
+ranking/analytic window functions over it —
 
     rn    = row_number() over (partition by part order by skey, id)
     ext   = rows ∪ head-rows re-positioned at rn+n   (the wrap-around)
-    parent= max_by(genome, fitness·2^32 + id) over rows between 4 preceding
+    pid   = max_by(id, fitness·2^31 + rn) over rows between 4 preceding
     pos   = rn - 4  for rn ≥ 5    (n parents per bucket when n ≥ 4)
-    pair  = (pos+1) div 2; partner via lag(parent) over pos
+    pair  = (pos+1) div 2; partner id via lag(pid) over pos
+    ...then parent GENOMES join back by id (hash join, no wide sort)
 
 All windows share the same partitioning, so Catalyst reuses a single
 exchange; lag() replaces a self-join for pairing (no second shuffle).
-The argmax is tie-broken on (fitness, id) so the DuckDB oracle matches
+The argmax is tie-broken on (fitness, rn) so the DuckDB oracle matches
 exactly. Buckets with n < T-1 yield fewer than n parents (degenerate case
 the reference never hits — buckets are sized ≫ T).
+
+**The skinny-shuffle property (r8).** Selection only needs
+(id, fitness, skey) — never the genome — yet through r7 the window
+pipeline shuffled and SORTED full-width rows twice (the rn exchange and
+the post-union window exchange): pop × genome bytes per generation,
+~1.7 GB at the README's 10× scale with 10k-bit genomes, the engine's
+dominant sf100 cost (251.9-316.2 s rows). The reference inherited the
+same design — it shuffles whole individuals
+(``reference src/edu/illinois/ga/MapReduce.java:284-291``). Now every
+window exchange/sort carries ~28-byte skinny rows (50-100× fewer bytes
+for 10k-bit genomes) and winner ids join their genomes back via a hash
+join on id: the population crosses ONE un-sorted hash exchange (reused
+across the pa/pb lookups in pairing), and none at all when the
+generation is bucket-stored by id. Plan property pinned in
+tests/test_plans.py::test_tournament_shuffle_is_skinny.
+
+Duplicate-id contract: ``id`` is row identity — callers whose source
+can repeat ids (the lineitem fixture's duplicate (orderkey,linenumber)
+keys, which by construction carry EQUAL genomes) must pass
+``unique_ids=False`` so the genome lookup collapses duplicates before
+the join; otherwise each repeated winner id would fan out k output rows.
 
 At 100 TB: n_buckets should be O(cores·4); windows sort within buckets
 only (no global sort), and the wrap-around union re-reads the bucket
@@ -49,14 +71,17 @@ TOURNAMENT_SIZE = 5  # reference src/edu/illinois/ga/MapReduce.java:154
 _ORD = "(fitness * 2147483648 + rn)"
 
 
-def tournament_parents(
+def tournament_parent_ids(
     df: DataFrame, t_size: int = TOURNAMENT_SIZE
 ) -> DataFrame:
-    """W1. Input: [id, genome, fitness, skey, part]; output: one parent per
-    input row: [part, pos, parent(genome array), parent_fitness]."""
+    """W1 skinny core: the windowed tournament over (id, fitness, skey,
+    part) ONLY — genomes never enter the exchange or the sorts. Output:
+    one row per input row: [part, pos, parent_id, parent_fitness]."""
     w = Window.partitionBy("part").orderBy("skey", "id")
-    d = df.withColumn("rn", F.row_number().over(w)).withColumn(
-        "n", F.count(F.lit(1)).over(Window.partitionBy("part"))
+    d = (
+        df.select("id", "fitness", "skey", "part")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("part")))
     )
     head = d.filter(F.col("rn") <= t_size - 1).withColumn(
         "rn", F.col("rn") + F.col("n")
@@ -70,21 +95,102 @@ def tournament_parents(
     sel = ext.select(
         "part",
         "rn",
-        F.expr(f"max_by(genome, {_ORD})").over(wf).alias("parent"),
+        F.expr(f"max_by(id, {_ORD})").over(wf).alias("parent_id"),
         F.max("fitness").over(wf).alias("parent_fitness"),
     )
     return sel.filter(F.col("rn") >= t_size).select(
         "part",
         (F.col("rn") - t_size + 1).alias("pos"),
-        "parent",
+        "parent_id",
         "parent_fitness",
     )
 
 
+def genome_lookup(pop: DataFrame, unique_ids: bool = True) -> DataFrame:
+    """[id, genome] lookup side for the join-back. With
+    ``unique_ids=False`` duplicate ids collapse first (partial agg
+    shrinks them map-side; duplicate ids must carry equal genomes —
+    module-doc contract), so a repeated winner id cannot fan out."""
+    g = pop.select("id", "genome")
+    if not unique_ids:
+        g = g.groupBy("id").agg(F.max("genome").alias("genome"))
+    return g
+
+
+def tournament_parents(
+    df: DataFrame,
+    t_size: int = TOURNAMENT_SIZE,
+    unique_ids: bool = True,
+) -> DataFrame:
+    """W1. Input: [id, genome, fitness, skey, part]; output: one parent per
+    input row: [part, pos, parent(genome array), parent_fitness].
+
+    Skinny-shuffle composition: ``tournament_parent_ids`` runs the
+    windows genome-free, then winners join their genomes back via a
+    SHUFFLED HASH join on id — hinted, because the default sort-merge
+    strategy would re-sort the wide genome side, which is exactly the
+    cost the skinny rewrite removes."""
+    sel = tournament_parent_ids(df, t_size)
+    g = genome_lookup(df, unique_ids).withColumnsRenamed(
+        {"id": "parent_id", "genome": "parent"}
+    )
+    return (
+        sel.hint("shuffle_hash")
+        .join(g, "parent_id")
+        .select("part", "pos", "parent", "parent_fitness")
+    )
+
+
+def paired_parent_ids(parent_ids: DataFrame) -> DataFrame:
+    """W2 skinny core: pairs consecutive parent IDS — rows at even pos
+    carry (pa_id, pb_id) = (previous, current); the odd tail parent
+    drops (reference pairs every 2nd selection,
+    ``reference src/edu/illinois/ga/MapReduce.java:235-243``). Same
+    window partitioning as W1 → no additional exchange."""
+    wp = Window.partitionBy("part").orderBy("pos")
+    d = parent_ids.withColumn("pa_id", F.lag("parent_id", 1).over(wp))
+    return (
+        d.filter(F.col("pos") % 2 == 0)
+        .select(
+            "part",
+            ((F.col("pos") + 1) / 2).cast("bigint").alias("pair"),
+            "pa_id",
+            F.col("parent_id").alias("pb_id"),
+        )
+    )
+
+
+def pair_genomes(
+    pair_ids: DataFrame, pop: DataFrame, unique_ids: bool = True
+) -> DataFrame:
+    """Join both parents' genomes onto the skinny pair rows:
+    [part, pair, pa_id, pb_id] → [part, pair, pa, pb].
+
+    Two sequential hash joins on id; the population side's exchange is
+    one un-sorted hash repartition REUSED by both lookups (Spark's
+    exchange reuse — the pa and pb sides canonicalize identically), so
+    per generation the genome bytes crossing the wire are pop (the
+    reused lookup exchange; zero when the generation is bucket-stored
+    by id) + pairs/2 (the pa genomes riding the second join's probe
+    side) — vs 2× pop full-width SORTED exchanges before the skinny
+    rewrite."""
+    g = genome_lookup(pop, unique_ids)
+    ga = g.withColumnsRenamed({"id": "pa_id", "genome": "pa"})
+    gb = g.withColumnsRenamed({"id": "pb_id", "genome": "pb"})
+    return (
+        pair_ids.hint("shuffle_hash")
+        .join(ga, "pa_id")
+        .hint("shuffle_hash")
+        .join(gb, "pb_id")
+        .select("part", "pair", "pa", "pb")
+    )
+
+
 def paired_parents(parents: DataFrame) -> DataFrame:
-    """W2. Pairs consecutive parents: rows at even pos carry (pa, pb) =
-    (previous, current); odd tail parent drops (reference pairs every 2nd
-    selection, ``reference src/edu/illinois/ga/MapReduce.java:235-243``)."""
+    """W2 over WIDE parent rows [part, pos, parent, parent_fitness] —
+    kept for callers that already materialized genomes; the generation
+    plan composes ``paired_parent_ids`` + ``pair_genomes`` instead so
+    the lag window never carries genome bytes."""
     wp = Window.partitionBy("part").orderBy("pos")
     d = parents.withColumn("pa", F.lag("parent", 1).over(wp))
     return (

@@ -90,6 +90,52 @@ def test_tournament_exchange_count(spark):
     assert p.count("Exchange hashpartitioning(part") <= 2
 
 
+def _formatted_plan(df) -> str:
+    """explain('formatted') as a string — per-node Input/Output column
+    lists, which the tree string doesn't carry."""
+    df.collect()  # finalize AQE
+    jdf = df._jdf
+    sc = df.sparkSession.sparkContext
+    return sc._jvm.PythonSQLUtils.explainString(
+        jdf.queryExecution(), "formatted"
+    )
+
+
+def test_tournament_shuffle_is_skinny(spark):
+    # r8 (r7 VERDICT "Next round" #1): selection needs only
+    # (id, fitness, skey) — the tournament/pairing window exchanges
+    # must NOT carry genome bytes (pop × genome was the engine's
+    # dominant sf100 cost); genomes join back by id through a hash
+    # join, never a wide sort.
+    import re
+
+    for name in ("sga_tournament", "sga_generation"):
+        p = _formatted_plan(catalog.QUERIES[name](spark, SF))
+        # split into per-node blocks: "(12) Exchange ..." sections
+        blocks = re.split(r"\n(?=\(\d+\) )", p)
+        part_exchanges = [
+            b for b in blocks
+            if b.startswith("(") and "Exchange" in b.split("\n")[0]
+            and "hashpartitioning(part" in b
+        ]
+        assert part_exchanges, f"{name}: no window exchange found"
+        for b in part_exchanges:
+            assert "genome" not in b and "parent#" not in b, (
+                f"{name}: window exchange carries genome bytes:\n{b[:400]}"
+            )
+        # the genome join-back must be a hash join (a sort-merge join
+        # would re-sort the wide side — the cost the rewrite removes)
+        assert "ShuffledHashJoin" in p, f"{name}: join-back not hash join"
+        sorts_with_genome = [
+            b for b in blocks
+            if b.startswith("(") and b.split("\n")[0].endswith("Sort")
+            and re.search(r"Arguments:.*genome", b)
+        ]
+        assert not sorts_with_genome, (
+            f"{name}: a sort orders genome-carrying rows"
+        )
+
+
 def test_cga_generation_no_join_no_extra_shuffle(spark):
     # the recomputing update is a projection over the model: no join
     # operators anywhere in the plan

@@ -104,9 +104,12 @@ def test_run_sga_one_action_per_generation(spark):
     # agg materializes the lazy checkpoint, so produce + lineage-truncate
     # + stats ride the same action (like the reference's side-channel
     # fold rode its generation job). AQE turns one action into one job
-    # per exchange stage (~4 here), so pin the per-generation JOB budget
-    # at that stage count; the old two-action loop (eager checkpoint +
-    # separate agg) measures ~6/generation and fails this bound.
+    # per exchange stage: the r8 skinny composition runs ~6 stages per
+    # generation (1 skinny window exchange + genome-lookup exchange +
+    # 2 join-probe exchanges + stats), but the heavy ones are hash
+    # repartitions of SKINNY rows — the bound pins action count, not
+    # byte volume. The old two-action loop (eager checkpoint + separate
+    # agg) measures ~12/generation here and fails this bound.
     tracker = spark.sparkContext.statusTracker()
     before = len(tracker.getJobIdsForGroup(None))
     gens = 5
@@ -115,7 +118,7 @@ def test_run_sga_one_action_per_generation(spark):
         max_generations=gens, target_slack=0, n_buckets=4,
     )
     jobs = len(tracker.getJobIdsForGroup(None)) - before
-    assert jobs <= gens * 4 + 4, f"{jobs} jobs for {gens} generations"
+    assert jobs <= gens * 6 + 4, f"{jobs} jobs for {gens} generations"
 
 
 def test_unseeded_mutation_base_injectable(spark, capsys):
