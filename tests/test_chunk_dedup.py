@@ -69,3 +69,41 @@ def test_chunk_dedup_shuffles_digests_not_text(spark):
     # chunk_text exists below the digest projection, not above it
     agg_idx = plan.index("Aggregate")
     assert "chunk_text" not in plan[:agg_idx]
+
+
+def test_chunk_near_dup_finds_planted_perturbed_pairs(spark):
+    # r8 (r7 VERDICT "Next round" #3): the chunk-level LSH pipeline must
+    # recover the planted perturbed-paragraph pairs — docs 8k and 8k+4
+    # share a pair-keyed 32-token paragraph differing in ONE trailing
+    # token, so their chunk 0s are near- but not exact-duplicates
+    from geneticalgorithmsusingmapreduce_spark import catalog
+
+    sf = "/root/testdata/sf0.001"
+    found = {
+        (r.doc_a, r.chunk_a, r.doc_b, r.chunk_b)
+        for r in catalog.QUERIES["chunk_dedup_neardup"](spark, sf).collect()
+    }
+    n_docs = catalog.read_table(spark, sf, "documents").count()
+    planted = {
+        (8 * k, 0, 8 * k + 4, 0)
+        for k in range(0, (n_docs - 4) // 8 + 1)
+        if 8 * k + 4 < n_docs
+    }
+    hit = planted & found
+    # deterministic seeded LSH: ≥90% of planted pairs band-collide
+    # (k=8/b=4 at J≈0.935 → expected recall ~99.98%)
+    assert len(hit) >= 0.9 * len(planted), (len(hit), len(planted))
+    # ...and chunk-level EXACT dedup provably cannot see them: the
+    # paired chunk texts differ (bp31 vs zz8)
+    from geneticalgorithmsusingmapreduce_spark.operators import (
+        dedup, pipeline,
+    )
+
+    boiled = catalog._nd_boiler_docs(spark, sf)
+    reps = dedup.dedup_exact_chunks(pipeline.chunk_documents(boiled))
+    dup_chunk0 = {
+        (r.doc_id, r.chunk_id)
+        for r in reps.filter("dup_count > 1 and chunk_id = 0").collect()
+        if r.doc_id % 8 in (0, 4)
+    }
+    assert not dup_chunk0, dup_chunk0
