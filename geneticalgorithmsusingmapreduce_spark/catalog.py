@@ -582,6 +582,41 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_neardup",
+    f"""
+    SELECT doc_a, doc_b, jaccard_milli,
+           greatest(doc_a % 3, doc_b % 3) AS found_batch
+    FROM {textops.duck_jaccard_pairs_sql(
+        textops.DUCK_AUG,
+        textops.duck_lsh_pairs_sql(textops.duck_minhash_sql(textops.DUCK_AUG)),
+    )} _q
+    """,
+)
+def streaming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch near-dup (r7 VERDICT "What's missing" #3): the
+    corpus arrives in 3 micro-batches (routing doc_id % 3) and each
+    batch's docs are LSH-checked against the CUMULATIVE signature
+    history — band-bucket rows for candidates, stored shingle sets for
+    the exact-Jaccard verify — via foreachBatch state (the
+    incremental_sga pattern; streaming/neardup.py). Every pair is
+    found in exactly the batch where its later member arrives, so the
+    oracle replays the whole loop symbolically as the STATIC pipeline
+    plus found_batch = greatest(doc_a%3, doc_b%3): hash equality
+    proves the cross-batch state machinery finds precisely the batch
+    pipeline's pair set, each exactly once, in the right batch."""
+    from .streaming import neardup as nd_stream
+
+    st = nd_stream.start_streaming_neardup(
+        spark, textops.augmented_corpus(spark, sf_dir), n_batches=3
+    )
+    rows = st.results.collect()  # tear down checkpoints before returning
+    out = spark.createDataFrame(rows, st.results.schema)
+    for df in (st.bands, st.sets, st.results):
+        df.unpersist()
+    return out
+
+
+@register(
     "streaming_windowed_counts",
     f"SELECT * FROM {win_ops.duck_tumbling_sql()} _q",
 )
@@ -701,6 +736,27 @@ def _pop_with_fitness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fit_ops.with_fitness(pop, nl=NL)
 
 
+def _pop_genomes_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Id-UNIQUE [id, genome] lookup for the skinny tournament's
+    join-back: the lineitem fixture repeats ~24% of iids (equal genomes
+    by construction — genome is a pure function of iid), so dedup the
+    8-byte IDS first and run the hash-chain derivation AFTER, on
+    distinct ids only. The dedup exchange carries bare ids, the derived
+    genomes stay in their post-exchange partitions (already matching
+    the join key), and derivation cost drops to the distinct count —
+    vs genome_lookup(unique_ids=False)'s wide sort-aggregate over
+    already-derived arrays."""
+    ids = (
+        read_table(spark, sf_dir, "lineitem")
+        .filter(LI_POP_WHERE)
+        .select(F.expr(LI_IID).alias("iid"))
+        .distinct()
+    )
+    return generate.population_from_table(
+        ids, "iid", GENOME_BITS, SEED
+    ).select(F.col("iid").alias("id"), "genome")
+
+
 def _duck_pop_fit() -> str:
     return (
         f"(SELECT iid AS id, genome, {_DUCK_FIT} AS fitness "
@@ -741,14 +797,15 @@ def sga_tournament(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1: sliding-window tournament (size 5, wrap-around flush) as ROWS
     frame window aggregation — skinny-shuffled (the windows sort
     (id, fitness, skey) only; winner genomes hash-join back by id —
-    operators/selection module doc). unique_ids=False: the lineitem
-    fixture repeats ~24% of iids (equal genomes), so the genome lookup
-    collapses duplicates before the join."""
+    operators/selection module doc). The lookup side is
+    _pop_genomes_unique: the fixture repeats ~24% of iids, so the ids
+    dedupe SKINNY and genomes derive after — genome bytes cross no
+    exchange at all in this entry's plan."""
     sh = shuffle_ops.with_shuffle_key(
         _pop_with_fitness(spark, sf_dir), SEED * 1_000_033, n_buckets=32
     )
     return selection_ops.tournament_parents(
-        sh, unique_ids=False
+        sh, genome_df=_pop_genomes_unique(spark, sf_dir)
     ).withColumn("parent", _gstr("parent"))
 
 
@@ -770,7 +827,7 @@ def sga_generation(spark: SparkSession, sf_dir: str) -> DataFrame:
     plans/sga.next_generation)."""
     children = sga_plan.next_generation(
         _pop_with_fitness(spark, sf_dir), GENOME_BITS, SEED, generation=0,
-        unique_ids=False,
+        genome_df=_pop_genomes_unique(spark, sf_dir),
     )
     return fit_ops.with_fitness(children, nl=NL).select(
         "id", _gstr("genome").alias("genome"), "fitness"
@@ -2525,6 +2582,84 @@ def emb_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     appx = ann_ops.ivf_topk(emb, centroids=cents).select(
         "query_id", "vec_id", F.lit(1).alias("m")
     )
+    return (
+        exact.join(appx, ["query_id", "vec_id"], "left")
+        .agg(
+            F.count("m").alias("hits"),
+            F.count(F.lit(1)).alias("total"),
+        )
+        .select(
+            "hits", "total",
+            (F.col("hits").cast("double") / F.col("total")).alias("recall"),
+        )
+    )
+
+
+@register(
+    "emb_ivf_postings_int8",
+    f"SELECT * FROM {ann_ops.duck_trained_ivf_int8_sql()} _q",
+)
+def emb_ivf_postings_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUANTIZED durable IVF index (r7 VERDICT "What's missing" #2):
+    the emb_ivf_index_roundtrip build/serve split with int8 postings —
+    1 byte per component + one bigint scale per vector instead of 8
+    bytes per component, the compression that lets a 100 TB embedding
+    index fit storage/memory budgets. Quantization is pure int64
+    arithmetic (sign·round_half_up(127·|x|/scale) as (|x|·254+s) div 2s
+    — no float divide, no negative-division dialect trap), so the
+    DuckDB oracle replays training + assignment + compression + serve
+    symbolically and the final ranking hash-matches, which also proves
+    the array<tinyint> postings round-trip parquet losslessly. The
+    coarse quantizer (8 centroid rows) stays full precision, standard
+    IVF-SQ practice. Serve scores sdot = dot8·scale_v — per-query
+    rank-equivalent to the symmetric reconstruction and ANSI-bounded."""
+    import shutil
+    import tempfile
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents = _trained_centroids(spark, sf_dir)
+    qz = emb.select("vec_id", F.expr(ann_ops.quantize_expr()).alias("qv"))
+    p8 = ann_ops.quantize_postings_int8(
+        ann_ops.assign_to_centroids(qz, cents)
+    )
+    d = tempfile.mkdtemp(prefix="gamr_ivf_int8_")
+    try:
+        p8.write.partitionBy("cent_id").parquet(f"{d}/postings8")
+        cents.write.parquet(f"{d}/centroids")
+        back_cents = spark.read.parquet(f"{d}/centroids")
+        postings = spark.read.parquet(f"{d}/postings8").select(
+            "vec_id", "v8", "scale",
+            F.col("cent_id").cast("long").alias("cent_id"),
+        )
+        out = ann_ops.ivf_serve_topk_int8(postings, back_cents)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@register(
+    "emb_ivf_recall_int8",
+    f"""
+    (WITH e AS (SELECT query_id, vec_id FROM {ann_ops.duck_topk_sql()} _e),
+          a AS (SELECT query_id, vec_id, 1 AS m
+                FROM {ann_ops.duck_trained_ivf_int8_sql()} _a)
+     SELECT count(a.m) AS hits, count(*) AS total,
+            cast(count(a.m) as double) / count(*) AS recall
+     FROM e LEFT JOIN a USING (query_id, vec_id))
+    """,
+)
+def emb_ivf_recall_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the int8-compressed IVF ranking against the exact
+    full-precision brute-force top-k — the hash-checked quality row for
+    the compression dial (the emb_ivf_recall pattern at the quantized
+    setting): what int8 postings cost in recall is a checkable value,
+    not a statistical claim. Output: 1 row [hits, total, recall]."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    exact = ann_ops.topk_dot(emb).select("query_id", "vec_id")
+    appx = ann_ops.ivf_topk_int8(
+        emb, _trained_centroids(spark, sf_dir)
+    ).select("query_id", "vec_id", F.lit(1).alias("m"))
     return (
         exact.join(appx, ["query_id", "vec_id"], "left")
         .agg(

@@ -588,6 +588,197 @@ def duck_trained_ivf_sql(
     )"""
 
 
+# --------------------------------------------------------------------------
+# int8-quantized IVF postings (r8 — r7 VERDICT "What's missing" #2)
+# --------------------------------------------------------------------------
+
+INT8_MAX = 127
+
+
+def _scale_sql(arr: str, dialect: str = "spark") -> str:
+    """Per-vector symmetric scale: max |component| of the int64
+    quantized vector, clamped ≥ 1 (zero vectors would divide by 0)."""
+    el = (
+        (lambda j: f"abs(element_at({arr}, {j + 1}))")
+        if dialect == "spark"
+        else (lambda j: f"abs({arr}[{j + 1}])")
+    )
+    return "greatest(" + ", ".join(el(j) for j in range(DIMS)) + ", 1)"
+
+
+def _q8_sql(arr: str, j: int, scale: str, dialect: str = "spark") -> str:
+    """One int8 component: sign(x) · round_half_up(127·|x| / scale),
+    in PURE int64 arithmetic — (|x|·254 + scale) div (2·scale) — so
+    both engines agree bit-exactly. A float divide here would risk
+    cross-engine rounding, and negative integer division itself is a
+    dialect trap (Spark's div truncates toward zero, DuckDB's //
+    floors), which the abs/sign split sidesteps entirely. |x| ≤ scale
+    ⇒ the result is in [−127, 127] and the tinyint cast is ANSI-safe."""
+    if dialect == "spark":
+        x = f"element_at({arr}, {j + 1})"
+        div = "div"
+    else:
+        x = f"{arr}[{j + 1}]"
+        div = "//"
+    return (
+        f"cast((CASE WHEN {x} < 0 THEN -1 ELSE 1 END) * "
+        f"((abs({x}) * {2 * INT8_MAX} + {scale}) {div} (2 * {scale})) "
+        f"as tinyint)"
+    )
+
+
+def _v8_sql(arr: str, scale: str, dialect: str = "spark") -> str:
+    elems = ", ".join(_q8_sql(arr, j, scale, dialect) for j in range(DIMS))
+    return (f"array({elems})" if dialect == "spark" else f"[{elems}]")
+
+
+def _dot8_sql(a: str, b: str, dialect: str = "spark") -> str:
+    """Dot over two int8 arrays, with each element widened FIRST —
+    tinyint·tinyint would overflow the byte domain in both engines."""
+    if dialect == "spark":
+        el = lambda arr, j: f"cast(element_at({arr}, {j + 1}) as bigint)"  # noqa: E731
+    else:
+        el = lambda arr, j: f"cast({arr}[{j + 1}] as bigint)"  # noqa: E731
+    return "(" + " + ".join(
+        f"{el(a, j)} * {el(b, j)}" for j in range(DIMS)
+    ) + ")"
+
+
+def quantize_postings_int8(assigned: DataFrame) -> DataFrame:
+    """Compress an IVF postings table [vec_id, qv, cent_id] to int8:
+    [vec_id, cent_id, v8 array<tinyint>, scale bigint] — 1 byte per
+    component instead of 8 (the difference between an index that fits
+    the storage/memory budget at 100 TB of embeddings and one that
+    doesn't), at a recall cost measured by emb_ivf_recall_int8. The
+    coarse quantizer (C centroid rows) stays full-precision — standard
+    IVF-PQ/SQ practice: probes are cheap and precision there is free."""
+    scale = _scale_sql("qv")
+    return assigned.select(
+        "vec_id",
+        "cent_id",
+        F.expr(f"({scale})").alias("scale"),
+        F.expr(_v8_sql("qv", f"({scale})")).alias("v8"),
+    ).select("vec_id", "cent_id", "v8", "scale")
+
+
+def ivf_serve_topk_int8(
+    p8: DataFrame, cents: DataFrame,
+    n_queries: int = 5, k: int = 10, n_probes: int = N_PROBES,
+) -> DataFrame:
+    """Serve top-k from int8 postings: probes rank centroids by the
+    int8-query × full-precision-centroid dot (positive per-query factor
+    127/scale_q away from the true dot → same probe choice discipline,
+    tie-broken identically), the list search scores
+    sdot = dot8(qe8, v8) · scale_v — rank-equivalent per query to the
+    symmetric reconstruction (scale_q/127² is a constant positive
+    factor), and bounded |sdot| ≤ 64·127²·scale_v, ANSI-safe. Output:
+    [query_id, vec_id, sdot, rank]."""
+    from pyspark.sql import Window
+
+    queries = p8.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v8").alias("qe8"),
+    )
+    cdot = "(" + " + ".join(
+        f"cast(element_at(qe8, {j + 1}) as bigint) * element_at(cv, {j + 1})"
+        for j in range(DIMS)
+    ) + ")"
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("pdot"), F.asc("cent_id")
+    )
+    probes = (
+        queries.crossJoin(F.broadcast(cents))
+        .select(
+            "query_id", "qe8", "cent_id", F.expr(cdot).alias("pdot")
+        )
+        .withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") <= n_probes)
+        .select("query_id", "qe8", "cent_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sdot"), F.asc("vec_id")
+    )
+    return (
+        probes.join(p8.select("vec_id", "v8", "scale", "cent_id"), "cent_id")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id", "vec_id",
+            (F.expr(_dot8_sql("qe8", "v8")) * F.col("scale")).alias("sdot"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ivf_topk_int8(
+    emb: DataFrame, centroids: DataFrame,
+    n_queries: int = 5, k: int = 10, n_probes: int = N_PROBES,
+) -> DataFrame:
+    """assign → int8-compress → serve (no durable artifact — the
+    roundtrip entry adds the parquet write/read split)."""
+    qz = emb.select("vec_id", F.expr(quantize_expr()).alias("qv"))
+    cents = centroids.select("cent_id", "cv")
+    p8 = quantize_postings_int8(assign_to_centroids(qz, cents))
+    return ivf_serve_topk_int8(p8, cents, n_queries, k, n_probes)
+
+
+def duck_trained_ivf_int8_sql(
+    n_queries: int = 5, k: int = 10,
+    n_centroids: int = N_CENTROIDS, n_probes: int = N_PROBES,
+    iters: int = 3, table: str = "embeddings",
+) -> str:
+    """Oracle twin of ivf_topk_int8 over the trained centroids: the
+    full k-means replay, assignment, int8 compression and serve as one
+    chained query. p8 is AS MATERIALIZED — its v8 list expression is
+    referenced per-component by the dot products, and DuckDB's default
+    CTE inlining would substitute the 64-element quantization into
+    every reference (the 24-plane banded-oracle lesson)."""
+    ctes, prev = _duck_kmeans_ctes(n_centroids, iters, table)
+    ctes.append(
+        f"asgn AS (SELECT vec_id, qv, cent_id FROM ("
+        f"SELECT v.vec_id, v.qv, c.cent_id, "
+        f"row_number() OVER (PARTITION BY v.vec_id "
+        f"ORDER BY {_duck_ldot('v.qv', 'c.cv')} DESC, c.cent_id ASC) AS arn "
+        f"FROM qz v CROSS JOIN {prev} c) _a WHERE arn = 1)"
+    )
+    scale = _scale_sql("qv", "duckdb")
+    ctes.append(
+        f"p8a AS MATERIALIZED (SELECT vec_id, cent_id, qv, "
+        f"({scale}) AS scale FROM asgn)"
+    )
+    ctes.append(
+        f"p8 AS MATERIALIZED (SELECT vec_id, cent_id, scale, "
+        f"{_v8_sql('qv', 'scale', 'duckdb')} AS v8 FROM p8a)"
+    )
+    cdot = "(" + " + ".join(
+        f"cast(q.v8[{j + 1}] as bigint) * c.cv[{j + 1}]"
+        for j in range(DIMS)
+    ) + ")"
+    ctes.append(
+        f"probes8 AS (SELECT query_id, qe8, cent_id FROM ("
+        f"SELECT q.vec_id AS query_id, q.v8 AS qe8, c.cent_id, "
+        f"row_number() OVER (PARTITION BY q.vec_id "
+        f"ORDER BY {cdot} DESC, c.cent_id ASC) AS pr "
+        f"FROM p8 q CROSS JOIN {prev} c WHERE q.vec_id < {n_queries}) _p "
+        f"WHERE pr <= {n_probes})"
+    )
+    ctes.append(
+        f"hits8 AS (SELECT p.query_id, a.vec_id, "
+        f"{_dot8_sql('p.qe8', 'a.v8', 'duckdb')} * a.scale AS sdot "
+        f"FROM probes8 p JOIN p8 a ON a.cent_id = p.cent_id "
+        f"WHERE p.query_id != a.vec_id)"
+    )
+    body = ",\n      ".join(ctes)
+    return f"""(
+      WITH {body}
+      SELECT query_id, vec_id, sdot, cast(rank as bigint) AS rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY sdot DESC, vec_id ASC) AS rank
+        FROM hits8
+      ) _r WHERE rank <= {k}
+    )"""
+
+
 def kmeans_cluster_stats(
     emb: DataFrame, n_centroids: int = N_CENTROIDS, iters: int = 3,
     centroids: DataFrame | None = None,
