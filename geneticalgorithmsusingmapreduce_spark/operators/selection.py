@@ -110,7 +110,13 @@ def genome_lookup(pop: DataFrame, unique_ids: bool = True) -> DataFrame:
     """[id, genome] lookup side for the join-back. With
     ``unique_ids=False`` duplicate ids collapse first (partial agg
     shrinks them map-side; duplicate ids must carry equal genomes —
-    module-doc contract), so a repeated winner id cannot fan out."""
+    module-doc contract), so a repeated winner id cannot fan out.
+
+    NOTE: the ``unique_ids=False`` collapse is an agg over WIDE rows
+    (array buffers force a sort aggregate) — callers whose genomes are
+    a pure function of the id should dedupe the IDS first and derive
+    genomes after (pass the result as ``genome_df``), which keeps the
+    dedup skinny and halves derivation; the lineitem entries do."""
     g = pop.select("id", "genome")
     if not unique_ids:
         g = g.groupBy("id").agg(F.max("genome").alias("genome"))
@@ -121,19 +127,24 @@ def tournament_parents(
     df: DataFrame,
     t_size: int = TOURNAMENT_SIZE,
     unique_ids: bool = True,
+    genome_df: DataFrame | None = None,
 ) -> DataFrame:
     """W1. Input: [id, genome, fitness, skey, part]; output: one parent per
     input row: [part, pos, parent(genome array), parent_fitness].
 
     Skinny-shuffle composition: ``tournament_parent_ids`` runs the
     windows genome-free, then winners join their genomes back via a
-    SHUFFLED HASH join on id — hinted, because the default sort-merge
-    strategy would re-sort the wide genome side, which is exactly the
-    cost the skinny rewrite removes."""
+    SHUFFLED HASH join on id — hinted with the skinny winner rows as
+    the build side (a sort-merge join would re-sort the wide genome
+    side; a wide-side hash build OOM'd a 48 GB heap at the sf100
+    probe). ``genome_df`` overrides the lookup side with an id-unique
+    [id, genome] frame — when genomes derive from ids, dedup-ids-then-
+    derive keeps even the lookup exchange skinny."""
     sel = tournament_parent_ids(df, t_size)
-    g = genome_lookup(df, unique_ids).withColumnsRenamed(
-        {"id": "parent_id", "genome": "parent"}
-    )
+    g = (
+        genome_df if genome_df is not None
+        else genome_lookup(df, unique_ids)
+    ).withColumnsRenamed({"id": "parent_id", "genome": "parent"})
     return (
         sel.hint("shuffle_hash")
         .join(g, "parent_id")
@@ -161,28 +172,63 @@ def paired_parent_ids(parent_ids: DataFrame) -> DataFrame:
 
 
 def pair_genomes(
-    pair_ids: DataFrame, pop: DataFrame, unique_ids: bool = True
+    pair_ids: DataFrame,
+    pop: DataFrame,
+    unique_ids: bool = True,
+    genome_df: DataFrame | None = None,
 ) -> DataFrame:
     """Join both parents' genomes onto the skinny pair rows:
     [part, pair, pa_id, pb_id] → [part, pair, pa, pb].
 
-    Two sequential hash joins on id; the population side's exchange is
-    one un-sorted hash repartition REUSED by both lookups (Spark's
-    exchange reuse — the pa and pb sides canonicalize identically), so
-    per generation the genome bytes crossing the wire are pop (the
-    reused lookup exchange; zero when the generation is bucket-stored
-    by id) + pairs/2 (the pa genomes riding the second join's probe
-    side) — vs 2× pop full-width SORTED exchanges before the skinny
-    rewrite."""
-    g = genome_lookup(pop, unique_ids)
-    ga = g.withColumnsRenamed({"id": "pa_id", "genome": "pa"})
-    gb = g.withColumnsRenamed({"id": "pb_id", "genome": "pb"})
+    Shape: explode each pair into two SKINNY role rows
+    (part, pair, role, pid), hash-join genomes on pid with the role
+    rows as the build side, then pivot the two genome rows per pair
+    back to columns via map_from_entries(collect_list(...)) — an
+    OBJECT HASH aggregate (hash-based, sort-fallback spill; an array
+    `max` buffer would force a full sort aggregate).
+
+    Why this over two sequential id-joins (the first r8 attempt,
+    measured at the sf100 probe): join #2's smaller side already
+    carries the pa genomes, so EITHER it hash-builds wide rows — which
+    OOM'd the 48 GB heap (per-partition UnsafeHashedRelation
+    allocations → GCLocker storms → heap death) — or it sort-merges,
+    re-sorting 1.5× pop of wide rows (measured 471 s / 15.3× at
+    sf100, worse than the pre-skinny 316 s). The explode/pivot form
+    moves the genomes through exactly ONE wide exchange
+    (hashpartitioning(part, pair), n rows) with no wide sort anywhere;
+    every other exchange and sort in the generation is skinny.
+
+    ``genome_df``: id-unique [id, genome] lookup override — derive
+    genomes AFTER a skinny id-dedup when they're a function of the id
+    (see genome_lookup note)."""
+    g = genome_df if genome_df is not None else genome_lookup(
+        pop, unique_ids
+    )
+    roles = pair_ids.select(
+        "part",
+        "pair",
+        F.explode(
+            F.expr(
+                "array(struct('a' as role, pa_id as pid), "
+                "struct('b' as role, pb_id as pid))"
+            )
+        ).alias("rp"),
+    ).select("part", "pair", "rp.role", "rp.pid")
+    j = roles.hint("shuffle_hash").join(
+        g.withColumnRenamed("id", "pid"), "pid"
+    )
     return (
-        pair_ids.hint("shuffle_hash")
-        .join(ga, "pa_id")
-        .hint("shuffle_hash")
-        .join(gb, "pb_id")
-        .select("part", "pair", "pa", "pb")
+        j.groupBy("part", "pair")
+        .agg(
+            F.expr(
+                "map_from_entries(collect_list(struct(role, genome)))"
+            ).alias("m")
+        )
+        .select(
+            "part", "pair",
+            F.expr("m['a']").alias("pa"),
+            F.expr("m['b']").alias("pb"),
+        )
     )
 
 

@@ -68,22 +68,24 @@ def next_generation(
     n_buckets: int = 32,
     t_size: int = selection.TOURNAMENT_SIZE,
     unique_ids: bool = True,
+    genome_df: DataFrame | None = None,
 ) -> DataFrame:
     """One SGA generation: evaluated population → children [id, genome].
     ``seed`` is folded with the generation index so every generation draws
     a fresh deterministic stream.
 
     Skinny composition (r8): the tournament + pairing windows run over
-    (id, fitness, skey) only and the two parents' genomes join back by
-    id at the very end — genome bytes never enter a sort, and cross
-    exactly one reused hash exchange (see operators/selection module
-    doc). ``unique_ids=False`` for sources that can repeat ids (the
-    lineitem fixture)."""
+    (id, fitness, skey) only and the two parents' genomes attach at
+    the very end through one skinny-build hash join + role pivot —
+    genome bytes cross exactly ONE exchange and never enter a sort
+    (see operators/selection.pair_genomes). ``unique_ids=False`` for
+    sources that can repeat ids; ``genome_df`` supplies an id-unique
+    lookup when genomes derive from ids (the lineitem entries)."""
     gen_seed = None if seed is None else seed * 1_000_033 + generation
     sh = shuffle.with_shuffle_key(pop, gen_seed, n_buckets=n_buckets)
     sel = selection.tournament_parent_ids(sh, t_size)
     pairs = selection.paired_parent_ids(sel)
-    wide = selection.pair_genomes(pairs, pop, unique_ids)
+    wide = selection.pair_genomes(pairs, pop, unique_ids, genome_df)
     return crossover.crossover_children(wide, n_bits, gen_seed)
 
 

@@ -113,27 +113,35 @@ def test_tournament_shuffle_is_skinny(spark):
         p = _formatted_plan(catalog.QUERIES[name](spark, SF))
         # split into per-node blocks: "(12) Exchange ..." sections
         blocks = re.split(r"\n(?=\(\d+\) )", p)
+        # window exchanges partition on part ALONE; the pairing pivot's
+        # (part, pair) exchange is the one sanctioned genome carrier
         part_exchanges = [
             b for b in blocks
             if b.startswith("(") and "Exchange" in b.split("\n")[0]
-            and "hashpartitioning(part" in b
+            and re.search(r"hashpartitioning\(part#\d+L?, \d+\)", b)
         ]
         assert part_exchanges, f"{name}: no window exchange found"
         for b in part_exchanges:
             assert "genome" not in b and "parent#" not in b, (
                 f"{name}: window exchange carries genome bytes:\n{b[:400]}"
             )
-        # the genome join-back must be a hash join (a sort-merge join
-        # would re-sort the wide side — the cost the rewrite removes)
+        # the skinny side of the genome join-back must hash-build (a
+        # wide-side hash build OOM'd sf100; a genome-side SMJ sort is
+        # allowed — merge sorts spill)
         assert "ShuffledHashJoin" in p, f"{name}: join-back not hash join"
-        sorts_with_genome = [
+        # every WINDOW sort (skey / rn / pos ordering — the O(n log n)
+        # per-bucket sorts) must be genome-free; only join-id merge
+        # sorts may see genome-carrying rows
+        window_sorts = [
             b for b in blocks
             if b.startswith("(") and b.split("\n")[0].endswith("Sort")
-            and re.search(r"Arguments:.*genome", b)
+            and re.search(r"Arguments: \[[^\]]*(skey|rn|pos)#", b)
         ]
-        assert not sorts_with_genome, (
-            f"{name}: a sort orders genome-carrying rows"
-        )
+        assert window_sorts, f"{name}: no window sorts found"
+        for b in window_sorts:
+            assert "genome" not in b and "parent#" not in b and (
+                " pa#" not in b
+            ), f"{name}: window sort carries genome bytes:\n{b[:400]}"
 
 
 def test_cga_generation_no_join_no_extra_shuffle(spark):
