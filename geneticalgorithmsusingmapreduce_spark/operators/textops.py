@@ -354,6 +354,28 @@ def _duck_bucket_qualify(max_bucket: int | None) -> str:
             f" <= {max_bucket}")
 
 
+def lsh_band_rows(sigs: DataFrame, k: int = MINHASH_K,
+                  bands: int = LSH_BANDS) -> DataFrame:
+    """(doc_id, band, bucket) rows — one explode, not a bands-way union
+    (each union branch re-evaluated the k-min signature aggregation,
+    and the self-join doubled it: 2b recomputes). Shared by the batch
+    self-join (lsh_candidate_pairs) and the streaming new-vs-history
+    join (streaming/neardup.py)."""
+    r = k // bands
+    structs = ", ".join(
+        "struct({b} as band, {h} as bucket)".format(
+            b=b,
+            h=prng.spark_hash(
+                *[f"mh{b * r + i}" for i in range(r)], str(b)
+            ),
+        )
+        for b in range(bands)
+    )
+    return sigs.select(
+        "doc_id", F.explode(F.expr(f"array({structs})")).alias("bb")
+    ).select("doc_id", "bb.band", "bb.bucket")
+
+
 def lsh_candidate_pairs(sigs: DataFrame, k: int = MINHASH_K,
                         bands: int = LSH_BANDS,
                         max_bucket: int | None = None) -> DataFrame:
@@ -375,23 +397,11 @@ def lsh_candidate_pairs(sigs: DataFrame, k: int = MINHASH_K,
     runs before the persist so both join sides read the pruned rows.
     None (the default) disables the guard; every pre-existing oracle is
     byte-identical."""
-    r = k // bands
-    # one explode, not a bands-way union: each union branch re-evaluated
-    # the k-min signature aggregation, and the self-join doubled it (2b
-    # recomputes); persist so both join sides share one materialization
-    structs = ", ".join(
-        "struct({b} as band, {h} as bucket)".format(
-            b=b,
-            h=prng.spark_hash(
-                *[f"mh{b * r + i}" for i in range(r)], str(b)
-            ),
+    band_rows = scoped_persist(
+        _prune_hot_buckets(
+            lsh_band_rows(sigs, k, bands), max_bucket
         )
-        for b in range(bands)
     )
-    band_rows = sigs.select(
-        "doc_id", F.explode(F.expr(f"array({structs})")).alias("bb")
-    ).select("doc_id", "bb.band", "bb.bucket")
-    band_rows = scoped_persist(_prune_hot_buckets(band_rows, max_bucket))
     a = band_rows.alias("a")
     bb = band_rows.alias("b")
     return (

@@ -239,3 +239,33 @@ def test_incremental_sga_advances(spark):
     assert all(0 < n <= 256 for n in sizes)  # dedup may shrink
     bests = [b for _, b, _ in st.history]
     assert max(bests) >= bests[0]  # selection pressure present
+
+
+def test_streaming_neardup_cross_batch_state(spark):
+    # r8: a near-dup pair split across micro-batches must be found in
+    # the LATER member's batch via the signature history; a within-batch
+    # pair exactly once in its own batch; unrelated docs never pair.
+    from geneticalgorithmsusingmapreduce_spark.streaming import neardup
+
+    body = " ".join(f"w{j}" for j in range(30))
+    other = " ".join(f"q{j}" for j in range(30))
+    docs = spark.createDataFrame(
+        [
+            (0, body),                # batch 0
+            (1, other + " extra"),    # batch 1, unrelated
+            (3, body + " zz"),        # batch 0 (3 % 3 = 0): within-batch
+            (7, body + " yy"),        # batch 1: cross-batch vs 0 and 3
+        ],
+        "doc_id long, text string",
+    )
+    st = neardup.start_streaming_neardup(spark, docs, n_batches=3)
+    found = {
+        (r.doc_a, r.doc_b): r.found_batch for r in st.results.collect()
+    }
+    for df in (st.bands, st.sets, st.results):
+        df.unpersist()
+    assert found.get((0, 3)) == 0      # within batch 0
+    assert found.get((0, 7)) == 1      # cross-batch, found when 7 lands
+    assert found.get((3, 7)) == 1
+    assert not any(1 in p for p in found)  # unrelated doc never pairs
+    assert st.batches_done == 3
