@@ -252,6 +252,7 @@ def main():
     heavy_tail = (
         "sequencefile_roundtrip", "streaming_running_best",
         "streaming_dedup", "streaming_windowed_counts", "incremental_sga",
+        "streaming_neardup",
     )
     # r2→r3 regression audit (cga_member_fitness 0.16→0.62 s, cga_sample
     # 0.11→0.27 s in BENCH_r02): timed in ISOLATION at sf0.1 (fresh

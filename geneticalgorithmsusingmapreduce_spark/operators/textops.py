@@ -305,15 +305,25 @@ MINHASH_K = 8
 LSH_BANDS = 4  # 2 hashes per band
 
 
-def shingles_hashed(docs: DataFrame) -> DataFrame:
-    """(doc_id, shingle, sh64) — tokenize+shingle+md5 once. Callers that
-    branch over this (signatures AND verification) should persist it:
-    Spark does not share common subplans across DAG branches, and this
+def shingles_hashed(docs: DataFrame, keep_text: bool = False) -> DataFrame:
+    """(doc_id, sh64) — tokenize+shingle+hash once. Callers that branch
+    over this (signatures AND verification) should persist it: Spark
+    does not share common subplans across DAG branches, and this
     subtree (windowed shingling + md5 per shingle) dominates the
-    near-dup pipeline's cost if recomputed per branch."""
-    return text.shingle_rows(docs).select(
-        "doc_id", "shingle",
-        F.expr(text.spark_hash64_str("shingle")).alias("sh64"),
+    near-dup pipeline's cost if recomputed per branch.
+
+    The shingle STRING is dropped by default (``keep_text=True`` for
+    the inverted-index path that keys on it): persist() materializes
+    every column of the plan at the cache point — no pruning happens at
+    cache BUILD time — and no LSH/minhash/verify consumer reads the
+    string, so carrying it tripled the cached/spilled bytes of every
+    near-dup pipeline (the r8 chunk-level sf100 probe died of exactly
+    this: ~510M chunk-shingle rows spilled the 60 GB disk with the
+    string aboard)."""
+    rows = text.shingle_rows(docs)
+    cols = ["doc_id", "shingle"] if keep_text else ["doc_id"]
+    return rows.select(
+        *cols, F.expr(text.spark_hash64_str("shingle")).alias("sh64")
     )
 
 
@@ -546,7 +556,8 @@ def ngram_jaccard_pairs(
     docs) and leaves the flat min_shared in force for long ones, where
     the ~10:1 candidate-volume argument holds."""
     sh = scoped_persist(
-        shingles_hashed(docs).select("doc_id", "shingle", "sh64")
+        shingles_hashed(docs, keep_text=True)
+        .select("doc_id", "shingle", "sh64")
         .distinct()
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))

@@ -74,12 +74,20 @@ def start_streaming_neardup(
     docs: DataFrame,
     n_batches: int = 3,
     tau_milli: int = 500,
+    max_bucket: int | None = None,
 ) -> NearDupState:
     """Ingest ``docs`` in ``n_batches`` micro-batches (routing:
     doc_id % n_batches — deterministic so the oracle can replay), each
     batch LSH-checked against the cumulative signature history.
     Returns the final state; results has columns
-    [doc_a, doc_b, jaccard_milli, found_batch]."""
+    [doc_a, doc_b, jaccard_milli, found_batch].
+
+    ``max_bucket`` is the hot-bucket skew guard applied to the
+    CUMULATIVE band history before each batch's candidate join — the
+    production dial on low-entropy corpora (the textops story). The
+    prune is order-dependent (a bucket crosses the cap at some batch
+    and is skipped from then on), so the oracle-checked entry runs
+    unguarded; at-scale probes run guarded."""
     empty_bands = spark.createDataFrame(
         [], "doc_id long, band int, bucket long"
     )
@@ -110,9 +118,14 @@ def start_streaming_neardup(
         hist_sets = state.sets.unionByName(new_sets).localCheckpoint(
             eager=True
         )
+        # guard BOTH join sides: the history side caps the per-bucket
+        # fan-out factor, the new side caps a hot bucket arriving
+        # entirely within one batch
+        probe_bands = textops._prune_hot_buckets(hist_bands, max_bucket)
+        probe_new = textops._prune_hot_buckets(new_bands, max_bucket)
         cand = (
-            new_bands.alias("n")
-            .join(hist_bands.alias("h"), ["band", "bucket"])
+            probe_new.alias("n")
+            .join(probe_bands.alias("h"), ["band", "bucket"])
             .filter(F.expr("n.doc_id != h.doc_id"))
             .select(
                 F.expr("least(n.doc_id, h.doc_id)").alias("doc_a"),
