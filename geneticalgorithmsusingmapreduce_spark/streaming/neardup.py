@@ -75,6 +75,7 @@ def start_streaming_neardup(
     n_batches: int = 3,
     tau_milli: int = 500,
     max_bucket: int | None = None,
+    timeout_sec: float = 300,
 ) -> NearDupState:
     """Ingest ``docs`` in ``n_batches`` micro-batches (routing:
     doc_id % n_batches — deterministic so the oracle can replay), each
@@ -181,7 +182,7 @@ def start_streaming_neardup(
     try:
         import time
 
-        deadline = time.time() + 300
+        deadline = time.time() + timeout_sec
         while state.batches_done < n_batches and time.time() < deadline:
             time.sleep(0.2)
     finally:

@@ -39,7 +39,7 @@ def main() -> None:
         docs = textops.augmented_corpus(spark, d)
         t0 = time.perf_counter()
         st = neardup.start_streaming_neardup(
-            spark, docs, n_batches=3, max_bucket=64
+            spark, docs, n_batches=3, max_bucket=64, timeout_sec=1800
         )
         n_pairs = st.results.count()
         sec = round(time.perf_counter() - t0, 2)

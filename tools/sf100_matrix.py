@@ -40,6 +40,10 @@ ALIASES = {
     # config OOM-killed the worker at sf100; W1/W3 parity verified at
     # the sized count (tools/probe_tournament_buckets.py)
     "tournament_pandas_sized": "sga_tournament_pandas",
+    # r8: guarded per-batch probe of the streaming LSH (the registered
+    # entry is unguarded so its result is arrival-order-free; the guard
+    # is the production dial — tools/probe_streaming_neardup.py)
+    "streaming_neardup_guarded": "streaming_neardup",
 }
 
 EXCLUDED = {
@@ -115,6 +119,10 @@ def load_measured() -> dict[str, dict]:
     pats = [
         os.path.join(REPO, ".localdata", "sb100_*.json"),
         os.path.join(REPO, ".localdata", "sf100_*.json"),
+        # r8 rows last: later rounds supersede (skinny tournament,
+        # unpinned broadcast, the four r8 registrations); superseded
+        # in-round attempts live under .localdata/attempts_r8/
+        os.path.join(REPO, ".localdata", "sb_r8_*.json"),
     ]
     for pat in pats:
         for f in sorted(glob.glob(pat)):
