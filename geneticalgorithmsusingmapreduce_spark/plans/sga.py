@@ -208,16 +208,32 @@ def run_sga(
                         children, n_bits, mutation_rate, gen_seed
                     )
             children = evaluate(children, n_bits)
-            # LAZY checkpoint: the stats agg below materializes it —
-            # one job per generation total (produce + truncate lineage
-            # + stats), not two
-            new_pop = children.localCheckpoint(eager=False)
+            # checkpoint WITH a statistics reset (r8): plain
+            # localCheckpoint preserves the plan's estimated stats, and
+            # the skinny generation's JOINS make the size-only
+            # estimator's product COMPOUND across generations — digit
+            # count of sizeInBytes doubles per generation and the
+            # driver drowns in BigInteger.multiply from ~gen 18
+            # (exponential wall at ANY data size; r1-r7's join-free
+            # plan only added stats, masking the trap). See
+            # runtime.local_checkpoint_truncated.
+            from ..runtime import local_checkpoint_truncated
+
+            new_pop = local_checkpoint_truncated(children, eager=False)
             best, n = new_pop.agg(
                 F.max("fitness"), F.count(F.lit(1))
             ).collect()[0]
             gen_ms = int((time.perf_counter() - t0) * 1000)
             pop.unpersist()
             pop = new_pop
+            if n == 0:
+                # the odd-tail pairing drop shrinks each bucket by ~1
+                # row per generation; a long-running TINY population can
+                # go extinct before converging (64 rows / 4 buckets dies
+                # at ~gen 28). Stop cleanly with the history recorded —
+                # best=None would otherwise crash the next stats line.
+                print(f"GA:extinct:{it + 1}")
+                break
     finally:
         pop.unpersist()
     return res

@@ -54,3 +54,37 @@ def release_persists() -> int:
 
 
 atexit.register(release_persists)
+
+
+def local_checkpoint_truncated(df: DataFrame, eager: bool = True) -> DataFrame:
+    """localCheckpoint + FRESH leaf statistics — the iterative-loop
+    lineage truncation that actually stays O(1) per iteration.
+
+    ``Dataset.localCheckpoint`` truncates the plan to a LogicalRDD but
+    PRESERVES the source plan's estimated statistics through it.  In a
+    loop whose per-iteration plan contains joins, the size-only
+    estimator multiplies child sizes (inner-join sizeInBytes = product
+    of children), so the carried estimate COMPOUNDS: sizeInBytes's
+    digit count doubles every iteration (measured on the r8 skinny SGA
+    loop: 7 → 15 → 29 → … → 902 digits by generation 7), and every
+    subsequent plan's stats pass multiplies those BigInts — wall time
+    per generation triples from ~gen 18 regardless of data size (the
+    40-generation 64-row repro hit 292 s/generation of pure
+    driver-side BigInteger.multiply; r1-r7's join-free generation plan
+    only ever ADDED stats, which masked the trap).
+
+    The fix rebuilds the DataFrame over the checkpointed RDD with
+    default leaf stats (sizeInBytes = spark.sql.defaultSizeInBytes):
+    size-based planning inside ONE generation is unaffected — the
+    loop's join sides that must broadcast are hinted, AQE re-plans on
+    runtime sizes anyway — and the estimate no longer crosses
+    iterations.  Uses SparkSession.internalCreateDataFrame (Scala
+    package-private = JVM-public; stable across Spark 3.x/4.x — the
+    same entry point PySpark's own createDataFrame path rides)."""
+    ck = df.localCheckpoint(eager=eager)
+    spark = df.sparkSession
+    jdf = ck._jdf
+    new_jdf = spark._jsparkSession.internalCreateDataFrame(
+        jdf.queryExecution().toRdd(), jdf.schema(), False
+    )
+    return DataFrame(new_jdf, spark)

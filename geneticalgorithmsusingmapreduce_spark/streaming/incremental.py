@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ..functions import bits
 from ..operators import dedup, fitness as fit_ops, generate
 from ..plans import sga
+from ..runtime import local_checkpoint_truncated
 
 
 @dataclass
@@ -50,9 +51,12 @@ def start_incremental_sga(
     src/edu/illinois/incr_ga/IncMapReduce.java:512-513``)."""
     nl = bits.n_longs(n_bits)
     state = IncrementalState(
-        population=fit_ops.with_fitness(
-            generate.random_population(spark, pop_size, n_bits, seed), nl=nl
-        ).localCheckpoint(eager=True)
+        population=local_checkpoint_truncated(
+            fit_ops.with_fitness(
+                generate.random_population(spark, pop_size, n_bits, seed),
+                nl=nl,
+            )
+        )
     )
 
     def one_batch(_batch_df: DataFrame, batch_id: int) -> None:
@@ -63,8 +67,11 @@ def start_incremental_sga(
         )
         if dedup_children:
             children = dedup.dedup_genomes(children)
-        new_pop = fit_ops.with_fitness(children, nl=nl).localCheckpoint(
-            eager=True
+        # stats-resetting checkpoint: the generation plan's joins would
+        # otherwise compound the size estimate across micro-batches
+        # (see runtime.local_checkpoint_truncated)
+        new_pop = local_checkpoint_truncated(
+            fit_ops.with_fitness(children, nl=nl)
         )
         import pyspark.sql.functions as F
 

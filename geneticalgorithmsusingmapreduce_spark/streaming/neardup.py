@@ -46,6 +46,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators import textops
+from ..runtime import local_checkpoint_truncated
 
 
 @dataclass
@@ -113,11 +114,13 @@ def start_streaming_neardup(
         )
         # history AFTER absorbing this batch — the candidate join then
         # covers both new-vs-old and within-batch pairs
-        hist_bands = state.bands.unionByName(new_bands).localCheckpoint(
-            eager=True
+        # stats-resetting checkpoints (runtime.local_checkpoint_truncated):
+        # the carried estimate must not compound across batches
+        hist_bands = local_checkpoint_truncated(
+            state.bands.unionByName(new_bands)
         )
-        hist_sets = state.sets.unionByName(new_sets).localCheckpoint(
-            eager=True
+        hist_sets = local_checkpoint_truncated(
+            state.sets.unionByName(new_sets)
         )
         # guard BOTH join sides: the history side caps the per-bucket
         # fan-out factor, the new side caps a hot bucket arriving
@@ -157,8 +160,8 @@ def start_streaming_neardup(
                 F.lit(b).cast("long").alias("found_batch"),
             )
         )
-        new_res = state.results.unionByName(verified).localCheckpoint(
-            eager=True
+        new_res = local_checkpoint_truncated(
+            state.results.unionByName(verified)
         )
         prev_total = sum(n for _, n in state.history)
         n_new = new_res.count() - prev_total

@@ -135,3 +135,43 @@ def test_unseeded_mutation_base_injectable(spark, capsys):
     out = capsys.readouterr().out
     expect = random.Random(99).getrandbits(32)
     assert f"GA:mut_base={expect}" in out
+
+
+def test_generation_loop_stats_stay_bounded(spark):
+    # r8 trap: Dataset.localCheckpoint PRESERVES the source plan's
+    # estimated statistics, and the skinny generation's joins make the
+    # size-only estimator's product COMPOUND across generations —
+    # sizeInBytes digit count doubled per generation (7→15→29→…) until
+    # the driver drowned in BigInteger.multiply (~292 s/generation of
+    # pure planning by gen 26, at ANY data size). The loop's
+    # stats-resetting checkpoint must keep the estimate bounded.
+    from geneticalgorithmsusingmapreduce_spark.operators import (
+        fitness as fit_ops, generate,
+    )
+    from geneticalgorithmsusingmapreduce_spark.runtime import (
+        local_checkpoint_truncated,
+    )
+
+    pop = sga.evaluate(
+        generate.random_population(spark, 64, 64, seed=3), 64
+    ).persist()
+    pop.count()
+    digits = []
+    for it in range(5):
+        ch = sga.evaluate(sga.next_generation(pop, 64, 3, it, 4), 64)
+        new_pop = local_checkpoint_truncated(ch)
+        d = len(
+            str(
+                new_pop._jdf.queryExecution()
+                .optimizedPlan().stats().sizeInBytes()
+            )
+        )
+        digits.append(d)
+        old = pop
+        pop = new_pop
+        old.unpersist()
+    pop.unpersist()
+    # Long.MaxValue default is 19 digits; the un-truncated form reaches
+    # 113 digits by generation 4
+    assert max(digits) <= 20, digits
+    assert digits[-1] == digits[0], digits
