@@ -121,7 +121,10 @@ def load_measured() -> dict[str, dict]:
         os.path.join(REPO, ".localdata", "sf100_*.json"),
         # r8 rows last: later rounds supersede (skinny tournament,
         # unpinned broadcast, the four r8 registrations); superseded
-        # in-round attempts live under .localdata/attempts_r8/
+        # in-round attempts live under .localdata/attempts_r8/.
+        # CONVENTION for future rounds: append each round's
+        # sb_r{N}_*.json pattern BELOW the previous one (an sb_r*_*
+        # glob would sort r10 before r9 and break last-wins).
         os.path.join(REPO, ".localdata", "sb_r8_*.json"),
     ]
     for pat in pats:
