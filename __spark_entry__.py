@@ -33,8 +33,24 @@ def entry(spark: SparkSession) -> DataFrame:
 #
 #   1. never-driver-checked entries first (new registrations must get
 #      their first check immediately — they are infinitely stale);
+#      an entry whose IMPLEMENTATION changed since its last green round
+#      ranks here too (r8 VERDICT #1: staleness-by-last-CHECK alone let
+#      an in-round rewrite ship ungated — the r8 skinny-selection
+#      rewrite's first driver check would have lagged a full round);
 #   2. then ascending last-driver-green round (stalest first);
 #   3. name as the deterministic tie-break.
+#
+# "Implementation changed" is detected by a content FINGERPRINT: a hash
+# over the entry's registered function source, its oracle SQL (baked at
+# import, so helper-SQL changes surface in it), and the transitive
+# closure of package modules / catalog helpers the function references.
+# GATE_LEDGER.json records each entry's fingerprint as of its last
+# driver-green round; tools/gen_gate_priority.py --update-ledger
+# refreshes it at round START (before any code is touched, so the
+# recorded fingerprint is exactly the code the driver just tested).
+# The ledger's optional "_force_head" list is the manual escape hatch
+# for rewrites the fingerprint can't see (e.g. a semantic change in a
+# data fixture outside the package).
 #
 # With N registered entries and a budget of B=50 the driver always
 # re-checks the B stalest entries, so worst-case staleness is the
@@ -43,6 +59,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # add).  tools/gen_gate_priority.py prints this order + the staleness
 # ledger; tests/test_gate_priority.py asserts the invariants.
 GATE_BUDGET = 50
+_LEDGER_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "GATE_LEDGER.json"
+)
 
 
 def _last_green_rounds() -> dict[str, int]:
@@ -78,9 +97,104 @@ def _last_green_rounds() -> dict[str, int]:
 _LAST_GREEN = _last_green_rounds()
 
 
+def entry_fingerprint(name: str) -> str:
+    """Content fingerprint of a registered entry: sha256 over the entry
+    function's source, its oracle SQL, and the transitive closure of
+    package modules (whole-file) and catalog-local helper functions
+    (per-function source) it references.  Module granularity bounds the
+    blast radius: editing operators/selection.py re-fingerprints the
+    handful of selection entries, not all 100+."""
+    import hashlib
+    import inspect
+    import types
+
+    pkg = catalog.__name__.rsplit(".", 1)[0]
+    h = hashlib.sha256()
+    seen_mods: set[str] = set()
+    seen_fns: set[int] = set()
+
+    def add_module(mod: types.ModuleType) -> None:
+        f = getattr(mod, "__file__", None)
+        if not f or mod.__name__ in seen_mods:
+            return
+        seen_mods.add(mod.__name__)
+        try:
+            with open(f, "rb") as fh:
+                h.update(fh.read())
+        except OSError:
+            return
+        for v in vars(mod).values():
+            if isinstance(v, types.ModuleType) and v.__name__.startswith(pkg):
+                add_module(v)
+
+    def add_fn(fn) -> None:
+        fn = inspect.unwrap(fn)
+        if id(fn) in seen_fns:
+            return
+        seen_fns.add(id(fn))
+        try:
+            h.update(inspect.getsource(fn).encode())
+        except (OSError, TypeError):
+            return
+        g = getattr(fn, "__globals__", {})
+        for nm in fn.__code__.co_names:
+            v = g.get(nm)
+            if isinstance(v, types.ModuleType) and v.__name__.startswith(pkg):
+                add_module(v)
+            elif isinstance(v, types.FunctionType) and getattr(
+                v, "__module__", ""
+            ).startswith(pkg):
+                add_fn(v)
+
+    add_fn(catalog.QUERIES[name])
+    h.update((catalog.ORACLES.get(name) or "").encode())
+    return h.hexdigest()[:16]
+
+
+def _load_ledger() -> dict:
+    import json
+
+    try:
+        with open(_LEDGER_PATH) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return {}
+
+
+def _changed_since_green() -> set[str]:
+    """Entries whose current fingerprint differs from the one recorded at
+    their last driver-green round (plus the ledger's explicit
+    _force_head names).  Absent-from-ledger entries are assumed
+    unchanged — the ledger accumulates from r9 on; never-checked
+    entries already rank first without fingerprint evidence.  Any
+    fingerprinting error degrades to 'unchanged' (staleness ordering
+    still applies) rather than failing the driver's queries() call."""
+    ledger = _load_ledger()
+    changed = set(ledger.get("_force_head", []))
+    for name, rec in ledger.items():
+        if name.startswith("_") or name not in catalog.QUERIES:
+            continue
+        try:
+            if entry_fingerprint(name) != rec.get("fp"):
+                changed.add(name)
+        except Exception:
+            continue
+    return changed
+
+
+_CHANGED = _changed_since_green()
+
+
 def _gate_order(names):
-    # never-checked → -1 → ahead of every checked entry
-    return sorted(names, key=lambda n: (_LAST_GREEN.get(n, -1), n))
+    # never-checked OR changed-since-last-green → -1 → ahead of every
+    # (unchanged) checked entry
+    return sorted(
+        names,
+        key=lambda n: (
+            -1 if n in _CHANGED else _LAST_GREEN.get(n, -1),
+            n,
+        ),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

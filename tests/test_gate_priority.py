@@ -73,3 +73,72 @@ def test_derivation_reads_committed_rounds():
     # sanity: the committed history contains r7 greens and nothing newer
     assert entry._LAST_GREEN, "no CORRECTNESS files found"
     assert max(entry._LAST_GREEN.values()) >= 7
+
+
+# --- content-fingerprint re-gating (r8 VERDICT #1 / ADVICE) --------------
+
+def test_fingerprint_is_deterministic_and_distinguishes_entries():
+    a1 = entry.entry_fingerprint("sga_tournament")
+    a2 = entry.entry_fingerprint("sga_tournament")
+    b = entry.entry_fingerprint("text_fingerprint")
+    assert a1 == a2
+    assert a1 != b
+
+
+def test_committed_ledger_covers_every_checked_entry():
+    # the round-start refresh must leave no green entry unfingerprinted —
+    # an absent row is treated as 'unchanged', silently disabling re-gating
+    ledger = entry._load_ledger()
+    for name in entry._LAST_GREEN:
+        if name in catalog.QUERIES:
+            assert name in ledger, f"{name} green but not in GATE_LEDGER.json"
+            assert ledger[name].get("fp"), name
+
+
+def test_touched_entry_jumps_to_gate_head(monkeypatch, tmp_path):
+    # simulate an in-round rewrite of a FRESH (latest-green, tail-ranked)
+    # entry: corrupt its ledger fingerprint and assert the derived order
+    # ranks it ahead of every unchanged checked entry
+    import json
+
+    name = "text_fingerprint"
+    assert entry._LAST_GREEN.get(name) == max(entry._LAST_GREEN.values())
+    ledger = entry._load_ledger()
+    ledger[name] = {"round": entry._LAST_GREEN[name], "fp": "0" * 16}
+    p = tmp_path / "ledger.json"
+    p.write_text(json.dumps(ledger))
+    monkeypatch.setattr(entry, "_LEDGER_PATH", str(p))
+    changed = entry._changed_since_green()
+    assert name in changed
+    monkeypatch.setattr(entry, "_CHANGED", changed)
+    order = entry._gate_order(catalog.QUERIES)
+    unchanged_checked = [
+        n for n in order if n in entry._LAST_GREEN and n not in changed
+    ]
+    assert order.index(name) < min(order.index(n) for n in unchanged_checked)
+    assert order.index(name) < entry.GATE_BUDGET
+
+
+def test_force_head_escape_hatch(monkeypatch, tmp_path):
+    import json
+
+    name = "skew_salted_revenue"
+    ledger = entry._load_ledger()
+    ledger["_force_head"] = [name]
+    p = tmp_path / "ledger.json"
+    p.write_text(json.dumps(ledger))
+    monkeypatch.setattr(entry, "_LEDGER_PATH", str(p))
+    changed = entry._changed_since_green()
+    assert name in changed
+    monkeypatch.setattr(entry, "_CHANGED", changed)
+    order = entry._gate_order(catalog.QUERIES)
+    assert order.index(name) < entry.GATE_BUDGET
+
+
+def test_unchanged_codebase_reports_no_changes():
+    # with the committed ledger and the committed code in agreement,
+    # nothing should rank as changed at round start... but entries this
+    # ROUND touches will legitimately appear here mid-round, so only
+    # assert the mechanism isn't wholesale-firing (a bug in the
+    # fingerprint walk would flip everything to changed at once)
+    assert len(entry._CHANGED) < len(catalog.QUERIES) // 2
