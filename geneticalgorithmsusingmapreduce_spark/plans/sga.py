@@ -134,11 +134,32 @@ def run_sga(
     n_buckets: int | None = None,
     mutation_rate: float | None = None,
     rng: "_random.Random | None" = None,
+    storage: str = "memory",
+    store_dir: str | None = None,
 ) -> SgaResult:
     """Iterative driver (P7 stop rule: best ≥ n_bits − target_slack,
     ``reference src/edu/illinois/ga/MapReduce.java:433-434``). Emits the
     reference's telemetry line GA:<it>:<bits>:<pop>:<best>:<ms>
-    (``:432``) per generation."""
+    (``:432``) per generation.
+
+    ``storage``: per-generation materialization strategy.
+    - "memory" (default): persist + stats-truncating localCheckpoint —
+      the single-box shape (no disk churn while shuffles fit in RAM).
+    - "bucketed": each generation is WRITTEN as a parquet table
+      bucketed by id (sources/bucketing, count sized by
+      buckets_for_pop) and read back — the reference's per-generation
+      HDFS store (``MapReduce.java:298-302``) re-expressed so the NEXT
+      generation's genome join-backs are exchange-free on the genome
+      side (the bucketed scan already satisfies hash(id)); the
+      write/read also truncates lineage AND estimated stats, so the
+      checkpoint-stats trap can't arise. This is the 100 TB loop shape:
+      a generation is ~pop × genome bytes of sequential columnar I/O,
+      and every genome access after the write is a co-located local
+      read. ``store_dir`` (default: a temp dir, removed at the end)
+      holds one layout per live generation; generation k's layout is
+      deleted once k+1 is materialized."""
+    if storage not in ("memory", "bucketed"):
+        raise ValueError(f"run_sga: unknown storage {storage!r}")
     if pop_size < 1:
         # an empty population would surface as best=None deep in the
         # stats fold; fail at the API boundary instead
@@ -160,10 +181,47 @@ def run_sga(
         print(f"GA:mut_base={mut_base}")
     if n_buckets is None:
         n_buckets = default_n_buckets(spark)
+
+    own_store = False
+    if storage == "bucketed":
+        import os as _os
+        import shutil as _shutil
+        import tempfile as _tempfile
+        import uuid as _uuid
+
+        from ..sources import bucketing
+
+        if store_dir is None:
+            store_dir = _tempfile.mkdtemp(prefix="gamr_sga_store_")
+            own_store = True
+        run_tag = _uuid.uuid4().hex[:8]
+        live: dict = {"tbl": None, "path": None}
+
+        def _materialize_bucketed(df: DataFrame, it: int, rows_hint: int):
+            """Write generation ``it`` bucketed by id, read it back, and
+            delete the PREVIOUS generation's layout (now superseded)."""
+            # it = -1 is the initial population; shift so the table
+            # suffix stays a valid (unsigned) SQL identifier
+            tbl = f"gamr_sga_{run_tag}_g{it + 1}"
+            path = _os.path.join(store_dir, f"gen_{it + 1}")
+            bucketing.write_bucketed(
+                df, tbl, path, shuffle.buckets_for_pop(rows_hint), "id"
+            )
+            new = bucketing.read_bucketed(spark, tbl)
+            if live["tbl"]:
+                spark.sql(f"DROP TABLE IF EXISTS {live['tbl']}")
+                _shutil.rmtree(live["path"], ignore_errors=True)
+            live["tbl"], live["path"] = tbl, path
+            return new
+
     t0 = time.perf_counter()
-    pop = evaluate(
+    init = evaluate(
         generate.random_population(spark, pop_size, n_bits, seed), n_bits
-    ).persist()
+    )
+    if storage == "bucketed":
+        pop = _materialize_bucketed(init, -1, pop_size)
+    else:
+        pop = init.persist()
     # ONE job materializes the generation AND gathers its stats (the
     # reference's map-side running max + side-channel fold rode the same
     # job too, MapReduce.java:296-310) — a separate count()-then-agg
@@ -190,7 +248,16 @@ def run_sga(
                 # 1.33M-row generation per bounded run)
                 break
             t0 = time.perf_counter()
-            children = next_generation(pop, n_bits, seed, it, n_buckets)
+            children = next_generation(
+                pop, n_bits, seed, it, n_buckets,
+                # the bucket-stored generation IS the id-unique genome
+                # lookup: join-backs ride its hash(id) bucketing with
+                # zero exchange on the genome side
+                genome_df=(
+                    pop.select("id", "genome")
+                    if storage == "bucketed" else None
+                ),
+            )
             if mutation_rate:
                 # extension beyond the reference (which has no mutation and
                 # therefore plateaus near the optimum as diversity depletes)
@@ -208,23 +275,30 @@ def run_sga(
                         children, n_bits, mutation_rate, gen_seed
                     )
             children = evaluate(children, n_bits)
-            # checkpoint WITH a statistics reset (r8): plain
-            # localCheckpoint preserves the plan's estimated stats, and
-            # the skinny generation's JOINS make the size-only
-            # estimator's product COMPOUND across generations — digit
-            # count of sizeInBytes doubles per generation and the
-            # driver drowns in BigInteger.multiply from ~gen 18
-            # (exponential wall at ANY data size; r1-r7's join-free
-            # plan only added stats, masking the trap). See
-            # runtime.local_checkpoint_truncated.
-            from ..runtime import local_checkpoint_truncated
+            if storage == "bucketed":
+                # the store write IS the materialization: lineage and
+                # estimated stats both reset at the scan, so the
+                # checkpoint-stats trap (below) cannot arise
+                new_pop = _materialize_bucketed(children, it, n)
+            else:
+                # checkpoint WITH a statistics reset (r8): plain
+                # localCheckpoint preserves the plan's estimated stats,
+                # and the skinny generation's JOINS make the size-only
+                # estimator's product COMPOUND across generations —
+                # digit count of sizeInBytes doubles per generation and
+                # the driver drowns in BigInteger.multiply from ~gen 18
+                # (exponential wall at ANY data size; r1-r7's join-free
+                # plan only added stats, masking the trap). See
+                # runtime.local_checkpoint_truncated.
+                from ..runtime import local_checkpoint_truncated
 
-            new_pop = local_checkpoint_truncated(children, eager=False)
+                new_pop = local_checkpoint_truncated(children, eager=False)
             best, n = new_pop.agg(
                 F.max("fitness"), F.count(F.lit(1))
             ).collect()[0]
             gen_ms = int((time.perf_counter() - t0) * 1000)
-            pop.unpersist()
+            if storage != "bucketed":
+                pop.unpersist()
             pop = new_pop
             if n == 0:
                 # the odd-tail pairing drop shrinks each bucket by ~1
@@ -235,5 +309,12 @@ def run_sga(
                 print(f"GA:extinct:{it + 1}")
                 break
     finally:
-        pop.unpersist()
+        if storage == "bucketed":
+            if live["tbl"]:
+                spark.sql(f"DROP TABLE IF EXISTS {live['tbl']}")
+                _shutil.rmtree(live["path"], ignore_errors=True)
+            if own_store:
+                _shutil.rmtree(store_dir, ignore_errors=True)
+        else:
+            pop.unpersist()
     return res

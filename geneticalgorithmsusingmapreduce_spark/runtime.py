@@ -23,7 +23,31 @@ import logging
 from pyspark.sql import DataFrame
 
 _SCOPED: list[DataFrame] = []
+_CLEANUPS: list = []
 _log = logging.getLogger(__name__)
+
+
+def scoped_cleanup(fn) -> None:
+    """Register a cleanup callable (drop a temp table, rm a temp layout)
+    to run when the NEXT catalog entry is built — the same lifecycle as
+    scoped_persist, for entries that materialize a durable artifact
+    (e.g. the bucket-stored generation) their returned DataFrame still
+    reads from.  Deferring past the entry's own return keeps the result
+    lazily computable for the driver's collect; running at next-entry
+    build (or interpreter exit) bounds the leak to one artifact."""
+    _CLEANUPS.append(fn)
+
+
+def release_cleanups() -> int:
+    n = 0
+    while _CLEANUPS:
+        fn = _CLEANUPS.pop()
+        try:
+            fn()
+            n += 1
+        except Exception as exc:
+            _log.debug("release_cleanups: cleanup skipped (%s)", exc)
+    return n
 
 
 def scoped_persist(df: DataFrame) -> DataFrame:
@@ -54,6 +78,7 @@ def release_persists() -> int:
 
 
 atexit.register(release_persists)
+atexit.register(release_cleanups)
 
 
 def local_checkpoint_truncated(df: DataFrame, eager: bool = True) -> DataFrame:
@@ -80,7 +105,26 @@ def local_checkpoint_truncated(df: DataFrame, eager: bool = True) -> DataFrame:
     runtime sizes anyway — and the estimate no longer crosses
     iterations.  Uses SparkSession.internalCreateDataFrame (Scala
     package-private = JVM-public; stable across Spark 3.x/4.x — the
-    same entry point PySpark's own createDataFrame path rides)."""
+    same entry point PySpark's own createDataFrame path rides).
+
+    Classic-sessions only (r8 ADVICE): the rebuild rides JVM-private
+    plumbing that Spark Connect sessions don't expose — fail with a
+    clear error rather than an AttributeError deep in py4j.  Two
+    physical caveats of the rebuilt LogicalRDD: it drops the
+    checkpointed plan's output PARTITIONING/ordering (downstream
+    stages that relied on it re-exchange — the GA loop's next
+    generation re-shuffles on a fresh seeded key anyway, so nothing is
+    lost there; callers that need the partitioning should keep plain
+    localCheckpoint), and leaf stats reset to
+    spark.sql.defaultSizeInBytes (the point)."""
+    if not hasattr(df.sparkSession, "_jsparkSession"):
+        raise RuntimeError(
+            "local_checkpoint_truncated requires a classic (JVM-local) "
+            "SparkSession; Spark Connect sessions don't expose the "
+            "internalCreateDataFrame rebuild path. Use "
+            "df.localCheckpoint() and bound your loop's join-stats "
+            "growth another way (e.g. write/read a generation store)."
+        )
     ck = df.localCheckpoint(eager=eager)
     spark = df.sparkSession
     jdf = ck._jdf

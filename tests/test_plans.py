@@ -144,6 +144,29 @@ def test_tournament_shuffle_is_skinny(spark):
             ), f"{name}: window sort carries genome bytes:\n{b[:400]}"
 
 
+def test_tournament_genome_side_zero_exchange(spark):
+    # r9 (r8 VERDICT #1): the genome lookup is the BUCKET-STORED
+    # generation — in sga_tournament NO exchange anywhere carries
+    # genome bytes (the r8 shape still exchanged bare ids for the
+    # dedup), the store scan is a bucketed read (Bucketed: true),
+    # and it feeds the join-back directly.
+    import re
+
+    p = _formatted_plan(catalog.QUERIES["sga_tournament"](spark, SF))
+    blocks = re.split(r"\n(?=\(\d+\) )", p)
+    exchanges = [
+        b for b in blocks
+        if b.startswith("(") and "Exchange" in b.split("\n")[0]
+    ]
+    assert exchanges, "no exchanges found (plan parse failed?)"
+    for b in exchanges:
+        assert "genome" not in b and "parent#" not in b, (
+            f"genome bytes cross an exchange:\n{b[:400]}"
+        )
+    assert "Bucketed: true" in p, "store scan did not ride the bucketing"
+    assert "ShuffledHashJoin" in p
+
+
 def test_cga_generation_no_join_no_extra_shuffle(spark):
     # the recomputing update is a projection over the model: no join
     # operators anywhere in the plan
