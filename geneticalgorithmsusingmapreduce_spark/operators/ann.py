@@ -779,6 +779,427 @@ def duck_trained_ivf_int8_sql(
     )"""
 
 
+# --------------------------------------------------------------------------
+# Product-quantized postings (r9 — r8 VERDICT "Next round" #3)
+# --------------------------------------------------------------------------
+# PQ on top of the int8 SQ artifact family: split each 64-dim quantized
+# vector into M_SUB subvectors and learn a K_CODES-entry codebook per
+# subspace (Lloyd's, the same exact-integer arithmetic as the IVF
+# training); a vector is then M_SUB code bytes — 8 bytes/vector vs the
+# int8 artifact's 64+8, the storage step that makes a 100 TB embedding
+# index RAM-resident. Serving is the standard ADC shape: per query,
+# a LUT of (sub, code) → partial dot (M_SUB·K_CODES ints, broadcast),
+# and each candidate scores as the sum of M_SUB LUT lookups — fully
+# relational (posexplode + equi-join + grouped sum), so the DuckDB
+# oracle replays training, encoding, and serving symbolically and the
+# final ranking hash-matches. Codebooks are trained on the vectors
+# themselves (not IVF residuals) — a documented simplification: the
+# exact-integer replay stays one joint CTE chain, and recall at the
+# gate setting is measured by emb_ivf_recall_pq either way.
+
+M_SUB = 8
+SUB_DIMS = DIMS // M_SUB
+K_CODES = 16
+PQ_ITERS = 2
+
+CODEBOOK_SCHEMA = "sub int, code int, cw array<long>"
+
+
+def pq_train_codebook_rows(
+    emb: DataFrame, m_sub: int = M_SUB, k_codes: int = K_CODES,
+    iters: int = PQ_ITERS,
+) -> list:
+    """Per-subspace Lloyd's: seed codebook m = the m-th subvector of the
+    first K quantized vectors; per iteration ONE mapInPandas pass emits
+    per-(sub, code) partial sums for ALL subspaces at once (blocked int64
+    matmuls — the train_centroid_rows kernel generalized), folded by a
+    grouped SUM to exactly M·K·SUB_DIMS scalars. Assignment is
+    argmax 2x·c − |c|² with ties to the LOWEST code (np.argmax picks the
+    first maximum, matching the oracle's ORDER BY score DESC, code ASC);
+    empty codes keep their previous codeword; means are exact int64 sums
+    → one IEEE double divide → floor(·+0.5), bit-equal to the DuckDB
+    replay. Returns [(sub, code, [SUB_DIMS ints]), ...]."""
+    import numpy as np
+    import pandas as pd
+
+    sub_dims = DIMS // m_sub
+    seed_rows = sorted(
+        (r.vec_id, list(r.embedding))
+        for r in emb.filter(F.col("vec_id") < k_codes).collect()
+    )
+    seeds = np.floor(
+        np.array([e for _, e in seed_rows], dtype=np.float64) * SCALE + 0.5
+    ).astype(np.int64)  # (K, D)
+    cb = np.stack(
+        [seeds[:, m * sub_dims:(m + 1) * sub_dims] for m in range(m_sub)]
+    )  # (M, K, S)
+    src = emb.select("vec_id", "embedding")
+    for _ in range(iters):
+        cbm = cb.copy()
+
+        def partials(batches):
+            from ..functions import bits as _bits
+
+            for pdf in batches:
+                xm = np.floor(
+                    _bits.np_stack_cells(pdf["embedding"], dtype="float64")
+                    * SCALE + 0.5
+                ).astype(np.int64)  # (N, D)
+                out = {"sub": [], "code": [], "cnt": [], "sums": []}
+                for m in range(m_sub):
+                    xs = xm[:, m * sub_dims:(m + 1) * sub_dims]  # (N, S)
+                    cm = cbm[m]  # (K, S)
+                    scores = 2 * (xs @ cm.T) - (cm * cm).sum(axis=1)
+                    best = np.argmax(scores, axis=1)
+                    for kk in range(len(cm)):
+                        mask = best == kk
+                        n = int(mask.sum())
+                        if n == 0:
+                            continue
+                        out["sub"].append(m)
+                        out["code"].append(kk)
+                        out["cnt"].append(n)
+                        out["sums"].append(xs[mask].sum(axis=0).tolist())
+                yield pd.DataFrame(out)
+
+        rows = (
+            src.mapInPandas(
+                partials,
+                schema="sub int, code int, cnt long, sums array<long>",
+            )
+            .select(
+                "sub", "code", "cnt",
+                F.posexplode("sums").alias("pos", "s"),
+            )
+            .groupBy("sub", "code", "pos")
+            .agg(F.sum("s").alias("s"), F.sum("cnt").alias("cnt"))
+            .collect()
+        )
+        new = cb.copy()
+        sums = np.zeros_like(cb)
+        cnt = np.zeros((m_sub, k_codes), dtype=np.int64)
+        for r in rows:
+            sums[r.sub, r.code, r.pos] = r.s
+            cnt[r.sub, r.code] = r.cnt
+        for m in range(m_sub):
+            for kk in range(k_codes):
+                if cnt[m, kk] > 0:
+                    new[m, kk] = np.floor(
+                        sums[m, kk].astype(np.float64) / float(cnt[m, kk])
+                        + 0.5
+                    ).astype(np.int64)
+        cb = new
+    return [
+        (m, kk, [int(x) for x in cb[m, kk]])
+        for m in range(m_sub) for kk in range(k_codes)
+    ]
+
+
+def pq_encode(assigned: DataFrame, codebook_rows: list) -> DataFrame:
+    """Encode IVF postings [vec_id, qv, cent_id] to PQ codes:
+    [vec_id, cent_id, codes array<tinyint>] — M_SUB bytes per vector.
+    Same Arrow kernel arithmetic as training (argmax 2x·c − |c|², ties
+    to the lowest code), so the oracle's encode CTE matches bit-exactly."""
+    import numpy as np
+    import pandas as pd
+
+    m_sub = max(r[0] for r in codebook_rows) + 1
+    k_codes = max(r[1] for r in codebook_rows) + 1
+    sub_dims = DIMS // m_sub
+    cb = np.zeros((m_sub, k_codes, sub_dims), dtype=np.int64)
+    for m, kk, cw in codebook_rows:
+        cb[m, kk] = cw
+
+    def kernel(batches):
+        from ..functions import bits as _bits
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            xm = _bits.np_stack_cells(pdf["qv"], dtype="int64")  # (N, D)
+            codes = np.zeros((len(pdf), m_sub), dtype=np.int8)
+            for m in range(m_sub):
+                xs = xm[:, m * sub_dims:(m + 1) * sub_dims]
+                cm = cb[m]
+                scores = 2 * (xs @ cm.T) - (cm * cm).sum(axis=1)
+                codes[:, m] = np.argmax(scores, axis=1)
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"],
+                "cent_id": pdf["cent_id"],
+                "codes": list(codes),
+            })
+
+    return assigned.select("vec_id", "qv", "cent_id").mapInPandas(
+        kernel, schema="vec_id long, cent_id long, codes array<tinyint>"
+    )
+
+
+def pq_serve_topk(
+    codes_df: DataFrame, cents: DataFrame, codebook: DataFrame,
+    queries_qz: DataFrame, k: int = 10, n_probes: int = N_PROBES,
+) -> DataFrame:
+    """ADC serve over PQ postings. ``queries_qz``: [query_id, qe] full-
+    precision quantized queries (asymmetric distance — standard PQ
+    practice: only the CANDIDATES are compressed). Probes rank IVF lists
+    by the exact query×centroid dot; each candidate's approximate dot is
+    the sum of M_SUB broadcast-LUT lookups: lut(query, sub, code) =
+    dot(query subvector, codeword). The exploded candidate rows carry
+    four small ints — the genome-skinny discipline applied to ANN.
+    Output: [query_id, vec_id, adot, rank]."""
+    from pyspark.sql import Window
+
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("pdot"), F.asc("cent_id")
+    )
+    probes = (
+        queries_qz.crossJoin(F.broadcast(cents))
+        .select(
+            "query_id", "cent_id",
+            F.expr(qdot_sql("qe", "cv")).alias("pdot"),
+        )
+        .withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") <= n_probes)
+        .select("query_id", "cent_id")
+    )
+    part = "(" + " + ".join(
+        f"element_at(qe, sub * {SUB_DIMS} + {j + 1}) * "
+        f"element_at(cw, {j + 1})"
+        for j in range(SUB_DIMS)
+    ) + ")"
+    lut = (
+        queries_qz.crossJoin(F.broadcast(codebook))
+        .select(
+            "query_id", "sub", "code", F.expr(part).alias("pdot_part")
+        )
+    )
+    cand = (
+        probes.join(codes_df, "cent_id")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id", "vec_id",
+            F.posexplode("codes").alias("sub", "code"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("adot"), F.asc("vec_id")
+    )
+    return (
+        cand.join(F.broadcast(lut), ["query_id", "sub", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("pdot_part").alias("adot"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ivf_topk_pq(
+    emb: DataFrame, centroids: DataFrame, codebook_rows: list,
+    n_queries: int = 5, k: int = 10, n_probes: int = N_PROBES,
+) -> DataFrame:
+    """assign → PQ-encode → ADC serve (no durable artifact — the
+    postings entry adds the parquet write/read split)."""
+    qz = emb.select("vec_id", F.expr(quantize_expr()).alias("qv"))
+    cents = centroids.select("cent_id", "cv")
+    codes = pq_encode(assign_to_centroids(qz, cents), codebook_rows)
+    codebook = emb.sparkSession.createDataFrame(
+        codebook_rows, CODEBOOK_SCHEMA
+    )
+    queries = qz.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("qe")
+    )
+    return pq_serve_topk(codes, cents, codebook, queries, k, n_probes)
+
+
+def pq_topk_rerank(
+    emb: DataFrame, centroids: DataFrame, codebook_rows: list,
+    n_queries: int = 5, k: int = 10, n_probes: int = N_PROBES,
+    shortlist: int = 100,
+) -> DataFrame:
+    """The production PQ serve: ADC shortlist (top ``shortlist`` by the
+    8-byte-code approximate dot) → EXACT re-rank of the shortlist on
+    full-precision vectors → top-k. Re-ranking is ``n_queries ×
+    shortlist`` point fetches from the vector table (an equi-join on
+    vec_id — at 100 TB, the SSD fetch every PQ system pays), and it
+    recovers the recall the 8-byte codes alone give up: measured at the
+    gate setting, pure-PQ 19/50 → re-ranked 44/50, identical to the
+    FULL-PRECISION IVF at the same probe count (the probes=2 ceiling).
+    Output: [query_id, vec_id, dot, rank] — exact dots."""
+    from pyspark.sql import Window
+
+    qz = emb.select("vec_id", F.expr(quantize_expr()).alias("qv"))
+    cents = centroids.select("cent_id", "cv")
+    codes = pq_encode(assign_to_centroids(qz, cents), codebook_rows)
+    codebook = emb.sparkSession.createDataFrame(
+        codebook_rows, CODEBOOK_SCHEMA
+    )
+    queries = qz.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("qe")
+    )
+    sl = pq_serve_topk(
+        codes, cents, codebook, queries, k=shortlist, n_probes=n_probes
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("dot"), F.asc("vec_id")
+    )
+    return (
+        sl.select("query_id", "vec_id")
+        .join(qz, "vec_id")
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id", "vec_id",
+            F.expr(qdot_sql("qe", "qv")).alias("dot"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def duck_trained_ivf_pq_rerank_sql(
+    n_queries: int = 5, k: int = 10,
+    n_centroids: int = N_CENTROIDS, n_probes: int = N_PROBES,
+    iters: int = 3, table: str = "embeddings",
+    shortlist: int = 100,
+) -> str:
+    """Oracle twin of pq_topk_rerank: the full PQ replay at
+    k=shortlist, then an exact-dot re-rank of the shortlist."""
+    pq = duck_trained_ivf_pq_sql(
+        n_queries, shortlist, n_centroids, n_probes, iters, table
+    )
+    return f"""(
+      WITH qz2 AS (SELECT vec_id, {_duck_qlist('embedding')} AS qv
+                   FROM {table}),
+           sl AS (SELECT query_id, vec_id FROM {pq} _s)
+      SELECT query_id, vec_id, dot, cast(rk as bigint) AS rank FROM (
+        SELECT s.query_id, s.vec_id,
+               {_duck_ldot('q.qv', 'v.qv')} AS dot,
+               row_number() OVER (PARTITION BY s.query_id
+                 ORDER BY {_duck_ldot('q.qv', 'v.qv')} DESC, s.vec_id ASC)
+                 AS rk
+        FROM sl s JOIN qz2 q ON q.vec_id = s.query_id
+                  JOIN qz2 v ON v.vec_id = s.vec_id
+      ) _r WHERE rk <= {k}
+    )"""
+
+
+def _duck_subdot(qv: str, sub: str, cw: str) -> str:
+    """Σ_j qv[sub·S + j] · cw[j] — the per-subspace partial dot (1-based
+    list indexing; ``sub`` may be a column reference)."""
+    return "(" + " + ".join(
+        f"{qv}[{sub} * {SUB_DIMS} + {j + 1}] * {cw}[{j + 1}]"
+        for j in range(SUB_DIMS)
+    ) + ")"
+
+
+def _duck_cwdot(cw: str) -> str:
+    return "(" + " + ".join(
+        f"{cw}[{j + 1}] * {cw}[{j + 1}]" for j in range(SUB_DIMS)
+    ) + ")"
+
+
+def _duck_pq_ctes(
+    m_sub: int = M_SUB, k_codes: int = K_CODES, iters: int = PQ_ITERS,
+) -> tuple[list, str]:
+    """Unrolled per-subspace Lloyd's replaying pq_train_codebook_rows
+    exactly (expects a ``qz`` CTE in scope). Returns (ctes, final
+    codebook CTE name). Codebook CTEs are AS MATERIALIZED — their cw
+    list expressions are referenced per-component by the sub-dots, and
+    DuckDB's default CTE inlining would substitute the whole training
+    chain into every reference (the 24-plane banded-oracle lesson)."""
+    sd = _duck_subdot("v.qv", "c.sub", "c.cw")
+    ctes = [
+        f"cb0 AS MATERIALIZED (SELECT r.m AS sub, vec_id AS code, "
+        f"list_slice(qv, r.m * {SUB_DIMS} + 1, r.m * {SUB_DIMS} + {SUB_DIMS}) AS cw "
+        f"FROM qz CROSS JOIN range(0, {m_sub}) r(m) "
+        f"WHERE vec_id < {k_codes})"
+    ]
+    prev = "cb0"
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"pqag{i} AS (SELECT vec_id, sub, code FROM ("
+            f"SELECT v.vec_id, c.sub, c.code, "
+            f"row_number() OVER (PARTITION BY v.vec_id, c.sub "
+            f"ORDER BY 2 * {sd} - {_duck_cwdot('c.cw')} DESC, c.code ASC) "
+            f"AS rn FROM qz v CROSS JOIN {prev} c) _x WHERE rn = 1)"
+        )
+        ctes.append(
+            f"pqmn{i} AS (SELECT sub, code, list(v ORDER BY pos) AS cw "
+            f"FROM (SELECT a.sub, a.code, r.j AS pos, "
+            f"cast(floor(cast(sum(v.qv[a.sub * {SUB_DIMS} + r.j + 1]) "
+            f"as double) / count(*) + 0.5) as bigint) AS v "
+            f"FROM pqag{i} a JOIN qz v USING (vec_id) "
+            f"CROSS JOIN range(0, {SUB_DIMS}) r(j) "
+            f"GROUP BY a.sub, a.code, r.j) _m GROUP BY sub, code)"
+        )
+        ctes.append(
+            f"cb{i} AS MATERIALIZED (SELECT p.sub, p.code, "
+            f"coalesce(m.cw, p.cw) AS cw "
+            f"FROM {prev} p LEFT JOIN pqmn{i} m USING (sub, code))"
+        )
+        prev = f"cb{i}"
+    return ctes, prev
+
+
+def duck_trained_ivf_pq_sql(
+    n_queries: int = 5, k: int = 10,
+    n_centroids: int = N_CENTROIDS, n_probes: int = N_PROBES,
+    iters: int = 3, table: str = "embeddings",
+    m_sub: int = M_SUB, k_codes: int = K_CODES, pq_iters: int = PQ_ITERS,
+) -> str:
+    """Oracle twin of the PQ postings entry: full IVF k-means replay +
+    IVF assignment + per-subspace codebook training + encode + ADC
+    serve, one chained query."""
+    ctes, prev = _duck_kmeans_ctes(n_centroids, iters, table)
+    ctes.append(
+        f"asgn AS (SELECT vec_id, cent_id FROM ("
+        f"SELECT v.vec_id, c.cent_id, "
+        f"row_number() OVER (PARTITION BY v.vec_id "
+        f"ORDER BY {_duck_ldot('v.qv', 'c.cv')} DESC, c.cent_id ASC) AS arn "
+        f"FROM qz v CROSS JOIN {prev} c) _a WHERE arn = 1)"
+    )
+    pq_ctes, cb = _duck_pq_ctes(m_sub, k_codes, pq_iters)
+    ctes.extend(pq_ctes)
+    sd = _duck_subdot("v.qv", "c.sub", "c.cw")
+    ctes.append(
+        f"enc AS (SELECT vec_id, sub, code FROM ("
+        f"SELECT v.vec_id, c.sub, c.code, "
+        f"row_number() OVER (PARTITION BY v.vec_id, c.sub "
+        f"ORDER BY 2 * {sd} - {_duck_cwdot('c.cw')} DESC, c.code ASC) "
+        f"AS rn FROM qz v CROSS JOIN {cb} c) _e WHERE rn = 1)"
+    )
+    ctes.append(
+        f"probes AS (SELECT query_id, cent_id FROM ("
+        f"SELECT q.vec_id AS query_id, c.cent_id, "
+        f"row_number() OVER (PARTITION BY q.vec_id "
+        f"ORDER BY {_duck_ldot('q.qv', 'c.cv')} DESC, c.cent_id ASC) AS pr "
+        f"FROM qz q CROSS JOIN {prev} c WHERE q.vec_id < {n_queries}) _p "
+        f"WHERE pr <= {n_probes})"
+    )
+    ctes.append(
+        f"lut AS MATERIALIZED (SELECT q.vec_id AS query_id, c.sub, c.code, "
+        f"{_duck_subdot('q.qv', 'c.sub', 'c.cw')} AS pdot_part "
+        f"FROM qz q CROSS JOIN {cb} c WHERE q.vec_id < {n_queries})"
+    )
+    ctes.append(
+        f"hits AS (SELECT p.query_id, a.vec_id, "
+        f"cast(sum(l.pdot_part) as bigint) AS adot "
+        f"FROM probes p JOIN asgn a ON a.cent_id = p.cent_id "
+        f"JOIN enc e ON e.vec_id = a.vec_id "
+        f"JOIN lut l ON l.query_id = p.query_id "
+        f"AND l.sub = e.sub AND l.code = e.code "
+        f"WHERE p.query_id != a.vec_id "
+        f"GROUP BY p.query_id, a.vec_id)"
+    )
+    body = ",\n      ".join(ctes)
+    return f"""(
+      WITH {body}
+      SELECT query_id, vec_id, adot, cast(rank as bigint) AS rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY adot DESC, vec_id ASC) AS rank
+        FROM hits
+      ) _r WHERE rank <= {k}
+    )"""
+
+
 def kmeans_cluster_stats(
     emb: DataFrame, n_centroids: int = N_CENTROIDS, iters: int = 3,
     centroids: DataFrame | None = None,

@@ -205,7 +205,8 @@ def run_sga(
             tbl = f"gamr_sga_{run_tag}_g{it + 1}"
             path = _os.path.join(store_dir, f"gen_{it + 1}")
             bucketing.write_bucketed(
-                df, tbl, path, shuffle.buckets_for_pop(rows_hint), "id"
+                df, tbl, path, shuffle.buckets_for_pop(rows_hint), "id",
+                sort=False,  # hash join-backs — never sort genome rows
             )
             new = bucketing.read_bucketed(spark, tbl)
             if live["tbl"]:

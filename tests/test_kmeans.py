@@ -101,3 +101,39 @@ def test_ivf_index_artifact_layout_and_roundtrip(spark, tmp_path):
     stored = {(r.query_id, r.rank, r.vec_id)
               for r in ann.ivf_serve_topk(back, cents).collect()}
     assert live == stored
+
+
+# --- product quantization (r9 — r8 VERDICT "Next round" #3) ---------------
+
+def test_pq_codebooks_shape_and_codes_in_range(spark):
+    from pyspark.sql import functions as F
+
+    emb = read_table(spark, SF, "embeddings")
+    rows = ann.pq_train_codebook_rows(emb)
+    assert len(rows) == ann.M_SUB * ann.K_CODES
+    assert all(len(cw) == ann.SUB_DIMS for _, _, cw in rows)
+    assert sorted({m for m, _, _ in rows}) == list(range(ann.M_SUB))
+    cents, _ = ann.train_centroids(emb, compute_inertia=False)
+    qz = emb.select("vec_id", F.expr(ann.quantize_expr()).alias("qv"))
+    codes = ann.pq_encode(ann.assign_to_centroids(qz, cents), rows).collect()
+    assert len(codes) == emb.count()
+    for r in codes:
+        assert len(r.codes) == ann.M_SUB
+        assert all(0 <= c < ann.K_CODES for c in r.codes)
+
+
+def test_pq_rerank_recovers_recall(spark):
+    # the precision ladder's closing property: ADC-shortlist + exact
+    # re-rank must reach at least the pure-PQ recall, and the re-ranked
+    # ranking must carry EXACT dots (equal to brute force on the hits)
+    emb = read_table(spark, SF, "embeddings")
+    cents, _ = ann.train_centroids(emb, compute_inertia=False)
+    rows = ann.pq_train_codebook_rows(emb)
+    exact = {(r.query_id, r.vec_id): r.dot for r in ann.topk_dot(emb).collect()}
+    pure = {(r.query_id, r.vec_id)
+            for r in ann.ivf_topk_pq(emb, cents, rows).collect()}
+    rr = {(r.query_id, r.vec_id): r.dot
+          for r in ann.pq_topk_rerank(emb, cents, rows).collect()}
+    assert len(set(exact) & set(rr)) >= len(set(exact) & pure)
+    for key in set(exact) & set(rr):
+        assert exact[key] == rr[key]  # re-rank scores are exact dots

@@ -61,7 +61,7 @@ def main() -> None:
     try:
         t0 = time.perf_counter()
         g = catalog._pop_genomes_unique(spark, sf_dir)
-        bucketing.write_bucketed(g, tbl, d, n_buckets, "id")
+        bucketing.write_bucketed(g, tbl, d, n_buckets, "id", sort=False)
         out["store_write_sec"] = round(time.perf_counter() - t0, 2)
         print(f"store write: {out['store_write_sec']}s", flush=True)
 
