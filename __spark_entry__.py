@@ -186,15 +186,20 @@ _CHANGED = _changed_since_green()
 
 
 def _gate_order(names):
-    # never-checked OR changed-since-last-green → -1 → ahead of every
-    # (unchanged) checked entry
-    return sorted(
-        names,
-        key=lambda n: (
-            -1 if n in _CHANGED else _LAST_GREEN.get(n, -1),
-            n,
-        ),
-    )
+    # Three tiers: never-checked first (a new registration MUST get its
+    # first check — there are always few), then changed-since-green
+    # (stalest-green first, so when a broad refactor re-fingerprints
+    # more entries than the budget holds, the ones whose hard signal is
+    # oldest re-verify first), then unchanged by staleness.
+    def key(n):
+        lg = _LAST_GREEN.get(n)
+        if lg is None:
+            return (0, 0, n)
+        if n in _CHANGED:
+            return (1, lg, n)
+        return (2, lg, n)
+
+    return sorted(names, key=key)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

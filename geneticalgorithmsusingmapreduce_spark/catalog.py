@@ -621,6 +621,46 @@ def streaming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_neardup_guarded",
+    f"""
+    SELECT doc_a, doc_b, jaccard_milli,
+           greatest(doc_a % 3, doc_b % 3) AS found_batch
+    FROM {textops.duck_jaccard_pairs_sql(
+        textops.DUCK_AUG,
+        textops.duck_lsh_pairs_sql(
+            textops.duck_minhash_sql(textops.DUCK_AUG), max_bucket=2
+        ),
+    )} _q
+    """,
+)
+def streaming_neardup_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """streaming_neardup with the hot-bucket guard engaged
+    DETERMINISTICALLY (r8 VERDICT "What's wrong" #4): the prune runs
+    against the CORPUS hot-set — (band, bucket) groups whose final
+    count exceeds the cap, computed once and anti-joined into both
+    probe sides of every batch — instead of the running history counts,
+    whose crossing batch depends on arrival order. The hot-set is a
+    property of the corpus (production: a periodically refreshed
+    hot-list), so the guarded stream replays as the static CAPPED
+    pipeline plus found_batch = greatest(doc_a%3, doc_b%3) and
+    hash-matches it. max_bucket=2 — the dedup_minhash_lsh_capped
+    setting, chosen so the guard provably bites at the sf0.01 gate
+    (largest LSH bucket holds 3 docs); at-scale probes run the
+    production cap (64)."""
+    from .streaming import neardup as nd_stream
+
+    st = nd_stream.start_streaming_neardup(
+        spark, textops.augmented_corpus(spark, sf_dir), n_batches=3,
+        max_bucket=2, guard_mode="corpus",
+    )
+    rows = st.results.collect()  # tear down checkpoints before returning
+    out = spark.createDataFrame(rows, st.results.schema)
+    for df in (st.bands, st.sets, st.results):
+        df.unpersist()
+    return out
+
+
+@register(
     "streaming_windowed_counts",
     f"SELECT * FROM {win_ops.duck_tumbling_sql()} _q",
 )
@@ -872,14 +912,16 @@ def sga_generation(spark: SparkSession, sf_dir: str) -> DataFrame:
     crossover → children (+ child fitness). The reference's entire
     map-shuffle-reduce job (§3.1) as one declarative plan whose
     window exchanges are genome-free (skinny composition — see
-    plans/sga.next_generation). The pair-role genome lookup reads the
-    BUCKET-STORED generation (r9, _pop_genome_store): parent genomes
-    reach the role join with zero exchange; the only genome-carrying
-    exchange left is the sanctioned (part, pair) pivot that ships each
-    pair's two parents together for crossover."""
+    plans/sga.next_generation). The lookup stays dedup-then-derive
+    (r8 shape): a bucket-stored lookup was MEASURED at the r9 sf100
+    decade and lost (402.3 s / 9.6× vs this shape's 335.3 / 8.19×) —
+    the (part, pair) crossover pivot re-ships the genomes regardless,
+    so the store write buys nothing here; the amortized store belongs
+    to the LOOP (run_sga storage="bucketed"), where one write serves
+    every lookup of the next generation."""
     children = sga_plan.next_generation(
         _pop_with_fitness(spark, sf_dir), GENOME_BITS, SEED, generation=0,
-        genome_df=_pop_genome_store(spark, sf_dir),
+        genome_df=_pop_genomes_unique(spark, sf_dir),
     )
     return fit_ops.with_fitness(children, nl=NL).select(
         "id", _gstr("genome").alias("genome"), "fitness"
@@ -1488,6 +1530,70 @@ def corpus_curation_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     entries had already closed."""
     return pipeline_ops.curate_corpus_neardup(
         textops.clusters_corpus(spark, sf_dir)
+    )
+
+
+# Containment fixture for the chunk-composed pipeline: every 5th
+# long-enough document gets a planted EXCERPT twin — its first 32
+# tokens with token #8 replaced by a doc-keyed marker. The excerpt's
+# digest differs (exact dedup keeps it), its whole-doc Jaccard vs the
+# base is ~|32 windows|/|n windows| < τ (doc-level near-dup keeps it),
+# but its single 32-token chunk is a NEAR-copy of the base's chunk 0
+# (one token of 32 differs) — exactly the containment case only the
+# chunk stage can catch.
+_CC_DOCS_DUCK = """(
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id,
+         array_to_string(toks[1:7], ' ') || ' zq' ||
+         cast(doc_id as varchar) || ' ' ||
+         array_to_string(toks[9:32], ' ') AS text
+  FROM (SELECT doc_id,
+               list_filter(string_split(text, ' '), t -> t != '') AS toks
+        FROM documents) _t
+  WHERE len(toks) >= 80 AND doc_id % 5 = 0
+)"""
+
+
+def _cc_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = "filter(split(text, ' '), t -> t != '')"
+    ex = docs.filter(
+        F.expr(f"size({toks}) >= 80 AND doc_id % 5 = 0")
+    ).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.expr(
+            f"concat(array_join(slice({toks}, 1, 7), ' '), ' zq', "
+            f"cast(doc_id as string), ' ', "
+            f"array_join(slice({toks}, 9, 24), ' '))"
+        ).alias("text"),
+    )
+    return docs.unionByName(ex)
+
+
+@register(
+    "corpus_curation_chunk_neardup",
+    f"SELECT * FROM "
+    f"{pipeline_ops.duck_curate_chunk_neardup_sql(_CC_DOCS_DUCK)} _q",
+)
+def corpus_curation_chunk_neardup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The curation pipeline COMPOSED with the chunk-level near-dup
+    stage (r8 VERDICT "Next round" #4): gates → exact dedup → doc-level
+    near-dup → chunk near-dup over the survivors → doc-level
+    CONTAINMENT drop → split. The fixture plants excerpt documents the
+    first three stages provably keep (unique digest, whole-doc J below
+    τ) whose chunks are near-copies of an earlier doc's chunks — the
+    drop rule (≥ half the doc's chunks near-dup an earlier survivor's)
+    collapses them, cc_absorbed crediting the base doc. The oracle
+    replays the whole composition symbolically; doc-level planted
+    near-dups are the sibling entry corpus_curation_neardup's job, so
+    this fixture isolates what composition ADDS. Hot-bucket cap
+    threaded at 64 through both LSH stages; tests/test_chunk_dedup.py
+    pins the planted-excerpt collapse."""
+    return pipeline_ops.curate_corpus_chunk_neardup(
+        _cc_docs(spark, sf_dir)
     )
 
 
@@ -2829,6 +2935,52 @@ def emb_ivf_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("hits").cast("double") / F.col("total")).alias("recall"),
         )
     )
+
+
+_IVF_APPEND_DUCK = ann_ops.duck_trained_ivf_int8_sql(
+    train_filter="vec_id % 3 = 0"
+)
+
+
+@register(
+    "emb_ivf_append_int8",
+    f"SELECT * FROM {_IVF_APPEND_DUCK} _q",
+)
+def emb_ivf_append_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL IVF index maintenance (r8 VERDICT "Next round" #6):
+    the corpus arrives in 3 micro-batches; batch 0 trains the coarse
+    quantizer (Lloyd's, seeds = the batch's C smallest vec_ids), every
+    batch assigns its vectors to the FIXED centroids, int8-quantizes,
+    and APPENDS to the durable cent_id-partitioned postings
+    (streaming/ivf_append.py — foreachBatch, the streaming_neardup
+    pattern). Serve runs over the final reloaded artifact. The oracle
+    replays the whole ingestion as ONE static build (k-means restricted
+    to the batch-0 slice via train_filter, assignment of all vectors,
+    int8, serve): hash equality proves the appended index is
+    bit-identical to the batch build — no vector lost or re-assigned,
+    every append in the right list directory. Per-batch list-size skew
+    (max/mean) is returned as the re-train alarm value; re-training
+    rebuilds under a new index generation rather than mutating this
+    one (module doc)."""
+    import shutil
+    import tempfile
+
+    from .streaming import ivf_append as ia
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    d = tempfile.mkdtemp(prefix="gamr_ivf_append_")
+    try:
+        ia.start_ivf_append(spark, emb, d, n_batches=3)
+        back_cents = spark.read.parquet(f"{d}/centroids")
+        postings = spark.read.parquet(f"{d}/postings8").select(
+            "vec_id", "v8", "scale",
+            F.col("cent_id").cast("long").alias("cent_id"),
+        )
+        out = ann_ops.ivf_serve_topk_int8(postings, back_cents)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 @register(

@@ -202,6 +202,7 @@ N_PROBES = 2
 def train_centroid_rows(
     emb: DataFrame, n_centroids: int = N_CENTROIDS, iters: int = 3,
     compute_inertia: bool = True,
+    seed_by_rank: bool = False,
 ):
     """Lloyd's k-means over the quantized vectors — the training step
     that turns ivf_topk's deterministic seed centroids into real ones.
@@ -239,10 +240,18 @@ def train_centroid_rows(
     import numpy as np
     import pandas as pd
 
-    # seed centroids: first C quantized vectors
+    # seed centroids: first C quantized vectors. seed_by_rank picks the
+    # C SMALLEST vec_ids instead of vec_id < C — required when training
+    # on a slice whose ids aren't dense from 0 (the incremental-append
+    # initial batch); the duck replay's train_filter branch matches.
+    if seed_by_rank:
+        seed_src = emb.select("vec_id", "embedding").orderBy(
+            "vec_id"
+        ).limit(n_centroids)
+    else:
+        seed_src = emb.filter(F.col("vec_id") < n_centroids)
     seed_rows = sorted(
-        (r.vec_id, list(r.embedding))
-        for r in emb.filter(F.col("vec_id") < n_centroids).collect()
+        (r.vec_id, list(r.embedding)) for r in seed_src.collect()
     )
     cents_np = np.floor(
         np.array([e for _, e in seed_rows], dtype=np.float64) * SCALE + 0.5
@@ -500,6 +509,7 @@ def _duck_ldot(a: str, b: str) -> str:
 def _duck_kmeans_ctes(
     n_centroids: int = N_CENTROIDS, iters: int = 3,
     table: str = "embeddings",
+    train_filter: str | None = None,
 ) -> tuple[list, str]:
     """Unrolled Lloyd's-training CTEs replaying train_centroids exactly:
     seed centroids = first C quantized vectors; per iteration a
@@ -508,20 +518,42 @@ def _duck_kmeans_ctes(
     sums + one IEEE double divide + floor (the same arithmetic
     train_centroids performs); empty clusters keep their previous
     centroid. Returns (ctes, name-of-final-centroid-CTE); qz holds the
-    quantized vectors."""
+    quantized vectors.
+
+    ``train_filter``: optional predicate restricting TRAINING to a
+    slice of the table (the incremental-append replay: centroids are
+    trained on the initial batch only, later batches are assigned to
+    them). Seeds become the C smallest vec_ids OF THE SLICE (rank, not
+    vec_id < C — the slice may not contain ids 0..C−1); assignment/
+    serve CTEs built on top keep using the full qz. Default (None)
+    emits the original byte-identical CTE chain."""
+    qzt = "qz"
     ctes = [
         f"qz AS (SELECT vec_id, {_duck_qlist('embedding')} AS qv "
         f"FROM {table})",
-        f"cents0 AS (SELECT vec_id AS cent_id, qv AS cv FROM qz "
-        f"WHERE vec_id < {n_centroids})",
     ]
+    if train_filter is None:
+        ctes.append(
+            f"cents0 AS (SELECT vec_id AS cent_id, qv AS cv FROM qz "
+            f"WHERE vec_id < {n_centroids})"
+        )
+    else:
+        qzt = "qzt"
+        ctes.append(
+            f"qzt AS (SELECT vec_id, qv FROM qz WHERE {train_filter})"
+        )
+        ctes.append(
+            f"cents0 AS (SELECT vec_id AS cent_id, qv AS cv FROM ("
+            f"SELECT *, row_number() OVER (ORDER BY vec_id) AS srn "
+            f"FROM qzt) _s WHERE srn <= {n_centroids})"
+        )
     prev = "cents0"
     for i in range(1, iters + 1):
         ctes.append(
             f"sc{i} AS (SELECT v.vec_id, v.qv, c.cent_id, "
             f"2 * {_duck_ldot('v.qv', 'c.cv')} - "
             f"{_duck_ldot('c.cv', 'c.cv')} AS score "
-            f"FROM qz v CROSS JOIN {prev} c)"
+            f"FROM {qzt} v CROSS JOIN {prev} c)"
         )
         ctes.append(
             f"ag{i} AS (SELECT vec_id, qv, cent_id FROM ("
@@ -726,6 +758,7 @@ def duck_trained_ivf_int8_sql(
     n_queries: int = 5, k: int = 10,
     n_centroids: int = N_CENTROIDS, n_probes: int = N_PROBES,
     iters: int = 3, table: str = "embeddings",
+    train_filter: str | None = None,
 ) -> str:
     """Oracle twin of ivf_topk_int8 over the trained centroids: the
     full k-means replay, assignment, int8 compression and serve as one
@@ -733,7 +766,7 @@ def duck_trained_ivf_int8_sql(
     referenced per-component by the dot products, and DuckDB's default
     CTE inlining would substitute the 64-element quantization into
     every reference (the 24-plane banded-oracle lesson)."""
-    ctes, prev = _duck_kmeans_ctes(n_centroids, iters, table)
+    ctes, prev = _duck_kmeans_ctes(n_centroids, iters, table, train_filter)
     ctes.append(
         f"asgn AS (SELECT vec_id, qv, cent_id FROM ("
         f"SELECT v.vec_id, v.qv, c.cent_id, "

@@ -343,6 +343,22 @@ def curate_corpus_neardup(
     pairs through its other bands (zero planted-pair recall loss
     measured even at max_bucket=2, dedup_minhash_lsh_capped). Pass
     None to disable."""
+    kept = _neardup_kept(docs, lang, min_tokens, max_bucket)
+    return split_ops.assign_splits(
+        kept, key="doc_id", seed=seed, train_pm=train_pm, val_pm=val_pm
+    ).select("doc_id", "n_tokens", "dup_count", "nd_dropped", "pm", "split")
+
+
+def _neardup_kept(
+    docs: DataFrame,
+    lang: str = "en",
+    min_tokens: int = 12,
+    max_bucket: int | None = 64,
+) -> DataFrame:
+    """Stages 1-3 of the curation pipeline (gates → exact-digest dedup →
+    doc-level near-dup cluster collapse), shared by curate_corpus_neardup
+    and the chunk-composed variant. Output: [doc_id, n_tokens,
+    dup_count, nd_dropped] — the doc-level survivors, pre-split."""
     from . import dedup as dedup_ops, textops as tx
 
     facets = docs.select(
@@ -376,7 +392,7 @@ def curate_corpus_neardup(
     sizes = clusters.groupBy("cluster_id").agg(
         (F.count(F.lit(1)) - 1).alias("nd_dropped")
     ).select(F.col("cluster_id").alias("rep_id"), "nd_dropped")
-    kept = (
+    return (
         survivors.join(clusters, "doc_id", "left")
         .filter("cluster_id IS NULL OR cluster_id = doc_id")
         .join(sizes, F.col("doc_id") == F.col("rep_id"), "left")
@@ -385,20 +401,95 @@ def curate_corpus_neardup(
             F.coalesce("nd_dropped", F.lit(0)).alias("nd_dropped"),
         )
     )
-    return split_ops.assign_splits(
-        kept, key="doc_id", seed=seed, train_pm=train_pm, val_pm=val_pm
-    ).select("doc_id", "n_tokens", "dup_count", "nd_dropped", "pm", "split")
 
 
-def duck_curate_neardup_sql(
-    docs_sql: str,
+def curate_corpus_chunk_neardup(
+    docs: DataFrame,
     lang: str = "en",
     min_tokens: int = 12,
     seed: int = 42,
     train_pm: int = 800,
     val_pm: int = 100,
     max_bucket: int | None = 64,
+    chunk_tokens: int = 32,
+    stride: int = 16,
+    chunk_tau_milli: int = 500,
+    chunk_drop_pm: int = 500,
+) -> DataFrame:
+    """The curation pipeline COMPOSED with chunk-level near-dup (r8
+    VERDICT "Next round" #4): gates → exact-digest dedup → doc-level
+    near-dup collapse → CHUNK-level near-dup over the survivors → a
+    doc-level CONTAINMENT drop → split.
+
+    Doc-level Jaccard cannot see containment: a document that is mostly
+    an excerpt of a (much longer) earlier document has low whole-doc
+    similarity but near-identical chunks. The chunk stage re-keys the
+    capped MinHash→LSH→verify pipeline over doc_chunking output
+    (chunk_near_dup_pairs); a surviving doc DROPS when ≥ chunk_drop_pm
+    per-mille of its chunks near-dup chunks of ANY earlier (smaller
+    doc_id) survivor. The decision is one non-cascading pass — drops
+    compare against doc-level survivors, not chunk-stage survivors — so
+    it stays order-free and symbolically replayable; cc_absorbed
+    credits each survivor with the docs it absorbed (attributed to the
+    smallest chunk-matching doc id; attribution to a doc that itself
+    drops is lost, by the same single-pass rule).
+
+    Scale: the chunk stage inherits every guard of its parts — chunks
+    of survivors only, banded candidates with the hot-bucket cap,
+    verify on candidates — and adds one grouped count per doc side.
+    Output: [doc_id, n_tokens, dup_count, nd_dropped, cc_absorbed,
+    pm, split]."""
+    kept = scoped_persist(_neardup_kept(docs, lang, min_tokens, max_bucket))
+    kdocs = docs.join(kept.select("doc_id"), "doc_id", "leftsemi")
+    cpairs = scoped_persist(
+        chunk_near_dup_pairs(
+            kdocs, chunk_tokens, stride, max_bucket, chunk_tau_milli
+        ).filter(F.col("doc_a") != F.col("doc_b"))
+    )
+    # composite chunk keys sort (doc, chunk) lexicographically, so
+    # doc_a <= doc_b always: doc_b is the LATER doc — the drop side
+    matched = cpairs.groupBy("doc_b").agg(
+        F.countDistinct("chunk_b").alias("mc")
+    )
+    n_chunks = (
+        chunk_documents(kdocs, chunk_tokens, stride)
+        .groupBy("doc_id").agg(F.count(F.lit(1)).alias("nc"))
+    )
+    dropped = (
+        matched.join(n_chunks, matched.doc_b == n_chunks.doc_id)
+        .filter(F.col("mc") * 1000 >= chunk_drop_pm * F.col("nc"))
+        .select(F.col("doc_b").alias("dropped_id"))
+    )
+    attr = (
+        cpairs.join(dropped, cpairs.doc_b == dropped.dropped_id)
+        .groupBy("doc_b").agg(F.min("doc_a").alias("rep"))
+        .groupBy("rep").agg(F.count(F.lit(1)).alias("cc_absorbed"))
+    )
+    final = (
+        kept.join(dropped, kept.doc_id == dropped.dropped_id, "left_anti")
+        .join(attr, kept.doc_id == attr.rep, "left")
+        .select(
+            "doc_id", "n_tokens", "dup_count", "nd_dropped",
+            F.coalesce("cc_absorbed", F.lit(0)).alias("cc_absorbed"),
+        )
+    )
+    return split_ops.assign_splits(
+        final, key="doc_id", seed=seed, train_pm=train_pm, val_pm=val_pm
+    ).select(
+        "doc_id", "n_tokens", "dup_count", "nd_dropped", "cc_absorbed",
+        "pm", "split",
+    )
+
+
+def _duck_neardup_kept_ctes(
+    docs_sql: str,
+    lang: str = "en",
+    min_tokens: int = 12,
+    max_bucket: int | None = 64,
 ) -> str:
+    """Shared oracle CTE body for stages 1-3 (gates → digest dedup →
+    doc-level near-dup collapse). Defines _aug, _surv, _clus, _kept0
+    (doc_id, n_tokens, dup_count, nd_dropped)."""
     from . import dedup as dedup_ops, textops as tx
     from ..functions import text as text_fns
 
@@ -415,22 +506,7 @@ def duck_curate_neardup_sql(
     clusters = dedup_ops.duck_cluster_sql(
         f"(SELECT doc_a, doc_b FROM {pairs} _pp)"
     )
-    kept = f"""(
-      SELECT s.doc_id, s.n_tokens, s.dup_count,
-             coalesce(z.nd_dropped, 0) AS nd_dropped
-      FROM _surv s
-      LEFT JOIN _clus c ON c.doc_id = s.doc_id
-      LEFT JOIN (SELECT cluster_id, count(*) - 1 AS nd_dropped
-                 FROM _clus GROUP BY cluster_id) z
-        ON z.cluster_id = s.doc_id
-      WHERE c.cluster_id IS NULL OR c.cluster_id = s.doc_id
-    )"""
-    assigned = split_ops.duck_assign_splits_sql(
-        f"SELECT * FROM {kept} _k", key="doc_id", seed=seed,
-        train_pm=train_pm, val_pm=val_pm,
-    )
-    return f"""(
-      WITH _aug AS MATERIALIZED (SELECT doc_id, text FROM {docs_sql} _d),
+    return f"""_aug AS MATERIALIZED (SELECT doc_id, text FROM {docs_sql} _d),
       _surv AS MATERIALIZED (
         SELECT digest, min(doc_id) AS doc_id, min(n_tokens) AS n_tokens,
                count(*) AS dup_count
@@ -442,7 +518,90 @@ def duck_curate_neardup_sql(
         WHERE lang_guess = '{lang}' AND n_tokens >= {min_tokens}
         GROUP BY digest
       ),
-      _clus AS MATERIALIZED (SELECT * FROM {clusters} _cl)
+      _clus AS MATERIALIZED (SELECT * FROM {clusters} _cl),
+      _kept0 AS MATERIALIZED (
+        SELECT s.doc_id, s.n_tokens, s.dup_count,
+               coalesce(z.nd_dropped, 0) AS nd_dropped
+        FROM _surv s
+        LEFT JOIN _clus c ON c.doc_id = s.doc_id
+        LEFT JOIN (SELECT cluster_id, count(*) - 1 AS nd_dropped
+                   FROM _clus GROUP BY cluster_id) z
+          ON z.cluster_id = s.doc_id
+        WHERE c.cluster_id IS NULL OR c.cluster_id = s.doc_id
+      )"""
+
+
+def duck_curate_neardup_sql(
+    docs_sql: str,
+    lang: str = "en",
+    min_tokens: int = 12,
+    seed: int = 42,
+    train_pm: int = 800,
+    val_pm: int = 100,
+    max_bucket: int | None = 64,
+) -> str:
+    ctes = _duck_neardup_kept_ctes(docs_sql, lang, min_tokens, max_bucket)
+    assigned = split_ops.duck_assign_splits_sql(
+        "SELECT * FROM _kept0 _k", key="doc_id", seed=seed,
+        train_pm=train_pm, val_pm=val_pm,
+    )
+    return f"""(
+      WITH {ctes}
       SELECT doc_id, n_tokens, dup_count, nd_dropped, pm, split
+      FROM {assigned} _o
+    )"""
+
+
+def duck_curate_chunk_neardup_sql(
+    docs_sql: str,
+    lang: str = "en",
+    min_tokens: int = 12,
+    seed: int = 42,
+    train_pm: int = 800,
+    val_pm: int = 100,
+    max_bucket: int | None = 64,
+    chunk_tokens: int = 32,
+    stride: int = 16,
+    chunk_tau_milli: int = 500,
+    chunk_drop_pm: int = 500,
+) -> str:
+    """Oracle twin of curate_corpus_chunk_neardup: the doc-level CTEs
+    plus the chunk-level containment stage."""
+    ctes = _duck_neardup_kept_ctes(docs_sql, lang, min_tokens, max_bucket)
+    kdocs = "(SELECT doc_id, text FROM _aug WHERE doc_id IN "\
+            "(SELECT doc_id FROM _kept0))"
+    cpairs = duck_chunk_near_dup_sql(
+        kdocs, chunk_tokens, stride, max_bucket, chunk_tau_milli
+    )
+    nchunks = duck_chunk_documents_sql(kdocs, chunk_tokens, stride)
+    assigned = split_ops.duck_assign_splits_sql(
+        "SELECT * FROM _final _k", key="doc_id", seed=seed,
+        train_pm=train_pm, val_pm=val_pm,
+    )
+    return f"""(
+      WITH {ctes},
+      _cp AS MATERIALIZED (
+        SELECT doc_a, chunk_a, doc_b, chunk_b FROM {cpairs} _c
+        WHERE doc_a != doc_b
+      ),
+      _mc AS (SELECT doc_b AS doc_id, count(DISTINCT chunk_b) AS mc
+              FROM _cp GROUP BY doc_b),
+      _nc AS (SELECT doc_id, count(*) AS nc
+              FROM {nchunks} _n GROUP BY doc_id),
+      _drop AS (SELECT m.doc_id FROM _mc m JOIN _nc n USING (doc_id)
+                WHERE m.mc * 1000 >= {chunk_drop_pm} * n.nc),
+      _attr AS (SELECT rep, count(*) AS cc_absorbed FROM (
+                  SELECT doc_b, min(doc_a) AS rep FROM _cp
+                  WHERE doc_b IN (SELECT doc_id FROM _drop)
+                  GROUP BY doc_b) _a GROUP BY rep),
+      _final AS (
+        SELECT k.doc_id, k.n_tokens, k.dup_count, k.nd_dropped,
+               coalesce(a.cc_absorbed, 0) AS cc_absorbed
+        FROM _kept0 k
+        LEFT JOIN _attr a ON a.rep = k.doc_id
+        WHERE k.doc_id NOT IN (SELECT doc_id FROM _drop)
+      )
+      SELECT doc_id, n_tokens, dup_count, nd_dropped, cc_absorbed,
+             pm, split
       FROM {assigned} _o
     )"""

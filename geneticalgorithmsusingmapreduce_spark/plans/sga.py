@@ -299,7 +299,11 @@ def run_sga(
             ).collect()[0]
             gen_ms = int((time.perf_counter() - t0) * 1000)
             if storage != "bucketed":
-                pop.unpersist()
+                # free_checkpoint: unpersist() alone leaks the rotated
+                # localCheckpoint's RDD blocks (r8 ADVICE)
+                from ..runtime import free_checkpoint
+
+                free_checkpoint(pop)
             pop = new_pop
             if n == 0:
                 # the odd-tail pairing drop shrinks each bucket by ~1
@@ -317,5 +321,7 @@ def run_sga(
             if own_store:
                 _shutil.rmtree(store_dir, ignore_errors=True)
         else:
-            pop.unpersist()
+            from ..runtime import free_checkpoint
+
+            free_checkpoint(pop)
     return res

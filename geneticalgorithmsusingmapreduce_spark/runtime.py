@@ -128,7 +128,42 @@ def local_checkpoint_truncated(df: DataFrame, eager: bool = True) -> DataFrame:
     ck = df.localCheckpoint(eager=eager)
     spark = df.sparkSession
     jdf = ck._jdf
+    jrdd = jdf.queryExecution().toRdd()
     new_jdf = spark._jsparkSession.internalCreateDataFrame(
-        jdf.queryExecution().toRdd(), jdf.schema(), False
+        jrdd, jdf.schema(), False
     )
-    return DataFrame(new_jdf, spark)
+    out = DataFrame(new_jdf, spark)
+    # keep a handle to the CHECKPOINTED RDD: DataFrame.unpersist() does
+    # not free localCheckpoint blocks (they belong to the RDD, not the
+    # cache manager), so a loop that rotates checkpointed state would
+    # accumulate block storage for every superseded generation until
+    # JVM GC + ContextCleaner get around to it (r8 ADVICE). Callers
+    # rotate with free_checkpoint(old) instead.
+    out._gamr_ck_jrdd = jrdd
+    return out
+
+
+def free_checkpoint(df: DataFrame) -> None:
+    """Release a rotated local_checkpoint_truncated frame: explicitly
+    unpersist the underlying checkpointed RDD's blocks (non-blocking),
+    falling back to plain unpersist for ordinary cached frames.
+
+    The handle captured at checkpoint time is a WRAPPER
+    (SQLExecutionRDD → MapPartitionsRDD → the actually-persisted
+    checkpoint RDD → LocalCheckpointRDD); unpersisting the wrapper
+    frees nothing, so walk the (linear) lineage and unpersist every
+    ancestor holding a valid storage level."""
+    jrdd = getattr(df, "_gamr_ck_jrdd", None)
+    try:
+        if jrdd is None:
+            df.unpersist()
+            return
+        r, depth = jrdd, 0
+        while r is not None and depth < 16:
+            if r.getStorageLevel().isValid():
+                r.unpersist(False)
+            deps = r.dependencies().iterator()
+            r = deps.next().rdd() if deps.hasNext() else None
+            depth += 1
+    except Exception as exc:
+        _log.debug("free_checkpoint: release skipped (%s)", exc)

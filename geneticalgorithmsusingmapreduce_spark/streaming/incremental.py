@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ..functions import bits
 from ..operators import dedup, fitness as fit_ops, generate
 from ..plans import sga
-from ..runtime import local_checkpoint_truncated
+from ..runtime import free_checkpoint, local_checkpoint_truncated
 
 
 @dataclass
@@ -79,7 +79,7 @@ def start_incremental_sga(
         old = state.population
         state.population = new_pop
         state.history.append((state.generation + 1, best, n))
-        old.unpersist()
+        free_checkpoint(old)  # release the rotated checkpoint's RDD blocks
         # last: the driver thread watches this counter and stops the query
         # once it reaches the target — everything above must be done by then
         state.generation += 1

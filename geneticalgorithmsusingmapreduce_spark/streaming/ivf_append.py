@@ -1,0 +1,133 @@
+"""Incremental IVF index maintenance (r9 — r8 VERDICT "Next round" #6).
+
+An ingesting embedding pipeline appends new vectors to a DURABLE ANN
+index instead of rebuilding it: train the coarse quantizer on the
+initial corpus, then per arriving micro-batch assign each new vector to
+its nearest existing centroid, int8-quantize, and APPEND to the
+cent_id-partitioned postings layout (the build/serve split of
+emb_ivf_postings_int8, made incremental). Serving is unchanged — the
+reader sees the directory-pruned postings regardless of how many
+batches wrote them.
+
+Topology per micro-batch (foreachBatch, the streaming_neardup pattern;
+the reference's closest analog is the forked incremental Hadoop's
+buffered-state-across-runs idea,
+``reference src/edu/illinois/incr_ga/IncMapReduce.java:241-325``):
+
+    batch 0: train centroids on the batch (Lloyd's, seed = C smallest
+             vec_ids of the batch) → write centroids parquet
+    batch b: assign batch vectors to the FIXED centroids → int8
+             quantize → append postings parquet (partitionBy cent_id)
+
+Routing is vec_id % n_batches — deterministic, so the DuckDB oracle
+replays the whole ingestion as ONE static build: k-means over the
+batch-0 slice (train_filter), assignment of ALL vectors, int8
+compression, serve. Hash equality proves the appended artifact is
+bit-identical to the batch build — no vector lost, none re-assigned,
+every append landing in the right list directory.
+
+Re-training: a production system re-trains the coarse quantizer when
+drift accumulates (list-size skew, rising assignment distance) and
+rebuilds postings under a new index generation; the trigger here is
+the ``list_skew`` stat returned per batch (max/mean list size — the
+monitoring value you'd alarm on), kept as a measurement rather than an
+automatic rebuild so ingestion stays append-only and replayable.
+
+At 100 TB: each batch's work is one scan of the BATCH (assign against
+C broadcast centroids, map-side quantize) plus a partitioned append —
+no shuffle of the existing index, ever; list pruning at serve time is
+directory-level, exactly as in the static artifact.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators import ann
+
+
+@dataclass
+class IvfAppendState:
+    index_dir: str
+    centroid_rows: list | None = None
+    batches_done: int = 0
+    history: list = field(default_factory=list)  # (batch, n_rows, skew)
+
+
+def start_ivf_append(
+    spark: SparkSession,
+    emb: DataFrame,
+    index_dir: str,
+    n_batches: int = 3,
+    n_centroids: int = ann.N_CENTROIDS,
+    iters: int = 3,
+    timeout_sec: float = 300,
+) -> IvfAppendState:
+    """Ingest ``emb`` [vec_id, embedding] in ``n_batches`` micro-batches
+    (routing vec_id % n_batches), appending int8 postings to
+    ``index_dir``. Returns the final state; the durable artifact is
+    ``{index_dir}/centroids`` + ``{index_dir}/postings8``."""
+    state = IvfAppendState(index_dir)
+
+    def one_batch(_df: DataFrame, _bid: int) -> None:
+        b = state.batches_done
+        if b >= n_batches:
+            return
+        batch = emb.filter(F.col("vec_id") % n_batches == b)
+        if b == 0:
+            rows, _ = ann.train_centroid_rows(
+                batch, n_centroids, iters,
+                compute_inertia=False, seed_by_rank=True,
+            )
+            state.centroid_rows = rows
+            spark.createDataFrame(rows, ann.CENTROID_SCHEMA).write.parquet(
+                f"{index_dir}/centroids"
+            )
+        cents = spark.createDataFrame(
+            state.centroid_rows, ann.CENTROID_SCHEMA
+        )
+        qz = batch.select(
+            "vec_id", F.expr(ann.quantize_expr()).alias("qv")
+        )
+        p8 = ann.quantize_postings_int8(
+            ann.assign_to_centroids(qz, cents)
+        )
+        p8.write.mode("append").partitionBy("cent_id").parquet(
+            f"{index_dir}/postings8"
+        )
+        sizes = (
+            spark.read.parquet(f"{index_dir}/postings8")
+            .groupBy("cent_id").count().collect()
+        )
+        counts = [r["count"] for r in sizes]
+        skew = (
+            round(max(counts) * len(counts) / sum(counts), 3)
+            if counts else 0.0
+        )  # max/mean — the re-train alarm value
+        state.history.append((b, sum(counts), skew))
+        state.batches_done = b + 1
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1000).load()
+    )
+    q = (
+        stream.writeStream.foreachBatch(one_batch)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + timeout_sec
+        while state.batches_done < n_batches and time.time() < deadline:
+            time.sleep(0.2)
+    finally:
+        q.stop()
+    if state.batches_done < n_batches:
+        raise RuntimeError(
+            f"ivf_append: only {state.batches_done}/{n_batches} "
+            "batches completed before the deadline"
+        )
+    return state

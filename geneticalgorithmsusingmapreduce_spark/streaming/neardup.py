@@ -46,7 +46,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators import textops
-from ..runtime import local_checkpoint_truncated
+from ..runtime import free_checkpoint, local_checkpoint_truncated
 
 
 @dataclass
@@ -77,6 +77,7 @@ def start_streaming_neardup(
     tau_milli: int = 500,
     max_bucket: int | None = None,
     timeout_sec: float = 300,
+    guard_mode: str = "cumulative",
 ) -> NearDupState:
     """Ingest ``docs`` in ``n_batches`` micro-batches (routing:
     doc_id % n_batches — deterministic so the oracle can replay), each
@@ -84,12 +85,27 @@ def start_streaming_neardup(
     Returns the final state; results has columns
     [doc_a, doc_b, jaccard_milli, found_batch].
 
-    ``max_bucket`` is the hot-bucket skew guard applied to the
-    CUMULATIVE band history before each batch's candidate join — the
-    production dial on low-entropy corpora (the textops story). The
-    prune is order-dependent (a bucket crosses the cap at some batch
-    and is skipped from then on), so the oracle-checked entry runs
-    unguarded; at-scale probes run guarded."""
+    ``max_bucket`` is the hot-bucket skew guard applied to the probe
+    sides of each batch's candidate join — the production dial on
+    low-entropy corpora (the textops story). Two guard modes (r8
+    VERDICT "What's wrong" #4):
+
+    - "cumulative": prune on the history's RUNNING bucket counts — a
+      bucket is skipped from the batch where it crosses the cap on.
+      Arrival-order-dependent, so it cannot be replayed as static SQL;
+      probe-only.
+    - "corpus": prune against the CORPUS hot-set — (band, bucket)
+      groups whose FINAL count exceeds the cap, computed once before
+      the stream and anti-joined into both probe sides every batch.
+      The hot-set is a property of the corpus, not the arrival order
+      (production systems run the same policy as a periodically
+      refreshed hot-list/denylist), so the guarded stream is exactly
+      the static capped pipeline replayed incrementally and the
+      oracle hash-checks it (streaming_neardup_guarded)."""
+    if guard_mode not in ("cumulative", "corpus"):
+        raise ValueError(
+            f"start_streaming_neardup: unknown guard_mode {guard_mode!r}"
+        )
     empty_bands = spark.createDataFrame(
         [], "doc_id long, band int, bucket long"
     )
@@ -101,6 +117,23 @@ def start_streaming_neardup(
         "doc_a long, doc_b long, jaccard_milli bigint, found_batch long",
     )
     state = NearDupState(empty_bands, empty_sets, empty_res)
+
+    hot = None
+    if max_bucket is not None and guard_mode == "corpus":
+        hot = local_checkpoint_truncated(
+            textops.lsh_band_rows(textops.minhash_signatures(docs))
+            .groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > max_bucket)
+            .select("band", "bucket")
+        )
+
+    def _prune(band_rows: DataFrame) -> DataFrame:
+        if max_bucket is None:
+            return band_rows
+        if hot is not None:  # corpus hot-set: order-independent
+            return band_rows.join(hot, ["band", "bucket"], "left_anti")
+        return textops._prune_hot_buckets(band_rows, max_bucket)
 
     def one_batch(_df: DataFrame, _bid: int) -> None:
         b = state.batches_done
@@ -125,8 +158,8 @@ def start_streaming_neardup(
         # guard BOTH join sides: the history side caps the per-bucket
         # fan-out factor, the new side caps a hot bucket arriving
         # entirely within one batch
-        probe_bands = textops._prune_hot_buckets(hist_bands, max_bucket)
-        probe_new = textops._prune_hot_buckets(new_bands, max_bucket)
+        probe_bands = _prune(hist_bands)
+        probe_new = _prune(new_bands)
         cand = (
             probe_new.alias("n")
             .join(probe_bands.alias("h"), ["band", "bucket"])
@@ -171,7 +204,12 @@ def start_streaming_neardup(
         )
         state.history.append((b, n_new))
         for df in old:
-            df.unpersist()
+            # r8 ADVICE: plain unpersist() does NOT free localCheckpoint
+            # RDD blocks — a long stream would accumulate storage for
+            # every superseded state generation; free the checkpointed
+            # RDD explicitly (production-scale streams should persist
+            # history as appended parquet instead — module doc)
+            free_checkpoint(df)
         state.batches_done = b + 1
 
     stream = (
@@ -190,6 +228,8 @@ def start_streaming_neardup(
             time.sleep(0.2)
     finally:
         q.stop()
+        if hot is not None:
+            free_checkpoint(hot)
     if state.batches_done < n_batches:
         raise RuntimeError(
             f"streaming_neardup: only {state.batches_done}/{n_batches} "

@@ -107,3 +107,45 @@ def test_chunk_near_dup_finds_planted_perturbed_pairs(spark):
         if r.doc_id % 8 in (0, 4)
     }
     assert not dup_chunk0, dup_chunk0
+
+
+def test_containment_excerpts_collapse_in_composed_pipeline(spark):
+    # r9 (r8 VERDICT "Next round" #4): the planted excerpt docs —
+    # unique digest, whole-doc J below τ, but their single chunk a
+    # near-copy of the base doc's chunk 0 — must survive every stage
+    # the plain pipeline runs and be DROPPED by the chunk-containment
+    # stage of the composed pipeline, crediting the base via
+    # cc_absorbed.
+    from geneticalgorithmsusingmapreduce_spark import catalog
+
+    sf = "/root/testdata/sf0.001"
+    docs = catalog._cc_docs(spark, sf)
+    planted = {
+        r.doc_id for r in docs.filter("doc_id >= 2000000").collect()
+    }
+    assert planted, "fixture planted no excerpts at this sf"
+
+    from geneticalgorithmsusingmapreduce_spark.operators import pipeline
+
+    plain = {
+        r.doc_id
+        for r in pipeline.curate_corpus_neardup(docs).collect()
+    }
+    kept_plain = planted & plain
+    # the plain pipeline provably KEEPS the excerpts: unique digests,
+    # below doc-level τ. (A 32-token excerpt can guess a different
+    # LANGUAGE than its base and die at the gate — doc 190's does at
+    # sf0.001 — so assert near-total survival, not total.)
+    assert len(kept_plain) >= 0.8 * len(planted), (
+        len(kept_plain), len(planted),
+    )
+
+    composed = pipeline.curate_corpus_chunk_neardup(docs)
+    rows = composed.collect()
+    kept_composed = kept_plain & {r.doc_id for r in rows}
+    assert not kept_composed, f"excerpts survived: {kept_composed}"
+    # absorption is credited to base docs, one per chunk-dropped excerpt
+    absorbed = sum(r.cc_absorbed for r in rows)
+    assert absorbed == len(kept_plain)
+    bases = {r.doc_id for r in rows if r.cc_absorbed > 0}
+    assert bases and all(b < 2_000_000 for b in bases)

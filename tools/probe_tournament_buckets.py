@@ -44,7 +44,14 @@ def sized_w1(spark, sf_dir, n_buckets):
         catalog._pop_with_fitness(spark, sf_dir),
         catalog.SEED * 1_000_033, n_buckets=n_buckets,
     )
-    return selection_ops.tournament_parents(sh)
+    # r8 ADVICE: the lineitem fixture repeats ~24% of iids — default
+    # unique_ids=True would fan out duplicate winner rows in the genome
+    # join-back and fail the W1/W3 parity assert spuriously (the shipped
+    # fixtures violate the duplicate-id contract; .localdata happens not
+    # to). Mirror the catalog entry: id-unique derive-after-dedup lookup.
+    return selection_ops.tournament_parents(
+        sh, genome_df=catalog._pop_genomes_unique(spark, sf_dir)
+    )
 
 
 def main() -> None:
