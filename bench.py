@@ -50,7 +50,8 @@ def ga_loop_benchmarks(spark) -> dict[str, float]:
     for it in range(4):  # gen 0-1 warm Python workers/JIT; gens 2-3 measured
         t0 = time.perf_counter()
         ch = fit_ops.with_fitness(
-            sga.next_generation(cur, n_bits, 42, it, 32), nl=nl
+            sga.next_generation(cur, n_bits, 42, it, 32, pop_rows=pop_size),
+            nl=nl,
         ).localCheckpoint(eager=True)
         ch.count()
         dt = time.perf_counter() - t0
@@ -77,7 +78,8 @@ def ga_loop_benchmarks(spark) -> dict[str, float]:
     for it in range(3):  # gen 0 warms; gens 1-2 measured (min-of-2)
         t0 = time.perf_counter()
         ch = fit_ops.with_fitness(
-            sga.next_generation(cur, n_bits, 42, it, 32), nl=nl
+            sga.next_generation(cur, n_bits, 42, it, 32, pop_rows=pop_size),
+            nl=nl,
         ).localCheckpoint(eager=True)
         ch.count()
         dt = time.perf_counter() - t0
@@ -252,7 +254,8 @@ def main():
     heavy_tail = (
         "sequencefile_roundtrip", "streaming_running_best",
         "streaming_dedup", "streaming_windowed_counts", "incremental_sga",
-        "streaming_neardup",
+        "streaming_neardup", "streaming_neardup_guarded",
+        "emb_ivf_append_int8",
     )
     # r2→r3 regression audit (cga_member_fitness 0.16→0.62 s, cga_sample
     # 0.11→0.27 s in BENCH_r02): timed in ISOLATION at sf0.1 (fresh

@@ -232,6 +232,59 @@ def pair_genomes(
     )
 
 
+def paired_parents_onepass(
+    df: DataFrame, t_size: int = TOURNAMENT_SIZE
+) -> DataFrame:
+    """W1+W2 in ONE pass over WIDE rows — the small-population fast
+    path: windows carry the genome (max_by(genome, ord) directly), so
+    there is no join-back and no role pivot, at the price of wide
+    window sorts. Correct whenever the per-bucket wide sort fits
+    memory; the r9 min-of-3 same-phase A/B measured the skinny
+    composition's fixed pivot overhead at 1.7× on the two small-pop
+    bench settings (pop 132,878 / 6,000 — `.localdata/ab_pivot_r9.json`)
+    while the r8 event-log A/B had it a wash at 1.33M and the decades
+    show skinny winning at 27.9M+. plans/sga.next_generation routes on
+    a byte threshold. Same ordering keys as the skinny form ⇒
+    bit-identical children (pinned in tests/test_sga.py).
+    Input: [id, genome, fitness, skey, part] → [part, pair, pa, pb]."""
+    w = Window.partitionBy("part").orderBy("skey", "id")
+    d = (
+        df.select("id", "genome", "fitness", "skey", "part")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("part")))
+    )
+    head = d.filter(F.col("rn") <= t_size - 1).withColumn(
+        "rn", F.col("rn") + F.col("n")
+    )
+    ext = d.unionByName(head)
+    wf = (
+        Window.partitionBy("part")
+        .orderBy("rn")
+        .rowsBetween(-(t_size - 1), 0)
+    )
+    sel = (
+        ext.select(
+            "part", "rn",
+            F.expr(f"max_by(genome, {_ORD})").over(wf).alias("parent"),
+        )
+        .filter(F.col("rn") >= t_size)
+        .select(
+            "part", (F.col("rn") - t_size + 1).alias("pos"), "parent"
+        )
+    )
+    wp = Window.partitionBy("part").orderBy("pos")
+    return (
+        sel.withColumn("pa", F.lag("parent", 1).over(wp))
+        .filter(F.col("pos") % 2 == 0)
+        .select(
+            "part",
+            ((F.col("pos") + 1) / 2).cast("bigint").alias("pair"),
+            "pa",
+            F.col("parent").alias("pb"),
+        )
+    )
+
+
 def paired_parents(parents: DataFrame) -> DataFrame:
     """W2 over WIDE parent rows [part, pos, parent, parent_fitness] —
     kept for callers that already materialized genomes; the generation

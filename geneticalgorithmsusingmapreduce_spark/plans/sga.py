@@ -60,6 +60,20 @@ def default_n_buckets(spark: SparkSession) -> int:
     return spark.sparkContext.defaultParallelism * 4
 
 
+# Below this many WIDE bytes (pop_rows × genome longs × 8) the
+# one-pass wide-window shape beats the skinny role-pivot composition:
+# the pivot's fixed overhead (explode + hash join + ObjectHashAggregate
+# setup) measured 1.68-1.70× on the two small-pop bench settings
+# (pop 132,878 at 10k bits = 167 MB, pop 6,000 at 64k bits = 48 MB —
+# min-of-3 same-phase A/B, .localdata/ab_pivot_r9.json), while the r8
+# event-log A/B had the shapes a wash at 1.33M pop (1.67 GB) and the
+# sf10→sf100 decades show skinny winning decisively at 27.9M+. 512 MB
+# keeps every measured wide-win inside the fast path and every
+# measured skinny-win outside it, with per-bucket sorts ≤ ~16 MB at
+# the default 32 buckets.
+WIDE_PATH_BYTES = 512 << 20
+
+
 def next_generation(
     pop: DataFrame,
     n_bits: int,
@@ -69,6 +83,7 @@ def next_generation(
     t_size: int = selection.TOURNAMENT_SIZE,
     unique_ids: bool = True,
     genome_df: DataFrame | None = None,
+    pop_rows: int | None = None,
 ) -> DataFrame:
     """One SGA generation: evaluated population → children [id, genome].
     ``seed`` is folded with the generation index so every generation draws
@@ -80,9 +95,24 @@ def next_generation(
     genome bytes cross exactly ONE exchange and never enter a sort
     (see operators/selection.pair_genomes). ``unique_ids=False`` for
     sources that can repeat ids; ``genome_df`` supplies an id-unique
-    lookup when genomes derive from ids (the lineitem entries)."""
+    lookup when genomes derive from ids (the lineitem entries).
+
+    ``pop_rows`` (optional, r9): the caller's known population size —
+    when the whole generation's wide bytes fit WIDE_PATH_BYTES, the
+    plan routes to the ONE-PASS wide-window shape instead (no pivot,
+    no join: selection.paired_parents_onepass), which the same-phase
+    A/B measured 1.7× faster at small populations. Same ordering keys
+    ⇒ bit-identical children either way (pinned in tests); callers
+    that don't know their size (or pass None) always get the
+    scale-safe skinny composition."""
     gen_seed = None if seed is None else seed * 1_000_033 + generation
     sh = shuffle.with_shuffle_key(pop, gen_seed, n_buckets=n_buckets)
+    if (
+        pop_rows is not None
+        and pop_rows * bits.n_longs(n_bits) * 8 <= WIDE_PATH_BYTES
+    ):
+        wide = selection.paired_parents_onepass(sh, t_size)
+        return crossover.crossover_children(wide, n_bits, gen_seed)
     sel = selection.tournament_parent_ids(sh, t_size)
     pairs = selection.paired_parent_ids(sel)
     wide = selection.pair_genomes(pairs, pop, unique_ids, genome_df)
@@ -258,6 +288,9 @@ def run_sga(
                     pop.select("id", "genome")
                     if storage == "bucketed" else None
                 ),
+                # the loop tracks its population size — small
+                # generations route to the one-pass wide shape
+                pop_rows=n,
             )
             if mutation_rate:
                 # extension beyond the reference (which has no mutation and

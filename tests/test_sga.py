@@ -111,6 +111,49 @@ def test_run_sga_bucketed_storage_identical_trajectory(spark):
     assert leftovers == []
 
 
+def test_wide_fast_path_children_bit_identical(spark):
+    # r9 (r8 VERDICT "Next round" #7): the one-pass wide-window shape
+    # (small-pop fast path, no role pivot) must produce BIT-IDENTICAL
+    # children to the skinny composition — same ordering keys, so the
+    # only difference is physical
+    pop = sga.evaluate(
+        generate.random_population(spark, 600, N_BITS, seed=5), N_BITS
+    )
+    skinny = sga.next_generation(pop, N_BITS, 5, 0, n_buckets=8)
+    wide = sga.next_generation(
+        pop, N_BITS, 5, 0, n_buckets=8, pop_rows=600
+    )
+    a = {(r.id, tuple(r.genome)) for r in skinny.collect()}
+    b = {(r.id, tuple(r.genome)) for r in wide.collect()}
+    assert a == b and a
+
+
+def test_wide_fast_path_routing():
+    # threshold arithmetic: below WIDE_PATH_BYTES routes wide (no
+    # role-pivot aggregate in the plan), above or unknown stays skinny
+    from geneticalgorithmsusingmapreduce_spark.functions import bits
+
+    nl = bits.n_longs(10_000)
+    assert 132_878 * nl * 8 <= sga.WIDE_PATH_BYTES     # bench 10kbit: wide
+    assert 6_000 * bits.n_longs(64_000) * 8 <= sga.WIDE_PATH_BYTES
+    assert 1_328_772 * nl * 8 > sga.WIDE_PATH_BYTES    # README 10x: skinny
+    assert 27_856_103 * 4 * 8 > sga.WIDE_PATH_BYTES    # sf10 pop: skinny
+
+
+def test_wide_fast_path_plan_has_no_pivot(spark):
+    pop = sga.evaluate(
+        generate.random_population(spark, 400, N_BITS, seed=3), N_BITS
+    )
+    wide_plan = sga.next_generation(
+        pop, N_BITS, 3, 0, n_buckets=8, pop_rows=400
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert "map_from_entries" not in wide_plan
+    skinny_plan = sga.next_generation(
+        pop, N_BITS, 3, 0, n_buckets=8
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert "map_from_entries" in skinny_plan
+
+
 def test_run_sga_rejects_unknown_storage(spark):
     import pytest
 
