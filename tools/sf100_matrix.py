@@ -40,10 +40,10 @@ ALIASES = {
     # config OOM-killed the worker at sf100; W1/W3 parity verified at
     # the sized count (tools/probe_tournament_buckets.py)
     "tournament_pandas_sized": "sga_tournament_pandas",
-    # r8: guarded per-batch probe of the streaming LSH (the registered
-    # entry is unguarded so its result is arrival-order-free; the guard
-    # is the production dial — tools/probe_streaming_neardup.py)
-    "streaming_neardup_guarded": "streaming_neardup",
+    # (r8's "streaming_neardup_guarded" probe alias is GONE in r9: the
+    # guarded variant is now a REGISTERED entry under that exact name —
+    # corpus hot-set guard, deterministic — and carries its own row;
+    # the unguarded entry moved to excluded-by-design below.)
 }
 
 EXCLUDED = {
@@ -66,6 +66,15 @@ EXCLUDED = {
     "dedup_embedding_cosine": (
         "labeled fixed-8-plane baseline, same n²/2^(p+1) formula as "
         "emb_lsh_pairs. Scale path: dedup_cosine_banded_sized."
+    ),
+    "streaming_neardup": (
+        "the UNGUARDED cumulative-history candidate join is "
+        "hot-bucket-quadratic on the zipf corpus at the third decade "
+        "(same 575e9-pair structure as uncapped dedup_simhash); the "
+        "registered scale path since r9 is streaming_neardup_guarded "
+        "(deterministic corpus hot-set prune, measured row below — "
+        "r8's 6.18× row for this name was that guarded configuration "
+        "as a probe)."
     ),
     "emb_cosine_banded_recall": (
         "contains the exact all-pairs ground truth (n²/2 ≈ 2.4e12 pairs "
@@ -126,6 +135,10 @@ def load_measured() -> dict[str, dict]:
         # sb_r{N}_*.json pattern BELOW the previous one (an sb_r*_*
         # glob would sort r10 before r9 and break last-wins).
         os.path.join(REPO, ".localdata", "sb_r8_*.json"),
+        # r9: bucket-stored tournament (sb_r9_bucket2 supersedes the
+        # sorted-write sb_r9_bucket attempt), new PQ/append/guarded/
+        # chunk-pipeline registrations
+        os.path.join(REPO, ".localdata", "sb_r9_*.json"),
     ]
     for pat in pats:
         for f in sorted(glob.glob(pat)):
