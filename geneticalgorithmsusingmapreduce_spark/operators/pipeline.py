@@ -451,9 +451,19 @@ def curate_corpus_chunk_neardup(
     matched = cpairs.groupBy("doc_b").agg(
         F.countDistinct("chunk_b").alias("mc")
     )
-    n_chunks = (
-        chunk_documents(kdocs, chunk_tokens, stride)
-        .groupBy("doc_id").agg(F.count(F.lit(1)).alias("nc"))
+    # per-doc chunk count is a CLOSED FORM of n_tokens (kept already
+    # carries it): ⌈max(n−chunk, 0)/stride⌉ + 1 — chunk_documents'
+    # own arithmetic. Computing it by re-chunking the corpus would be
+    # a second full tokenize+explode scan of 5M docs at sf100 (the
+    # first sf100 attempt paid it: 11.91×; lower() in the gate
+    # tokenizer doesn't change whitespace splits, so the counts agree
+    # exactly — pinned in tests).
+    n_chunks = kept.select(
+        "doc_id",
+        F.expr(
+            f"cast(ceil(greatest(n_tokens - {chunk_tokens}, 0) / "
+            f"{stride}.0) as int) + 1"
+        ).alias("nc"),
     )
     dropped = (
         matched.join(n_chunks, matched.doc_b == n_chunks.doc_id)
@@ -573,7 +583,6 @@ def duck_curate_chunk_neardup_sql(
     cpairs = duck_chunk_near_dup_sql(
         kdocs, chunk_tokens, stride, max_bucket, chunk_tau_milli
     )
-    nchunks = duck_chunk_documents_sql(kdocs, chunk_tokens, stride)
     assigned = split_ops.duck_assign_splits_sql(
         "SELECT * FROM _final _k", key="doc_id", seed=seed,
         train_pm=train_pm, val_pm=val_pm,
@@ -586,8 +595,10 @@ def duck_curate_chunk_neardup_sql(
       ),
       _mc AS (SELECT doc_b AS doc_id, count(DISTINCT chunk_b) AS mc
               FROM _cp GROUP BY doc_b),
-      _nc AS (SELECT doc_id, count(*) AS nc
-              FROM {nchunks} _n GROUP BY doc_id),
+      _nc AS (SELECT doc_id,
+              cast(ceil(greatest(n_tokens - {chunk_tokens}, 0) /
+                   {stride}.0) as int) + 1 AS nc
+              FROM _kept0),
       _drop AS (SELECT m.doc_id FROM _mc m JOIN _nc n USING (doc_id)
                 WHERE m.mc * 1000 >= {chunk_drop_pm} * n.nc),
       _attr AS (SELECT rep, count(*) AS cc_absorbed FROM (

@@ -149,3 +149,37 @@ def test_containment_excerpts_collapse_in_composed_pipeline(spark):
     assert absorbed == len(kept_plain)
     bases = {r.doc_id for r in rows if r.cc_absorbed > 0}
     assert bases and all(b < 2_000_000 for b in bases)
+
+
+def test_chunk_count_closed_form_matches_chunking(spark):
+    # the containment denominator uses ⌈max(n_tokens−32,0)/16⌉+1 from
+    # the GATE's n_tokens instead of re-chunking the corpus (an sf100
+    # second-full-scan trap) — the formula must equal chunk_documents'
+    # actual per-doc counts (lower() in the gate tokenizer doesn't
+    # change whitespace splits)
+    from pyspark.sql import functions as F
+
+    from geneticalgorithmsusingmapreduce_spark import catalog
+    from geneticalgorithmsusingmapreduce_spark.functions import text as tf
+    from geneticalgorithmsusingmapreduce_spark.operators import pipeline
+
+    docs = catalog.read_table(
+        spark, "/root/testdata/sf0.001", "documents"
+    ).select("doc_id", "text")
+    actual = (
+        pipeline.chunk_documents(docs)
+        .groupBy("doc_id").agg(F.count(F.lit(1)).alias("nc"))
+    )
+    formula = docs.select(
+        "doc_id",
+        F.expr(
+            f"cast(ceil(greatest(cast(size({tf.SPARK_TOKENS}) as bigint)"
+            f" - 32, 0) / 16.0) as int) + 1"
+        ).alias("ncf"),
+    )
+    diff = (
+        actual.join(formula, "doc_id")
+        .filter("nc != ncf")
+        .count()
+    )
+    assert diff == 0
