@@ -1533,16 +1533,19 @@ def corpus_curation_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Containment fixture for the chunk-composed pipeline: every 5th
-# long-enough document gets a planted EXCERPT twin — its first 32
-# tokens with token #8 replaced by a doc-keyed marker. The excerpt's
-# digest differs (exact dedup keeps it), its whole-doc Jaccard vs the
-# base is ~|32 windows|/|n windows| < τ (doc-level near-dup keeps it),
-# but its single 32-token chunk is a NEAR-copy of the base's chunk 0
-# (one token of 32 differs) — exactly the containment case only the
-# chunk stage can catch.
+# Containment fixture for the chunk-composed pipeline: over the same
+# 1-in-4 corpus slice as the sibling heavy entry (clusters_corpus —
+# the r3/r4 gate-budget rationale applies even more here: this is the
+# catalog's most expensive entry, and at sf100 the full-corpus doc
+# stage alone ran 254.7 s), every 5th long-enough sliced document gets
+# a planted EXCERPT twin — its first 32 tokens with token #8 replaced
+# by a doc-keyed marker. The excerpt's digest differs (exact dedup
+# keeps it), its whole-doc Jaccard vs the base is ~|32 windows|/|n
+# windows| < τ (doc-level near-dup keeps it), but its single 32-token
+# chunk is a NEAR-copy of the base's chunk 0 (one token of 32 differs)
+# — exactly the containment case only the chunk stage can catch.
 _CC_DOCS_DUCK = """(
-  SELECT doc_id, text FROM documents
+  SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0
   UNION ALL
   SELECT doc_id + 2000000 AS doc_id,
          array_to_string(toks[1:7], ' ') || ' zq' ||
@@ -1551,15 +1554,19 @@ _CC_DOCS_DUCK = """(
   FROM (SELECT doc_id,
                list_filter(string_split(text, ' '), t -> t != '') AS toks
         FROM documents) _t
-  WHERE len(toks) >= 80 AND doc_id % 5 = 0
+  WHERE len(toks) >= 80 AND doc_id % 20 = 0
 )"""
 
 
 def _cc_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 4 == 0)
+    )
     toks = "filter(split(text, ' '), t -> t != '')"
     ex = docs.filter(
-        F.expr(f"size({toks}) >= 80 AND doc_id % 5 = 0")
+        F.expr(f"size({toks}) >= 80 AND doc_id % 20 = 0")
     ).select(
         (F.col("doc_id") + 2_000_000).alias("doc_id"),
         F.expr(
