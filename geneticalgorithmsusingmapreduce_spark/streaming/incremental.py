@@ -62,8 +62,13 @@ def start_incremental_sga(
     def one_batch(_batch_df: DataFrame, batch_id: int) -> None:
         if state.generation >= generations:
             return
+        # the loop knows its population size (pop_size at batch 0, the
+        # previous batch's count after) — small generations route to
+        # the one-pass wide shape, identical children (plans/sga)
+        prev_n = state.history[-1][2] if state.history else pop_size
         children = sga.next_generation(
-            state.population, n_bits, seed, state.generation, n_buckets
+            state.population, n_bits, seed, state.generation, n_buckets,
+            pop_rows=prev_n,
         )
         if dedup_children:
             children = dedup.dedup_genomes(children)
