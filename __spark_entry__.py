@@ -33,12 +33,14 @@ def entry(spark: SparkSession) -> DataFrame:
 #
 #   1. never-driver-checked entries first (new registrations must get
 #      their first check immediately — they are infinitely stale);
-#      an entry whose IMPLEMENTATION changed since its last green round
-#      ranks here too (r8 VERDICT #1: staleness-by-last-CHECK alone let
-#      an in-round rewrite ship ungated — the r8 skinny-selection
-#      rewrite's first driver check would have lagged a full round);
-#   2. then ascending last-driver-green round (stalest first);
-#   3. name as the deterministic tie-break.
+#   2. entries AT the structural staleness limit (⌈N/B⌉−1 rounds since
+#      green): skipping one breaks the worst-case bound the rotation
+#      exists for, even when a broad refactor floods tier 3;
+#   3. entries whose IMPLEMENTATION changed since their last green
+#      round (r8 VERDICT #1: staleness-by-last-CHECK alone let an
+#      in-round rewrite ship ungated), stalest-green first;
+#   4. unchanged entries by ascending last-green round;
+#   name as the deterministic tie-break throughout.
 #
 # "Implementation changed" is detected by a content FINGERPRINT: a hash
 # over the entry's registered function source, its oracle SQL (baked at
@@ -186,18 +188,30 @@ _CHANGED = _changed_since_green()
 
 
 def _gate_order(names):
-    # Three tiers: never-checked first (a new registration MUST get its
-    # first check — there are always few), then changed-since-green
-    # (stalest-green first, so when a broad refactor re-fingerprints
-    # more entries than the budget holds, the ones whose hard signal is
-    # oldest re-verify first), then unchanged by staleness.
-    def key(n):
-        lg = _LAST_GREEN.get(n)
+    # Four tiers: never-checked first (a new registration MUST get its
+    # first check — there are always few); then entries AT the
+    # structural staleness limit (⌈N/B⌉−1 rounds since green — skipping
+    # one would break the worst-case-staleness bound the rotation
+    # exists for, and a broad refactor can flood the changed tier past
+    # the budget: r9 re-fingerprinted 54/110 and would have pushed the
+    # three r6-green entries to 3-round staleness); then
+    # changed-since-green (stalest-green first); then unchanged by
+    # staleness.
+    import math
+
+    max_green = max(_LAST_GREEN.values(), default=0)
+    n, b = len(names), GATE_BUDGET
+    limit = max_green - (math.ceil(n / b) - 1)
+
+    def key(name):
+        lg = _LAST_GREEN.get(name)
         if lg is None:
-            return (0, 0, n)
-        if n in _CHANGED:
-            return (1, lg, n)
-        return (2, lg, n)
+            return (0, 0, name)
+        if lg <= limit:
+            return (1, lg, name)
+        if name in _CHANGED:
+            return (2, lg, name)
+        return (3, lg, name)
 
     return sorted(names, key=key)
 

@@ -39,25 +39,53 @@ def test_never_checked_entries_lead_and_fit_in_budget():
         )
 
 
-def test_changed_entries_sort_before_unchanged_stalest_first():
+def _staleness_limit():
+    import math
+
+    max_green = max(entry._LAST_GREEN.values(), default=0)
+    return max_green - (
+        math.ceil(len(catalog.QUERIES) / entry.GATE_BUDGET) - 1
+    )
+
+
+def test_changed_entries_sort_before_fresh_unchanged_stalest_first():
     # r8 VERDICT #1: an in-round rewrite re-verifies before any
-    # unchanged entry; when a broad refactor re-fingerprints more
-    # entries than the budget holds, the stalest-green changed ones
+    # fresh-green unchanged entry (entries AT the structural staleness
+    # limit have their own higher tier — skipping one would break the
+    # worst-case bound); within the changed tier the stalest-green
     # lead (their hard signal is oldest)
     names = _order()
+    limit = _staleness_limit()
     changed = [
-        n for n in names if n in entry._CHANGED and n in entry._LAST_GREEN
+        n for n in names
+        if n in entry._CHANGED and entry._LAST_GREEN.get(n, 99) > limit
     ]
-    unchanged = [
+    fresh_unchanged = [
         n for n in names
         if n in entry._LAST_GREEN and n not in entry._CHANGED
+        and entry._LAST_GREEN[n] > limit
     ]
-    if changed and unchanged:
+    if changed and fresh_unchanged:
         assert max(names.index(n) for n in changed) < min(
-            names.index(n) for n in unchanged
+            names.index(n) for n in fresh_unchanged
         )
     greens = [entry._LAST_GREEN[n] for n in changed]
     assert greens == sorted(greens)
+
+
+def test_at_limit_entries_never_displaced_past_budget():
+    # the r9 regression this pins: 54 changed entries would have pushed
+    # the three r6-green (already 2-round-stale) entries past the
+    # budget into 3-round staleness — at-limit entries rank right after
+    # never-checked, inside the budget
+    names = _order()
+    limit = _staleness_limit()
+    at_limit = [
+        n for n in names
+        if n in entry._LAST_GREEN and entry._LAST_GREEN[n] <= limit
+    ]
+    for n in at_limit:
+        assert names.index(n) < entry.GATE_BUDGET, n
 
 
 def test_stalest_entries_fill_the_gate_head():
@@ -80,7 +108,9 @@ def test_stalest_entries_fill_the_gate_head():
 
 
 def test_worst_case_staleness_is_structural_optimum():
-    # simulate future rounds: every round greens its head-of-budget; no
+    # simulate future rounds with the TIERED key (a re-greened entry
+    # leaves the changed tier — its fingerprint is re-recorded at the
+    # next round start): every round greens its head-of-budget; no
     # entry may go unchecked for more than ceil(N / budget) rounds
     import math
 
@@ -88,12 +118,25 @@ def test_worst_case_staleness_is_structural_optimum():
     budget = entry.GATE_BUDGET
     n_rounds = math.ceil(len(names) / budget)
     last = dict(entry._LAST_GREEN)
+    changed = set(entry._CHANGED)
     this_round = max(last.values()) + 1
     seen = set()
     for rnd in range(this_round, this_round + n_rounds):
-        order = sorted(names, key=lambda n: (last.get(n, -1), n))
+        limit = max(last.values()) - (n_rounds - 1)
+
+        def key(n):
+            if n not in last:
+                return (0, 0, n)
+            if last[n] <= limit:
+                return (1, last[n], n)
+            if n in changed:
+                return (2, last[n], n)
+            return (3, last[n], n)
+
+        order = sorted(names, key=key)
         for n in order[:budget]:
             last[n] = rnd
+            changed.discard(n)
             seen.add(n)
     assert seen == set(names)
 
@@ -141,10 +184,13 @@ def test_touched_entry_jumps_to_gate_head(monkeypatch, tmp_path):
     assert name in changed
     monkeypatch.setattr(entry, "_CHANGED", changed)
     order = entry._gate_order(catalog.QUERIES)
-    unchanged_checked = [
-        n for n in order if n in entry._LAST_GREEN and n not in changed
+    limit = _staleness_limit()
+    fresh_unchanged = [
+        n for n in order
+        if n in entry._LAST_GREEN and n not in changed
+        and entry._LAST_GREEN[n] > limit
     ]
-    assert order.index(name) < min(order.index(n) for n in unchanged_checked)
+    assert order.index(name) < min(order.index(n) for n in fresh_unchanged)
 
 
 def test_force_head_escape_hatch(monkeypatch, tmp_path):
@@ -160,10 +206,13 @@ def test_force_head_escape_hatch(monkeypatch, tmp_path):
     assert name in changed
     monkeypatch.setattr(entry, "_CHANGED", changed)
     order = entry._gate_order(catalog.QUERIES)
-    unchanged_checked = [
-        n for n in order if n in entry._LAST_GREEN and n not in changed
+    limit = _staleness_limit()
+    fresh_unchanged = [
+        n for n in order
+        if n in entry._LAST_GREEN and n not in changed
+        and entry._LAST_GREEN[n] > limit
     ]
-    assert order.index(name) < min(order.index(n) for n in unchanged_checked)
+    assert order.index(name) < min(order.index(n) for n in fresh_unchanged)
 
 
 def test_unchanged_codebase_reports_no_changes():
