@@ -99,15 +99,44 @@ def _last_green_rounds() -> dict[str, int]:
 _LAST_GREEN = _last_green_rounds()
 
 
+# per-process module-file digest cache: fingerprinting all ~110 ledger
+# entries at import re-reads the same dozen module files hundreds of
+# times without it (review finding: ~1.1 s per import, ~10× cuttable)
+_MODULE_DIGESTS: dict[str, bytes] = {}
+
+
+def _module_digest(path: str) -> bytes | None:
+    if path not in _MODULE_DIGESTS:
+        import hashlib
+
+        try:
+            with open(path, "rb") as fh:
+                _MODULE_DIGESTS[path] = hashlib.sha256(fh.read()).digest()
+        except OSError:
+            return None
+    return _MODULE_DIGESTS[path]
+
+
 def entry_fingerprint(name: str) -> str:
     """Content fingerprint of a registered entry: sha256 over the entry
     function's source, its oracle SQL, and the transitive closure of
-    package modules (whole-file) and catalog-local helper functions
-    (per-function source) it references.  Module granularity bounds the
-    blast radius: editing operators/selection.py re-fingerprints the
-    handful of selection entries, not all 100+."""
+    package modules (whole-file digest) and catalog-local helper
+    functions (per-function source) it references.  Module granularity
+    bounds the blast radius: editing operators/selection.py
+    re-fingerprints the handful of selection entries, not all 100+.
+
+    References are resolved through BOTH the function's globals
+    (co_names) and its own import statements (AST walk of the source —
+    review finding: catalog entries dominantly import their
+    implementation modules function-locally, e.g. ``from .streaming
+    import neardup``, which never appears in __globals__; without the
+    AST pass a rewrite of streaming/neardup.py would ship ungated,
+    the exact r8 failure mode this feature closes)."""
+    import ast
     import hashlib
+    import importlib
     import inspect
+    import textwrap
     import types
 
     pkg = catalog.__name__.rsplit(".", 1)[0]
@@ -120,14 +149,45 @@ def entry_fingerprint(name: str) -> str:
         if not f or mod.__name__ in seen_mods:
             return
         seen_mods.add(mod.__name__)
-        try:
-            with open(f, "rb") as fh:
-                h.update(fh.read())
-        except OSError:
+        d = _module_digest(f)
+        if d is None:
             return
+        h.update(d)
         for v in vars(mod).values():
             if isinstance(v, types.ModuleType) and v.__name__.startswith(pkg):
                 add_module(v)
+
+    def add_local_imports(fn, src: str) -> None:
+        """Resolve the function's own import statements to package
+        modules (function-local imports are invisible in __globals__)."""
+        base = getattr(fn, "__module__", "") or ""
+        try:
+            tree = ast.parse(textwrap.dedent(src))
+        except SyntaxError:
+            return
+        targets: set[str] = set()
+        for node in ast.walk(tree):
+            if isinstance(node, ast.ImportFrom) and node.module is not None:
+                if node.level:  # relative: resolve against fn's module
+                    parts = base.split(".")
+                    anchor = ".".join(parts[: len(parts) - node.level])
+                    modname = f"{anchor}.{node.module}" if anchor else None
+                else:
+                    modname = node.module
+                if modname and modname.startswith(pkg):
+                    targets.add(modname)
+                    # `from X import Y` where Y is itself a submodule
+                    for alias in node.names:
+                        targets.add(f"{modname}.{alias.name}")
+            elif isinstance(node, ast.Import):
+                for alias in node.names:
+                    if alias.name.startswith(pkg):
+                        targets.add(alias.name)
+        for modname in targets:
+            try:
+                add_module(importlib.import_module(modname))
+            except ImportError:
+                continue  # `from X import Y` with Y a non-module member
 
     def add_fn(fn) -> None:
         fn = inspect.unwrap(fn)
@@ -135,9 +195,11 @@ def entry_fingerprint(name: str) -> str:
             return
         seen_fns.add(id(fn))
         try:
-            h.update(inspect.getsource(fn).encode())
+            src = inspect.getsource(fn)
         except (OSError, TypeError):
             return
+        h.update(src.encode())
+        add_local_imports(fn, src)
         g = getattr(fn, "__globals__", {})
         for nm in fn.__code__.co_names:
             v = g.get(nm)

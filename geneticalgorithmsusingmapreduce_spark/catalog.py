@@ -616,7 +616,10 @@ def streaming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = st.results.collect()  # tear down checkpoints before returning
     out = spark.createDataFrame(rows, st.results.schema)
     for df in (st.bands, st.sets, st.results):
-        df.unpersist()
+        # these are local_checkpoint_truncated frames: plain unpersist
+        # frees NOTHING of a localCheckpoint (review finding) — release
+        # the checkpointed RDD blocks explicitly
+        runtime.free_checkpoint(df)
     return out
 
 
@@ -656,7 +659,10 @@ def streaming_neardup_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = st.results.collect()  # tear down checkpoints before returning
     out = spark.createDataFrame(rows, st.results.schema)
     for df in (st.bands, st.sets, st.results):
-        df.unpersist()
+        # these are local_checkpoint_truncated frames: plain unpersist
+        # frees NOTHING of a localCheckpoint (review finding) — release
+        # the checkpointed RDD blocks explicitly
+        runtime.free_checkpoint(df)
     return out
 
 

@@ -1114,18 +1114,20 @@ def duck_trained_ivf_pq_rerank_sql(
     )"""
 
 
-def _duck_subdot(qv: str, sub: str, cw: str) -> str:
+def _duck_subdot(
+    qv: str, sub: str, cw: str, sub_dims: int = SUB_DIMS
+) -> str:
     """Σ_j qv[sub·S + j] · cw[j] — the per-subspace partial dot (1-based
     list indexing; ``sub`` may be a column reference)."""
     return "(" + " + ".join(
-        f"{qv}[{sub} * {SUB_DIMS} + {j + 1}] * {cw}[{j + 1}]"
-        for j in range(SUB_DIMS)
+        f"{qv}[{sub} * {sub_dims} + {j + 1}] * {cw}[{j + 1}]"
+        for j in range(sub_dims)
     ) + ")"
 
 
-def _duck_cwdot(cw: str) -> str:
+def _duck_cwdot(cw: str, sub_dims: int = SUB_DIMS) -> str:
     return "(" + " + ".join(
-        f"{cw}[{j + 1}] * {cw}[{j + 1}]" for j in range(SUB_DIMS)
+        f"{cw}[{j + 1}] * {cw}[{j + 1}]" for j in range(sub_dims)
     ) + ")"
 
 
@@ -1137,11 +1139,15 @@ def _duck_pq_ctes(
     codebook CTE name). Codebook CTEs are AS MATERIALIZED — their cw
     list expressions are referenced per-component by the sub-dots, and
     DuckDB's default CTE inlining would substitute the whole training
-    chain into every reference (the 24-plane banded-oracle lesson)."""
-    sd = _duck_subdot("v.qv", "c.sub", "c.cw")
+    chain into every reference (the 24-plane banded-oracle lesson).
+    sub_dims derives from m_sub — a hardcoded module constant here
+    would silently mis-slice for any non-default m_sub (review
+    finding)."""
+    sub_dims = DIMS // m_sub
+    sd = _duck_subdot("v.qv", "c.sub", "c.cw", sub_dims)
     ctes = [
         f"cb0 AS MATERIALIZED (SELECT r.m AS sub, vec_id AS code, "
-        f"list_slice(qv, r.m * {SUB_DIMS} + 1, r.m * {SUB_DIMS} + {SUB_DIMS}) AS cw "
+        f"list_slice(qv, r.m * {sub_dims} + 1, r.m * {sub_dims} + {sub_dims}) AS cw "
         f"FROM qz CROSS JOIN range(0, {m_sub}) r(m) "
         f"WHERE vec_id < {k_codes})"
     ]
@@ -1151,16 +1157,16 @@ def _duck_pq_ctes(
             f"pqag{i} AS (SELECT vec_id, sub, code FROM ("
             f"SELECT v.vec_id, c.sub, c.code, "
             f"row_number() OVER (PARTITION BY v.vec_id, c.sub "
-            f"ORDER BY 2 * {sd} - {_duck_cwdot('c.cw')} DESC, c.code ASC) "
+            f"ORDER BY 2 * {sd} - {_duck_cwdot('c.cw', sub_dims)} DESC, c.code ASC) "
             f"AS rn FROM qz v CROSS JOIN {prev} c) _x WHERE rn = 1)"
         )
         ctes.append(
             f"pqmn{i} AS (SELECT sub, code, list(v ORDER BY pos) AS cw "
             f"FROM (SELECT a.sub, a.code, r.j AS pos, "
-            f"cast(floor(cast(sum(v.qv[a.sub * {SUB_DIMS} + r.j + 1]) "
+            f"cast(floor(cast(sum(v.qv[a.sub * {sub_dims} + r.j + 1]) "
             f"as double) / count(*) + 0.5) as bigint) AS v "
             f"FROM pqag{i} a JOIN qz v USING (vec_id) "
-            f"CROSS JOIN range(0, {SUB_DIMS}) r(j) "
+            f"CROSS JOIN range(0, {sub_dims}) r(j) "
             f"GROUP BY a.sub, a.code, r.j) _m GROUP BY sub, code)"
         )
         ctes.append(
@@ -1191,12 +1197,13 @@ def duck_trained_ivf_pq_sql(
     )
     pq_ctes, cb = _duck_pq_ctes(m_sub, k_codes, pq_iters)
     ctes.extend(pq_ctes)
-    sd = _duck_subdot("v.qv", "c.sub", "c.cw")
+    sub_dims = DIMS // m_sub
+    sd = _duck_subdot("v.qv", "c.sub", "c.cw", sub_dims)
     ctes.append(
         f"enc AS (SELECT vec_id, sub, code FROM ("
         f"SELECT v.vec_id, c.sub, c.code, "
         f"row_number() OVER (PARTITION BY v.vec_id, c.sub "
-        f"ORDER BY 2 * {sd} - {_duck_cwdot('c.cw')} DESC, c.code ASC) "
+        f"ORDER BY 2 * {sd} - {_duck_cwdot('c.cw', sub_dims)} DESC, c.code ASC) "
         f"AS rn FROM qz v CROSS JOIN {cb} c) _e WHERE rn = 1)"
     )
     ctes.append(
@@ -1209,7 +1216,7 @@ def duck_trained_ivf_pq_sql(
     )
     ctes.append(
         f"lut AS MATERIALIZED (SELECT q.vec_id AS query_id, c.sub, c.code, "
-        f"{_duck_subdot('q.qv', 'c.sub', 'c.cw')} AS pdot_part "
+        f"{_duck_subdot('q.qv', 'c.sub', 'c.cw', sub_dims)} AS pdot_part "
         f"FROM qz q CROSS JOIN {cb} c WHERE q.vec_id < {n_queries})"
     )
     ctes.append(

@@ -54,6 +54,7 @@ class IvfAppendState:
     centroid_rows: list | None = None
     batches_done: int = 0
     history: list = field(default_factory=list)  # (batch, n_rows, skew)
+    list_sizes: dict = field(default_factory=dict)  # cent_id → rows
 
 
 def start_ivf_append(
@@ -82,9 +83,12 @@ def start_ivf_append(
                 compute_inertia=False, seed_by_rank=True,
             )
             state.centroid_rows = rows
-            spark.createDataFrame(rows, ann.CENTROID_SCHEMA).write.parquet(
-                f"{index_dir}/centroids"
-            )
+            # overwrite: a reused index_dir with a stale centroids
+            # layout would otherwise kill batch 0 with errorifexists
+            # and leave the stream spinning to the deadline
+            spark.createDataFrame(
+                rows, ann.CENTROID_SCHEMA
+            ).write.mode("overwrite").parquet(f"{index_dir}/centroids")
         cents = spark.createDataFrame(
             state.centroid_rows, ann.CENTROID_SCHEMA
         )
@@ -97,11 +101,16 @@ def start_ivf_append(
         p8.write.mode("append").partitionBy("cent_id").parquet(
             f"{index_dir}/postings8"
         )
-        sizes = (
-            spark.read.parquet(f"{index_dir}/postings8")
-            .groupBy("cent_id").count().collect()
-        )
-        counts = [r["count"] for r in sizes]
+        # skew stat from the BATCH's per-list counts folded into driver
+        # state (C scalars per batch) — re-reading the whole postings
+        # directory every batch would be O(total index) per batch,
+        # contradicting the module's own one-scan-of-the-batch design
+        # (review finding)
+        for r in p8.groupBy("cent_id").count().collect():
+            state.list_sizes[int(r["cent_id"])] = (
+                state.list_sizes.get(int(r["cent_id"]), 0) + r["count"]
+            )
+        counts = list(state.list_sizes.values())
         skew = (
             round(max(counts) * len(counts) / sum(counts), 3)
             if counts else 0.0
@@ -122,6 +131,15 @@ def start_ivf_append(
 
         deadline = time.time() + timeout_sec
         while state.batches_done < n_batches and time.time() < deadline:
+            if not q.isActive:
+                # a batch failure kills the query immediately — surface
+                # its exception now instead of spinning to the deadline
+                # and raising a generic count error (review finding)
+                exc = q.exception()
+                raise RuntimeError(
+                    f"ivf_append: stream died after "
+                    f"{state.batches_done}/{n_batches} batches"
+                ) from exc
             time.sleep(0.2)
     finally:
         q.stop()

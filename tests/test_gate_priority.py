@@ -157,6 +157,37 @@ def test_fingerprint_is_deterministic_and_distinguishes_entries():
     assert a1 != b
 
 
+def test_fingerprint_covers_function_local_imports():
+    # review finding (r9): catalog entries dominantly import their
+    # implementation modules FUNCTION-locally (`from .streaming import
+    # neardup as nd_stream`), which never appears in __globals__ — the
+    # AST pass must resolve them, or a rewrite of those modules ships
+    # ungated (the exact r8 #1 failure mode)
+    def covered(name):
+        paths = set()
+        orig = entry._module_digest
+
+        def spy(p):
+            paths.add(p)
+            return orig(p)
+
+        entry._module_digest = spy
+        try:
+            entry.entry_fingerprint(name)
+        finally:
+            entry._module_digest = orig
+        return paths
+
+    for name, want in [
+        ("streaming_neardup", "streaming/neardup.py"),
+        ("streaming_neardup_guarded", "streaming/neardup.py"),
+        ("emb_ivf_append_int8", "streaming/ivf_append.py"),
+        ("incremental_sga", "streaming/incremental.py"),
+        ("sga_tournament", "operators/selection.py"),
+    ]:
+        assert any(want in p for p in covered(name)), (name, want)
+
+
 def test_committed_ledger_covers_every_checked_entry():
     # the round-start refresh must leave no green entry unfingerprinted —
     # an absent row is treated as 'unchanged', silently disabling re-gating

@@ -22,8 +22,6 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-from pyspark.sql import Window, functions as F  # noqa: E402
-
 from geneticalgorithmsusingmapreduce_spark.functions import bits  # noqa: E402
 from geneticalgorithmsusingmapreduce_spark.operators import (  # noqa: E402
     crossover, fitness as fit_ops, generate, selection, shuffle,
@@ -33,40 +31,14 @@ from geneticalgorithmsusingmapreduce_spark.session import build_session  # noqa:
 
 
 def next_generation_wide(pop, n_bits, seed, generation, n_buckets=32):
-    """The pre-r8 join-free generation: windows carry FULL rows (genome
-    included) — one wide exchange, wide sorts. Reconstructed here for
-    the A/B only; produces the same children as the skinny composition
-    (same ordering keys)."""
-    t = selection.TOURNAMENT_SIZE
+    """The one-pass wide-window generation — the SHIPPED fast path
+    (selection.paired_parents_onepass), so the A/B prices exactly the
+    code next_generation routes to below WIDE_PATH_BYTES (review
+    finding: an inlined copy here would silently desynchronize the
+    benchmark from the code it justifies)."""
     gen_seed = None if seed is None else seed * 1_000_033 + generation
     sh = shuffle.with_shuffle_key(pop, gen_seed, n_buckets=n_buckets)
-    w = Window.partitionBy("part").orderBy("skey", "id")
-    d = (
-        sh.select("id", "genome", "fitness", "skey", "part")
-        .withColumn("rn", F.row_number().over(w))
-        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("part")))
-    )
-    head = d.filter(F.col("rn") <= t - 1).withColumn(
-        "rn", F.col("rn") + F.col("n")
-    )
-    ext = d.unionByName(head)
-    wf = Window.partitionBy("part").orderBy("rn").rowsBetween(-(t - 1), 0)
-    sel = ext.select(
-        "part", "rn",
-        F.expr(f"max_by(genome, {selection._ORD})").over(wf).alias("parent"),
-    ).filter(F.col("rn") >= t).select(
-        "part", (F.col("rn") - t + 1).alias("pos"), "parent"
-    )
-    wp = Window.partitionBy("part").orderBy("pos")
-    pairs = (
-        sel.withColumn("pa", F.lag("parent", 1).over(wp))
-        .filter(F.col("pos") % 2 == 0)
-        .select(
-            "part",
-            ((F.col("pos") + 1) / 2).cast("bigint").alias("pair"),
-            "pa", F.col("parent").alias("pb"),
-        )
-    )
+    pairs = selection.paired_parents_onepass(sh)
     return crossover.crossover_children(pairs, n_bits, gen_seed)
 
 

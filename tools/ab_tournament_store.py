@@ -12,7 +12,6 @@ from __future__ import annotations
 import json
 import os
 import sys
-import tempfile
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -24,7 +23,6 @@ from geneticalgorithmsusingmapreduce_spark.operators import (  # noqa: E402
     shuffle as shuffle_ops,
 )
 from geneticalgorithmsusingmapreduce_spark.session import build_session  # noqa: E402
-from geneticalgorithmsusingmapreduce_spark.sources import bucketing  # noqa: E402
 
 
 def r8_shape(spark, sf_dir):
@@ -39,8 +37,6 @@ def r8_shape(spark, sf_dir):
 
 def r9_shape(spark, sf_dir):
     # the registered entry, store write included (unsorted)
-    from geneticalgorithmsusingmapreduce_spark import runtime
-
     sh = shuffle_ops.with_shuffle_key(
         catalog._pop_with_fitness(spark, sf_dir),
         catalog.SEED * 1_000_033, n_buckets=32,
