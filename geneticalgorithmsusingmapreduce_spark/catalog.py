@@ -624,6 +624,53 @@ def streaming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "layout_compaction",
+    f"""
+    SELECT event_type,
+           count(*) AS n,
+           cast(sum(user_id) as bigint) AS sum_user,
+           cast(sum({win_ops.MILLI}) as bigint) AS value_milli
+    FROM events GROUP BY event_type
+    """,
+)
+def layout_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files COMPACTION (r9 extension — the operational pass every
+    appending 100 TB sink needs): the events table is deliberately
+    fragmented into 64 tiny part files (a streaming sink's morning
+    after), then sources/layout.compact_layout rewrites it at
+    ~target-sized files (output count from the layout's ON-DISK bytes,
+    no row scan). Correctness contract is CONTENT INVARIANCE: the
+    returned aggregate is computed over the COMPACTED read-back and
+    must hash-match the oracle's view of the original table — a lost
+    or duplicated row in the rewrite breaks the sum. File-count
+    reduction and the sizing rule are pinned in tests/test_io_loops.py.
+    At 100 TB this runs per partition directory on a schedule, never
+    the whole table at once (module doc)."""
+    import shutil
+    import tempfile
+
+    from .sources import layout as layout_ops
+
+    ev = read_events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    d = tempfile.mkdtemp(prefix="gamr_compact_")
+    try:
+        ev.repartition(64).write.parquet(f"{d}/fragmented")
+        layout_ops.compact_layout(spark, f"{d}/fragmented", f"{d}/compact")
+        back = layout_ops.compacted(spark, f"{d}/compact")
+        out = back.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("user_id").alias("sum_user"),
+            F.sum(F.expr(win_ops.MILLI)).alias("value_milli"),
+        )
+        rows = out.collect()  # materialize before deleting the layouts
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@register(
     "streaming_neardup_guarded",
     f"""
     SELECT doc_a, doc_b, jaccard_milli,

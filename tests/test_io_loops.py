@@ -84,3 +84,41 @@ def test_run_cga_multi_split(spark):
     vec = generate.init_prob_vectors(spark, 3, 64)
     assert vec.select("split_id").distinct().count() == 3
     assert vec.count() == 192
+
+
+def test_layout_compaction_reduces_files_content_invariant(spark):
+    # r9: the small-files pass — a 64-part fragmented layout compacts
+    # to the byte-sized file count, with EXACTLY the same rows
+    import tempfile
+
+    from geneticalgorithmsusingmapreduce_spark.sources import layout
+    from geneticalgorithmsusingmapreduce_spark.sources.registry import (
+        read_table,
+    )
+
+    li = read_table(spark, "/root/testdata/sf0.001", "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        li.repartition(64).write.parquet(f"{d}/frag")
+        stats = layout.compact_layout(spark, f"{d}/frag", f"{d}/out")
+        assert stats["files_before"] >= 64
+        assert stats["files_after"] == stats["n_files_planned"] == 1
+        want = sorted(tuple(r) for r in li.collect())
+        got = sorted(
+            tuple(r)
+            for r in layout.compacted(spark, f"{d}/out").collect()
+        )
+        assert got == want
+
+
+def test_files_for_bytes_rule():
+    from geneticalgorithmsusingmapreduce_spark.sources import layout
+
+    mb = 1 << 20
+    assert layout.files_for_bytes(0) == 1
+    assert layout.files_for_bytes(1) == 1
+    assert layout.files_for_bytes(128 * mb) == 1
+    assert layout.files_for_bytes(128 * mb + 1) == 2
+    assert layout.files_for_bytes(10 * 1024 * mb) == 80
+    assert layout.files_for_bytes(300 * mb, target_bytes=64 * mb) == 5
