@@ -66,14 +66,17 @@ _LEDGER_PATH = os.path.join(
 )
 
 
-def _last_green_rounds() -> dict[str, int]:
+def _last_green_rounds(here: str | None = None) -> dict[str, int]:
     """name → latest round whose committed CORRECTNESS file shows a
-    full pass (rows+schema match, hash not failed, no err)."""
+    full pass (rows+schema match, hash not failed, no err).  ``here``
+    overrides the scan directory (tests simulate the round boundary by
+    pointing it at a copy with a freshly-dropped CORRECTNESS file)."""
     import glob
     import json
     import re
 
-    here = os.path.dirname(os.path.abspath(__file__))
+    if here is None:
+        here = os.path.dirname(os.path.abspath(__file__))
     last: dict[str, int] = {}
     for f in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", f)
@@ -243,6 +246,14 @@ def _changed_since_green() -> set[str]:
                 changed.add(name)
         except Exception:
             continue
+    # Round-boundary window (r9 VERDICT #1): between the driver dropping
+    # CORRECTNESS_r{N}.json and the next round's --update-ledger, a
+    # first-time-green entry has a green row but no ledger fingerprint.
+    # Treating it as unchanged would silently disable its re-gating —
+    # rank it changed until the ledger absorbs it at round start.
+    for name in _LAST_GREEN:
+        if name in catalog.QUERIES and name not in ledger:
+            changed.add(name)
     return changed
 
 

@@ -188,14 +188,42 @@ def test_fingerprint_covers_function_local_imports():
         assert any(want in p for p in covered(name)), (name, want)
 
 
+def _ledger_max_round(ledger):
+    return max(
+        (
+            rec.get("round", 0)
+            for name, rec in ledger.items()
+            if not name.startswith("_") and isinstance(rec, dict)
+        ),
+        default=0,
+    )
+
+
 def test_committed_ledger_covers_every_checked_entry():
     # the round-start refresh must leave no green entry unfingerprinted —
-    # an absent row is treated as 'unchanged', silently disabling re-gating
+    # an absent row would otherwise disable re-gating.  Scoped to rounds
+    # the ledger has ABSORBED (r9 VERDICT #1): the ledger updates at
+    # round start by design, so entries first-green in a newer
+    # CORRECTNESS file are legitimately pending — _changed_since_green
+    # ranks those into the changed tier instead (pinned below).
     ledger = entry._load_ledger()
-    for name in entry._LAST_GREEN:
-        if name in catalog.QUERIES:
+    lmax = _ledger_max_round(ledger)
+    for name, green in entry._LAST_GREEN.items():
+        if name in catalog.QUERIES and green <= lmax:
             assert name in ledger, f"{name} green but not in GATE_LEDGER.json"
             assert ledger[name].get("fp"), name
+
+
+def test_pending_absorption_entries_rank_changed():
+    # the flip side of the scoped coverage test: a green entry the
+    # ledger hasn't absorbed yet must land in the changed tier, never
+    # silently-unchanged
+    pending = [
+        n for n in entry._LAST_GREEN
+        if n in catalog.QUERIES and n not in entry._load_ledger()
+    ]
+    for n in pending:
+        assert n in entry._CHANGED, n
 
 
 def test_touched_entry_jumps_to_gate_head(monkeypatch, tmp_path):
@@ -204,10 +232,17 @@ def test_touched_entry_jumps_to_gate_head(monkeypatch, tmp_path):
     # ranks it ahead of every unchanged checked entry
     import json
 
-    name = "text_fingerprint"
-    assert entry._LAST_GREEN.get(name) == max(entry._LAST_GREEN.values())
+    # derive the probe from the ledger's own max round (r9 VERDICT #1:
+    # hardcoding a latest-green name broke the moment the driver dropped
+    # a newer CORRECTNESS file that didn't include it)
     ledger = entry._load_ledger()
-    ledger[name] = {"round": entry._LAST_GREEN[name], "fp": "0" * 16}
+    lmax = _ledger_max_round(ledger)
+    name = min(
+        n for n, rec in ledger.items()
+        if not n.startswith("_") and isinstance(rec, dict)
+        and rec.get("round") == lmax and n in catalog.QUERIES
+    )
+    ledger[name] = {"round": ledger[name]["round"], "fp": "0" * 16}
     p = tmp_path / "ledger.json"
     p.write_text(json.dumps(ledger))
     monkeypatch.setattr(entry, "_LEDGER_PATH", str(p))
@@ -244,6 +279,53 @@ def test_force_head_escape_hatch(monkeypatch, tmp_path):
         and entry._LAST_GREEN[n] > limit
     ]
     assert order.index(name) < min(order.index(n) for n in fresh_unchanged)
+
+
+def test_boundary_fresh_correctness_drop_keeps_suite_green(
+    monkeypatch, tmp_path
+):
+    # r9 VERDICT #1, the exact scenario: the driver drops a fresh
+    # CORRECTNESS_r{N+1}.json (greening this round's gate head) BEFORE
+    # the next round's --update-ledger absorbs it.  Every invariant in
+    # this file must hold in that state — the suite may never be red at
+    # the round boundary.
+    import json
+    import os
+    import shutil
+
+    here = os.path.dirname(os.path.abspath(entry.__file__))
+    import glob as globmod
+
+    for f in globmod.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        shutil.copy(f, tmp_path)
+    new_round = max(entry._LAST_GREEN.values()) + 1
+    head = entry._gate_order(catalog.QUERIES)[: entry.GATE_BUDGET]
+    fake = {
+        n: {
+            "rows_match": True,
+            "schema_match": True,
+            "hash_match": True,
+            "spark_rows": 1,
+            "oracle_rows": 1,
+            "err": None,
+        }
+        for n in head
+    }
+    (tmp_path / f"CORRECTNESS_r{new_round}.json").write_text(
+        json.dumps(fake)
+    )
+    monkeypatch.setattr(
+        entry, "_LAST_GREEN", entry._last_green_rounds(str(tmp_path))
+    )
+    monkeypatch.setattr(entry, "_CHANGED", entry._changed_since_green())
+    test_every_registered_entry_is_ordered_once()
+    test_never_checked_entries_lead_and_fit_in_budget()
+    test_changed_entries_sort_before_fresh_unchanged_stalest_first()
+    test_at_limit_entries_never_displaced_past_budget()
+    test_stalest_entries_fill_the_gate_head()
+    test_worst_case_staleness_is_structural_optimum()
+    test_committed_ledger_covers_every_checked_entry()
+    test_pending_absorption_entries_rank_changed()
 
 
 def test_unchanged_codebase_reports_no_changes():
