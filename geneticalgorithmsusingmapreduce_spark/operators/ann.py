@@ -994,10 +994,15 @@ def pq_serve_topk(
         .filter(F.col("pr") <= n_probes)
         .select("query_id", "cent_id")
     )
+    # derive sub_dims from the codebook itself (ADVICE r9): pq_encode
+    # and the duck twin both parameterize on m_sub; hardcoding the
+    # module-level SUB_DIMS here would silently mis-slice query
+    # subvectors for a codebook trained with non-default m_sub
+    sub_dims = len(codebook.select("cw").head()["cw"])
     part = "(" + " + ".join(
-        f"element_at(qe, sub * {SUB_DIMS} + {j + 1}) * "
+        f"element_at(qe, sub * {sub_dims} + {j + 1}) * "
         f"element_at(cw, {j + 1})"
-        for j in range(SUB_DIMS)
+        for j in range(sub_dims)
     ) + ")"
     lut = (
         queries_qz.crossJoin(F.broadcast(codebook))

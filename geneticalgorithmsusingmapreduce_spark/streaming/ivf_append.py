@@ -89,24 +89,41 @@ def start_ivf_append(
             spark.createDataFrame(
                 rows, ann.CENTROID_SCHEMA
             ).write.mode("overwrite").parquet(f"{index_dir}/centroids")
+            # same reuse case for the postings (ADVICE r9): the batch
+            # writes are mode(append), so a stale postings8 layout
+            # would silently duplicate every vector in the durable
+            # index — clear it once, before the first append
+            jpath = spark._jvm.org.apache.hadoop.fs.Path(
+                f"{index_dir}/postings8"
+            )
+            fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+            if fs.exists(jpath):
+                fs.delete(jpath, True)
         cents = spark.createDataFrame(
             state.centroid_rows, ann.CENTROID_SCHEMA
         )
         qz = batch.select(
             "vec_id", F.expr(ann.quantize_expr()).alias("qv")
         )
+        # persist around write+count (ADVICE r9): without it the skew
+        # collect() below recomputes the full assign+quantize pipeline
+        # a second time per batch, contradicting the module's
+        # one-scan-of-the-batch design
         p8 = ann.quantize_postings_int8(
             ann.assign_to_centroids(qz, cents)
-        )
-        p8.write.mode("append").partitionBy("cent_id").parquet(
-            f"{index_dir}/postings8"
-        )
-        # skew stat from the BATCH's per-list counts folded into driver
-        # state (C scalars per batch) — re-reading the whole postings
-        # directory every batch would be O(total index) per batch,
-        # contradicting the module's own one-scan-of-the-batch design
-        # (review finding)
-        for r in p8.groupBy("cent_id").count().collect():
+        ).persist()
+        try:
+            p8.write.mode("append").partitionBy("cent_id").parquet(
+                f"{index_dir}/postings8"
+            )
+            # skew stat from the BATCH's per-list counts folded into
+            # driver state (C scalars per batch) — re-reading the whole
+            # postings directory every batch would be O(total index)
+            # per batch (review finding)
+            batch_counts = p8.groupBy("cent_id").count().collect()
+        finally:
+            p8.unpersist()
+        for r in batch_counts:
             state.list_sizes[int(r["cent_id"])] = (
                 state.list_sizes.get(int(r["cent_id"]), 0) + r["count"]
             )

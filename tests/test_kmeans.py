@@ -137,3 +137,40 @@ def test_pq_rerank_recovers_recall(spark):
     assert len(set(exact) & set(rr)) >= len(set(exact) & pure)
     for key in set(exact) & set(rr):
         assert exact[key] == rr[key]  # re-rank scores are exact dots
+
+
+def test_pq_non_default_m_sub_slices_queries_correctly(spark):
+    # ADVICE r10: pq_serve_topk used the module-level SUB_DIMS in its
+    # LUT expression while the rest of the PQ stack parameterizes on
+    # m_sub — a codebook trained with non-default m_sub would silently
+    # mis-slice query subvectors. Pin the ADC dots against a
+    # driver-side numpy recomputation at m_sub=4.
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    emb = read_table(spark, SF, "embeddings")
+    cents, _ = ann.train_centroids(emb, compute_inertia=False)
+    m_sub = 4
+    rows = ann.pq_train_codebook_rows(emb, m_sub=m_sub)
+    sub_dims = ann.DIMS // m_sub
+    assert all(len(cw) == sub_dims for _, _, cw in rows)
+    out = ann.ivf_topk_pq(emb, cents, rows).collect()
+    assert out
+    qz_df = emb.select("vec_id", F.expr(ann.quantize_expr()).alias("qv"))
+    qz = {r.vec_id: np.asarray(r.qv, dtype=np.int64)
+          for r in qz_df.collect()}
+    codes = {
+        r.vec_id: list(r.codes)
+        for r in ann.pq_encode(
+            ann.assign_to_centroids(qz_df, cents), rows
+        ).collect()
+    }
+    cb = {(m, c): np.asarray(cw, dtype=np.int64) for m, c, cw in rows}
+    for r in out:
+        q = qz[r.query_id]
+        expect = sum(
+            int(q[m * sub_dims:(m + 1) * sub_dims]
+                @ cb[(m, codes[r.vec_id][m])])
+            for m in range(m_sub)
+        )
+        assert r.adot == expect, (r.query_id, r.vec_id)

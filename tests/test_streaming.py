@@ -269,3 +269,29 @@ def test_streaming_neardup_cross_batch_state(spark):
     assert found.get((3, 7)) == 1
     assert not any(1 in p for p in found)  # unrelated doc never pairs
     assert st.batches_done == 3
+
+
+def test_ivf_append_reused_index_dir_is_cleared(spark, tmp_path):
+    # ADVICE r10: the per-batch postings writes are mode(append), so a
+    # second ingestion into the SAME index_dir must clear the stale
+    # postings8 layout on batch 0 — otherwise every vector is silently
+    # duplicated in the durable index (centroids were already overwrite
+    # for exactly this reuse case; the guard must be consistent)
+    from geneticalgorithmsusingmapreduce_spark.sources.registry import (
+        read_table,
+    )
+    from geneticalgorithmsusingmapreduce_spark.streaming import ivf_append
+
+    emb = read_table(spark, SF, "embeddings")
+    n = emb.count()
+    d = str(tmp_path / "idx")
+    st = ivf_append.start_ivf_append(
+        spark, emb, d, n_batches=2, n_centroids=4, iters=1
+    )
+    assert st.batches_done == 2
+    assert spark.read.parquet(f"{d}/postings8").count() == n
+    st2 = ivf_append.start_ivf_append(
+        spark, emb, d, n_batches=2, n_centroids=4, iters=1
+    )
+    assert st2.batches_done == 2
+    assert spark.read.parquet(f"{d}/postings8").count() == n  # not 2n
