@@ -1657,6 +1657,68 @@ def corpus_curation_chunk_neardup(
     )
 
 
+# FULL-corpus containment fixture (r9 VERDICT "Next round" #2): the
+# same planted-excerpt structure as _CC_DOCS but over the WHOLE
+# documents table — the production shape the 1-in-4 slice deferred.
+# The candidate-restricted pipeline makes this affordable: the chunk
+# stage's input is the inverted-index candidate set, not every
+# doc-stage survivor (the full-corpus unrestricted attempt measured
+# 14.84× at the sf100 decade; archived in .localdata/attempts_r9).
+_CC_FULL_DUCK = """(
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id,
+         array_to_string(toks[1:7], ' ') || ' zq' ||
+         cast(doc_id as varchar) || ' ' ||
+         array_to_string(toks[9:32], ' ') AS text
+  FROM (SELECT doc_id,
+               list_filter(string_split(text, ' '), t -> t != '') AS toks
+        FROM documents) _t
+  WHERE len(toks) >= 80 AND doc_id % 20 = 0
+)"""
+
+
+def _cc_full_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = "filter(split(text, ' '), t -> t != '')"
+    ex = docs.filter(
+        F.expr(f"size({toks}) >= 80 AND doc_id % 20 = 0")
+    ).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.expr(
+            f"concat(array_join(slice({toks}, 1, 7), ' '), ' zq', "
+            f"cast(doc_id as string), ' ', "
+            f"array_join(slice({toks}, 9, 24), ' '))"
+        ).alias("text"),
+    )
+    return docs.unionByName(ex)
+
+
+@register(
+    "corpus_curation_chunk_containment",
+    f"SELECT * FROM "
+    f"{pipeline_ops.duck_curate_chunk_containment_sql(_CC_FULL_DUCK)} _q",
+)
+def corpus_curation_chunk_containment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The chunk-containment curation pipeline over the FULL corpus,
+    via CANDIDATE-RESTRICTED chunking (r9 VERDICT "Next round" #2):
+    gates → exact dedup → doc-level near-dup → inverted-index
+    containment candidates (docs sharing ≥ 4 shingles with document
+    frequency ≤ 50) → chunk near-dup over the CANDIDATES only →
+    containment drop → split. Same planted-excerpt fixture as the
+    sliced sibling, full-size: the excerpts survive every doc-level
+    stage by construction and collapse at the chunk stage; the
+    candidate restriction provably keeps each (base, excerpt) pair —
+    they share ~24 rare trigrams — so restricted output ≡ unrestricted
+    (pinned in tests/test_chunk_dedup.py). The oracle replays the
+    restriction symbolically."""
+    return pipeline_ops.curate_corpus_chunk_containment(
+        _cc_full_docs(spark, sf_dir)
+    )
+
+
 def _dataset_fingerprint(sf_dir: str, table: str) -> tuple:
     """Cheap content fingerprint of one parquet table — (name, size,
     mtime_ns) per file — folded into every per-process cache key so a

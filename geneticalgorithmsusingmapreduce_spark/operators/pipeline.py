@@ -354,11 +354,16 @@ def _neardup_kept(
     lang: str = "en",
     min_tokens: int = 12,
     max_bucket: int | None = 64,
+    return_shingles: bool = False,
 ) -> DataFrame:
     """Stages 1-3 of the curation pipeline (gates → exact-digest dedup →
     doc-level near-dup cluster collapse), shared by curate_corpus_neardup
-    and the chunk-composed variant. Output: [doc_id, n_tokens,
-    dup_count, nd_dropped] — the doc-level survivors, pre-split."""
+    and the chunk-composed variants. Output: [doc_id, n_tokens,
+    dup_count, nd_dropped] — the doc-level survivors, pre-split.
+    ``return_shingles=True`` additionally returns the persisted
+    (doc_id, sh64) shingle rows of the exact-dedup survivors, so the
+    containment candidate stage can reuse them instead of re-tokenizing
+    the corpus."""
     from . import dedup as dedup_ops, textops as tx
 
     facets = docs.select(
@@ -392,7 +397,7 @@ def _neardup_kept(
     sizes = clusters.groupBy("cluster_id").agg(
         (F.count(F.lit(1)) - 1).alias("nd_dropped")
     ).select(F.col("cluster_id").alias("rep_id"), "nd_dropped")
-    return (
+    kept = (
         survivors.join(clusters, "doc_id", "left")
         .filter("cluster_id IS NULL OR cluster_id = doc_id")
         .join(sizes, F.col("doc_id") == F.col("rep_id"), "left")
@@ -401,6 +406,9 @@ def _neardup_kept(
             F.coalesce("nd_dropped", F.lit(0)).alias("nd_dropped"),
         )
     )
+    if return_shingles:
+        return kept, shingles
+    return kept
 
 
 def curate_corpus_chunk_neardup(
@@ -441,10 +449,30 @@ def curate_corpus_chunk_neardup(
     pm, split]."""
     kept = scoped_persist(_neardup_kept(docs, lang, min_tokens, max_bucket))
     kdocs = docs.join(kept.select("doc_id"), "doc_id", "leftsemi")
+    cpairs = chunk_near_dup_pairs(
+        kdocs, chunk_tokens, stride, max_bucket, chunk_tau_milli
+    )
+    return _containment_drop(
+        kept, cpairs, chunk_tokens, stride, chunk_drop_pm,
+        seed, train_pm, val_pm,
+    )
+
+
+def _containment_drop(
+    kept: DataFrame,
+    cpairs_raw: DataFrame,
+    chunk_tokens: int,
+    stride: int,
+    chunk_drop_pm: int,
+    seed: int,
+    train_pm: int,
+    val_pm: int,
+) -> DataFrame:
+    """Shared tail of the chunk-composed pipelines: chunk-pair evidence →
+    per-doc matched-chunk counts → closed-form chunk totals → containment
+    drop → absorption attribution → split."""
     cpairs = scoped_persist(
-        chunk_near_dup_pairs(
-            kdocs, chunk_tokens, stride, max_bucket, chunk_tau_milli
-        ).filter(F.col("doc_a") != F.col("doc_b"))
+        cpairs_raw.filter(F.col("doc_a") != F.col("doc_b"))
     )
     # composite chunk keys sort (doc, chunk) lexicographically, so
     # doc_a <= doc_b always: doc_b is the LATER doc — the drop side
@@ -488,6 +516,88 @@ def curate_corpus_chunk_neardup(
     ).select(
         "doc_id", "n_tokens", "dup_count", "nd_dropped", "cc_absorbed",
         "pm", "split",
+    )
+
+
+def curate_corpus_chunk_containment(
+    docs: DataFrame,
+    lang: str = "en",
+    min_tokens: int = 12,
+    seed: int = 42,
+    train_pm: int = 800,
+    val_pm: int = 100,
+    max_bucket: int | None = 64,
+    chunk_tokens: int = 32,
+    stride: int = 16,
+    chunk_tau_milli: int = 500,
+    chunk_drop_pm: int = 500,
+    cand_max_df: int = 50,
+    cand_min_shared: int = 4,
+) -> DataFrame:
+    """curate_corpus_chunk_neardup with CANDIDATE-RESTRICTED chunking —
+    the full-corpus scale path (r9 VERDICT "Next round" #2).
+
+    The unrestricted composition chunks EVERY doc-stage survivor; at the
+    sf100 decade that measured 14.84× because 4.74M survivors all flowed
+    into chunk→shingle→minhash. But a doc can only lose chunks to an
+    earlier doc it SHARES SHINGLE MASS with: a containment drop needs
+    ≥ chunk_drop_pm per-mille of its chunks at chunk-Jaccard ≥
+    chunk_tau_milli, which forces tens of shared doc-level trigram
+    shingles in absolute count. So the chunk stage's input is restricted
+    to docs that share ≥ cand_min_shared INDEXED shingles (document
+    frequency ≤ cand_max_df — the ngram_jaccard_pairs inverted-index
+    prunings re-applied) with at least one other survivor.
+
+    The candidate stage REUSES the doc-shingle rows stage 3 already
+    persisted (filtered to kept docs — no re-tokenization), builds
+    df-capped posting lists in one shuffle, and expands ≤ cand_max_df²
+    pairs per shingle. Restriction recall: a droppable doc's shared
+    shingle mass is large in absolute terms (a 32-token chunk at J ≥ 0.5
+    shares ≥ ~16 of its ~30 trigrams), so missing it needs nearly ALL
+    shared shingles hotter than cand_max_df — pure boilerplate overlap,
+    the same recall argument (and the same honesty discipline: measured,
+    not assumed — tests pin restricted ≡ unrestricted on the planted
+    corpus) as the hot-bucket guard. The oracle replays the restriction
+    symbolically, so the gate hash is exact by construction.
+
+    At 100 TB: stages 1-3 unchanged; the candidate stage is one
+    df-capped posting-list shuffle over already-persisted shingle rows;
+    the chunk stage sees the candidate set, not the corpus."""
+    kept, shingles = _neardup_kept(
+        docs, lang, min_tokens, max_bucket, return_shingles=True
+    )
+    kept = scoped_persist(kept)
+    # shingle rows are per-OCCURRENCE; collect_set dedups doc ids per
+    # shingle, so df and the per-pair shared counts are over distinct
+    # (doc, shingle) — exactly the oracle's DISTINCT projection
+    ksh = shingles.select("doc_id", "sh64").join(
+        kept.select("doc_id"), "doc_id", "leftsemi"
+    )
+    postings = (
+        ksh.groupBy("sh64")
+        .agg(F.collect_set("doc_id").alias("ds"))
+        .filter(F.size("ds").between(2, cand_max_df))
+    )
+    cand_pairs = (
+        postings.select(F.explode("ds").alias("doc_a"), "ds")
+        .select("doc_a", F.explode("ds").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= cand_min_shared)
+    )
+    cand_docs = (
+        cand_pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand_pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    cdocs = docs.join(cand_docs, "doc_id", "leftsemi")
+    cpairs = chunk_near_dup_pairs(
+        cdocs, chunk_tokens, stride, max_bucket, chunk_tau_milli
+    )
+    return _containment_drop(
+        kept, cpairs, chunk_tokens, stride, chunk_drop_pm,
+        seed, train_pm, val_pm,
     )
 
 
@@ -562,6 +672,40 @@ def duck_curate_neardup_sql(
     )"""
 
 
+def _duck_containment_tail_ctes(
+    cpairs_sql: str,
+    chunk_tokens: int,
+    stride: int,
+    chunk_drop_pm: int,
+) -> str:
+    """Shared oracle tail (twin of _containment_drop): chunk pairs →
+    matched counts → closed-form chunk totals → drop → attribution.
+    Defines _cp, _mc, _nc, _drop, _attr, _final over _kept0."""
+    return f"""_cp AS MATERIALIZED (
+        SELECT doc_a, chunk_a, doc_b, chunk_b FROM {cpairs_sql} _c
+        WHERE doc_a != doc_b
+      ),
+      _mc AS (SELECT doc_b AS doc_id, count(DISTINCT chunk_b) AS mc
+              FROM _cp GROUP BY doc_b),
+      _nc AS (SELECT doc_id,
+              cast(ceil(greatest(n_tokens - {chunk_tokens}, 0) /
+                   {stride}.0) as int) + 1 AS nc
+              FROM _kept0),
+      _drop AS (SELECT m.doc_id FROM _mc m JOIN _nc n USING (doc_id)
+                WHERE m.mc * 1000 >= {chunk_drop_pm} * n.nc),
+      _attr AS (SELECT rep, count(*) AS cc_absorbed FROM (
+                  SELECT doc_b, min(doc_a) AS rep FROM _cp
+                  WHERE doc_b IN (SELECT doc_id FROM _drop)
+                  GROUP BY doc_b) _a GROUP BY rep),
+      _final AS (
+        SELECT k.doc_id, k.n_tokens, k.dup_count, k.nd_dropped,
+               coalesce(a.cc_absorbed, 0) AS cc_absorbed
+        FROM _kept0 k
+        LEFT JOIN _attr a ON a.rep = k.doc_id
+        WHERE k.doc_id NOT IN (SELECT doc_id FROM _drop)
+      )"""
+
+
 def duck_curate_chunk_neardup_sql(
     docs_sql: str,
     lang: str = "en",
@@ -587,31 +731,72 @@ def duck_curate_chunk_neardup_sql(
         "SELECT * FROM _final _k", key="doc_id", seed=seed,
         train_pm=train_pm, val_pm=val_pm,
     )
+    tail = _duck_containment_tail_ctes(
+        cpairs, chunk_tokens, stride, chunk_drop_pm
+    )
     return f"""(
       WITH {ctes},
-      _cp AS MATERIALIZED (
-        SELECT doc_a, chunk_a, doc_b, chunk_b FROM {cpairs} _c
-        WHERE doc_a != doc_b
-      ),
-      _mc AS (SELECT doc_b AS doc_id, count(DISTINCT chunk_b) AS mc
-              FROM _cp GROUP BY doc_b),
-      _nc AS (SELECT doc_id,
-              cast(ceil(greatest(n_tokens - {chunk_tokens}, 0) /
-                   {stride}.0) as int) + 1 AS nc
-              FROM _kept0),
-      _drop AS (SELECT m.doc_id FROM _mc m JOIN _nc n USING (doc_id)
-                WHERE m.mc * 1000 >= {chunk_drop_pm} * n.nc),
-      _attr AS (SELECT rep, count(*) AS cc_absorbed FROM (
-                  SELECT doc_b, min(doc_a) AS rep FROM _cp
-                  WHERE doc_b IN (SELECT doc_id FROM _drop)
-                  GROUP BY doc_b) _a GROUP BY rep),
-      _final AS (
-        SELECT k.doc_id, k.n_tokens, k.dup_count, k.nd_dropped,
-               coalesce(a.cc_absorbed, 0) AS cc_absorbed
-        FROM _kept0 k
-        LEFT JOIN _attr a ON a.rep = k.doc_id
-        WHERE k.doc_id NOT IN (SELECT doc_id FROM _drop)
-      )
+      {tail}
+      SELECT doc_id, n_tokens, dup_count, nd_dropped, cc_absorbed,
+             pm, split
+      FROM {assigned} _o
+    )"""
+
+
+def duck_curate_chunk_containment_sql(
+    docs_sql: str,
+    lang: str = "en",
+    min_tokens: int = 12,
+    seed: int = 42,
+    train_pm: int = 800,
+    val_pm: int = 100,
+    max_bucket: int | None = 64,
+    chunk_tokens: int = 32,
+    stride: int = 16,
+    chunk_tau_milli: int = 500,
+    chunk_drop_pm: int = 500,
+    cand_max_df: int = 50,
+    cand_min_shared: int = 4,
+) -> str:
+    """Oracle twin of curate_corpus_chunk_containment: the doc-level
+    CTEs, the inverted-index candidate restriction, and the chunk
+    containment stage over the candidate docs only."""
+    from ..functions import text as text_fns
+
+    ctes = _duck_neardup_kept_ctes(docs_sql, lang, min_tokens, max_bucket)
+    kdocs = "(SELECT doc_id, text FROM _aug WHERE doc_id IN "\
+            "(SELECT doc_id FROM _kept0))"
+    h64 = text_fns.duck_hash64_str("shingle")
+    sh = text_fns.duck_shingle_rows_sql(kdocs)
+    cand_ctes = f"""_ksh AS MATERIALIZED (
+        SELECT DISTINCT doc_id, {h64} AS sh64 FROM {sh} _s),
+      _post AS (SELECT sh64 FROM _ksh GROUP BY sh64
+                HAVING count(*) BETWEEN 2 AND {cand_max_df}),
+      _idx AS (SELECT k.doc_id, k.sh64 FROM _ksh k
+               JOIN _post USING (sh64)),
+      _cnd AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+               FROM _idx a JOIN _idx b
+                 ON a.sh64 = b.sh64 AND a.doc_id < b.doc_id
+               GROUP BY a.doc_id, b.doc_id
+               HAVING count(*) >= {cand_min_shared}),
+      _cdocs AS MATERIALIZED (SELECT doc_a AS doc_id FROM _cnd
+                UNION SELECT doc_b AS doc_id FROM _cnd)"""
+    cdocs = "(SELECT doc_id, text FROM _aug WHERE doc_id IN "\
+            "(SELECT doc_id FROM _cdocs))"
+    cpairs = duck_chunk_near_dup_sql(
+        cdocs, chunk_tokens, stride, max_bucket, chunk_tau_milli
+    )
+    assigned = split_ops.duck_assign_splits_sql(
+        "SELECT * FROM _final _k", key="doc_id", seed=seed,
+        train_pm=train_pm, val_pm=val_pm,
+    )
+    tail = _duck_containment_tail_ctes(
+        cpairs, chunk_tokens, stride, chunk_drop_pm
+    )
+    return f"""(
+      WITH {ctes},
+      {cand_ctes},
+      {tail}
       SELECT doc_id, n_tokens, dup_count, nd_dropped, cc_absorbed,
              pm, split
       FROM {assigned} _o
