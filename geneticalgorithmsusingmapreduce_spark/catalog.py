@@ -3059,6 +3059,65 @@ def emb_ivf_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pq_residual_codebook_rows(spark: SparkSession, sf_dir: str) -> list:
+    key = (
+        os.path.abspath(sf_dir),
+        _dataset_fingerprint(sf_dir, "embeddings"),
+        ann_ops.M_SUB, ann_ops.K_CODES, ann_ops.PQ_ITERS,
+        "residual",
+    )
+    if key not in _PQ_CACHE:
+        emb = read_table(spark, sf_dir, "embeddings")
+        cent_rows = trained_centroid_rows(spark, sf_dir)
+        cents = spark.createDataFrame(cent_rows, ann_ops.CENTROID_SCHEMA)
+        qz = emb.select(
+            "vec_id", F.expr(ann_ops.quantize_expr()).alias("qv")
+        )
+        _PQ_CACHE[key] = ann_ops.pq_train_codebook_rows_residual(
+            ann_ops.assign_to_centroids(qz, cents), cent_rows
+        )
+    return _PQ_CACHE[key]
+
+
+@register(
+    "emb_ivf_recall_pq_residual",
+    f"""
+    (WITH e AS (SELECT query_id, vec_id FROM {ann_ops.duck_topk_sql()} _e),
+          a AS (SELECT query_id, vec_id, 1 AS m
+                FROM {ann_ops.duck_trained_ivf_pq_residual_sql()} _a)
+     SELECT count(a.m) AS hits, count(*) AS total,
+            cast(count(a.m) as double) / count(*) AS recall
+     FROM e LEFT JOIN a USING (query_id, vec_id))
+    """,
+)
+def emb_ivf_recall_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of RESIDUAL-PQ/ADC against the exact brute-force top-k
+    (r9 VERDICT "Next round" #4): the codebook trains on (vector −
+    assigned centroid) — standard IVF-PQ — and the serve adds the
+    candidate list's exact query×centroid dot back. Same 8 bytes/vector
+    as the plain-PQ rung; this row is the measured answer to whether
+    residual encoding lifts pure-code recall on this corpus (the
+    shipping decision lives in BASELINE.md next to the 0.38 plain rung
+    and the re-rank ceiling). Output: 1 row [hits, total, recall]."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    exact = ann_ops.topk_dot(emb).select("query_id", "vec_id")
+    appx = ann_ops.ivf_topk_pq_residual(
+        emb, trained_centroid_rows(spark, sf_dir),
+        _pq_residual_codebook_rows(spark, sf_dir),
+    ).select("query_id", "vec_id", F.lit(1).alias("m"))
+    return (
+        exact.join(appx, ["query_id", "vec_id"], "left")
+        .agg(
+            F.count("m").alias("hits"),
+            F.count(F.lit(1)).alias("total"),
+        )
+        .select(
+            "hits", "total",
+            (F.col("hits").cast("double") / F.col("total")).alias("recall"),
+        )
+    )
+
+
 _IVF_APPEND_DUCK = ann_ops.duck_trained_ivf_int8_sql(
     train_filter="vec_id % 3 = 0"
 )
@@ -3099,6 +3158,45 @@ def emb_ivf_append_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cent_id").cast("long").alias("cent_id"),
         )
         out = ann_ops.ivf_serve_topk_int8(postings, back_cents)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@register(
+    "emb_ivf_rebuild_gen",
+    f"SELECT * FROM {ann_ops.duck_trained_ivf_int8_sql()} _q",
+)
+def emb_ivf_rebuild_gen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index REBUILD as generation N+1 (r9 VERDICT "Next round"
+    #1/#3): generation 0 is the incremental append index (coarse
+    quantizer trained on batch 0 only — the drifted state whose
+    list-skew alarm trips), then streaming/ivf_rebuild.py re-trains on
+    the CURRENT full corpus, re-encodes postings under gen=1, commits it
+    with one atomic marker-file create, and deletes gen 0 — the
+    reference's per-generation directory pattern
+    (``reference src/edu/illinois/ga/MapReduce.java:298-302``) applied
+    to the index lifecycle; the old generation serves until the swap
+    (continuity pinned in tests/test_ivf_lifecycle.py). Serve runs over
+    the swapped-in generation; the oracle is the FROM-SCRATCH static
+    full-corpus build — hash equality proves rebuild ≡ rebuild-from-
+    nothing, the property that makes generational rebuilds safe to
+    automate."""
+    import shutil
+    import tempfile
+
+    from .streaming import ivf_append as ia, ivf_rebuild as ir
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    d = tempfile.mkdtemp(prefix="gamr_ivf_rebuild_")
+    try:
+        ia.start_ivf_append(spark, emb, f"{d}/gen=0", n_batches=3)
+        ir.commit_generation(spark, d, 0)
+        new_gen = ir.rebuild_index(spark, emb, d)
+        assert new_gen == 1 and ir.serve_generation(spark, d) == 1
+        cents, postings = ir.read_serve_tables(spark, d)
+        out = ann_ops.ivf_serve_topk_int8(postings, cents)
         rows = out.collect()
         return spark.createDataFrame(rows, out.schema)
     finally:
