@@ -55,6 +55,56 @@ class IvfAppendState:
     batches_done: int = 0
     history: list = field(default_factory=list)  # (batch, n_rows, skew)
     list_sizes: dict = field(default_factory=dict)  # cent_id → rows
+    compactions: list = field(default_factory=list)  # (cent_id, before, after)
+
+
+def compact_postings_lists(
+    spark: SparkSession,
+    index_dir: str,
+    max_files_per_list: int = 8,
+    target_bytes: int = 128 << 20,
+) -> list[tuple[int, int, int]]:
+    """Threshold-triggered per-list compaction — the layout_compaction
+    pass composed into the append sink's maintenance path (r9 VERDICT
+    "Next round" #5): each micro-batch append lands up to one file per
+    shuffle partition in EVERY cent_id directory, so an ingesting index
+    fragments at batches × partitions files per list. Lists whose
+    data-file count exceeds ``max_files_per_list`` are rewritten at
+    ~target-sized files (sources/layout.py's bytes-derived count — no
+    row scan) into a sibling temp dir, then swapped in. Per-DIRECTORY,
+    never the whole table: only hot lists pay, exactly the 100 TB
+    operational shape (on an object store the swap is a new generation
+    prefix rather than a rename — see streaming/ivf_rebuild.py for the
+    committed-generation discipline). Returns
+    [(cent_id, files_before, files_after), ...] for the caller's
+    ledger; content invariance is pinned in tests (serve output
+    hash-unchanged)."""
+    import os
+    import shutil
+
+    from ..sources import layout
+
+    base = os.path.join(index_dir, "postings8")
+    done: list[tuple[int, int, int]] = []
+    if not os.path.isdir(base):
+        return done
+    for name in sorted(os.listdir(base)):
+        if not name.startswith("cent_id="):
+            continue
+        src = os.path.join(base, name)
+        st = layout.layout_file_stats(src)
+        if st["files"] <= max_files_per_list:
+            continue
+        tmp = src + "__compact"
+        n = layout.files_for_bytes(st["bytes"], target_bytes)
+        spark.read.parquet(src).repartition(n).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        after = layout.layout_file_stats(tmp)["files"]
+        shutil.rmtree(src)
+        os.rename(tmp, src)
+        done.append((int(name.split("=", 1)[1]), st["files"], after))
+    return done
 
 
 def start_ivf_append(
@@ -65,11 +115,15 @@ def start_ivf_append(
     n_centroids: int = ann.N_CENTROIDS,
     iters: int = 3,
     timeout_sec: float = 300,
+    compact_after: int | None = None,
 ) -> IvfAppendState:
     """Ingest ``emb`` [vec_id, embedding] in ``n_batches`` micro-batches
     (routing vec_id % n_batches), appending int8 postings to
     ``index_dir``. Returns the final state; the durable artifact is
-    ``{index_dir}/centroids`` + ``{index_dir}/postings8``."""
+    ``{index_dir}/centroids`` + ``{index_dir}/postings8``.
+    ``compact_after``: run the per-list compaction pass after each
+    batch, rewriting lists holding more than this many data files
+    (None disables — the bare append measured by the base entry)."""
     state = IvfAppendState(index_dir)
 
     def one_batch(_df: DataFrame, _bid: int) -> None:
@@ -133,6 +187,10 @@ def start_ivf_append(
             if counts else 0.0
         )  # max/mean — the re-train alarm value
         state.history.append((b, sum(counts), skew))
+        if compact_after is not None:
+            state.compactions.extend(
+                compact_postings_lists(spark, index_dir, compact_after)
+            )
         state.batches_done = b + 1
 
     stream = (
