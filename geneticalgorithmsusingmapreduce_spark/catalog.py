@@ -2016,6 +2016,46 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_semantic_semdedup",
+    f"SELECT * FROM {ann_ops.duck_semantic_cluster_pairs_sql()} _q",
+)
+def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-restricted semantic near-dup (the SemDeDup recipe, Abbas
+    et al. 2023): exact-integer Lloyd's k-means partitions the space,
+    candidates are INTRA-CLUSTER pairs only (equi-join on cent_id,
+    never all-pairs), the shared Arrow-dot + decimal(38,0) cosine
+    certificate verifies. Same known-answer fixture and τ=0.8 as the
+    LSH sibling dedup_embedding_cosine, so the two candidate policies
+    are directly comparable. Gate keeps C=8/iters=2 so the oracle's
+    symbolic training replay stays static; at scale C is sized ~√n by
+    ann.centroids_for_count (n^1.5 total work vs n² for any fixed C)."""
+    return ann_ops.semantic_cluster_pairs(
+        ann_ops.augmented_embeddings(spark, sf_dir)
+    )
+
+
+# BM25 query fixture: four head-vocab terms with distinct corpus
+# frequencies; static so the oracle string is static.
+BM25_TERMS = ["vector", "stream", "window", "merge"]
+
+
+@register(
+    "text_bm25_topk",
+    f"SELECT * FROM {textops.duck_bm25_topk_sql(BM25_TERMS, 20)} _q",
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 ranked retrieval for a fixed 4-term query — the
+    corpus-audit / decontamination-triage search a curation pipeline
+    runs. Fully map-side term frequencies (no posting-list exchange):
+    one scan → 1-row stats broadcast → per-term int64-micro scoring →
+    TakeOrderedAndProject."""
+    return textops.bm25_topk(
+        read_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        BM25_TERMS, 20,
+    )
+
+
+@register(
     "dedup_cosine_banded",
     f"SELECT * FROM {ann_ops.duck_cosine_near_pairs_banded_sql(n_planes=16, bands=4)} _q",
 )

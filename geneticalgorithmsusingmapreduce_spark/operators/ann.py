@@ -2001,3 +2001,145 @@ def duck_cosine_near_pairs_banded_sql(
         AND 1000000::HUGEINT * dot::HUGEINT * dot::HUGEINT
             >= {t2}::HUGEINT * na2::HUGEINT * nb2::HUGEINT
     )"""
+
+
+# --------------------------------------------------------------------------
+# Cluster-restricted semantic dedup (SemDeDup-shaped, r10 extension):
+# k-means partitions the embedding space, near-dup candidates are
+# intra-cluster pairs only — the published scale recipe for semantic
+# dedup over web-scale corpora (Abbas et al., "SemDeDup", 2023): the
+# candidate set shrinks from n²/2 to Σ|cluster|²/2 ≈ n²/(2C), and every
+# cluster's pair join is independent, so the work is embarrassingly
+# parallel across cluster ids.
+# --------------------------------------------------------------------------
+
+def centroids_for_count(n_vecs: int, min_centroids: int = 8) -> int:
+    """Cluster-count sizing rule for the SemDeDup restriction: C ≈ √n
+    (power of two) balances the two scale terms — assignment cost n·C
+    against intra-cluster candidate volume n²/(2C); both are n^1.5 at
+    C = √n, vs n² for any FIXED C. Same rule family as planes_for_count
+    / buckets_for_pop: size the partitioning dial to the corpus, never
+    ship a constant that silently goes quadratic a decade later."""
+    import math
+
+    if n_vecs <= 1:
+        return min_centroids
+    return max(min_centroids, 2 ** round(math.log2(math.sqrt(n_vecs))))
+
+
+def semantic_cluster_pairs(
+    emb: DataFrame, tau_milli: int = 800,
+    n_centroids: int = N_CENTROIDS, iters: int = 2,
+) -> DataFrame:
+    """Semantic near-dup pairs under the SemDeDup cluster restriction:
+    train C coarse centroids (the exact-integer Lloyd's of the IVF
+    stack), assign every vector to its argmax-dot list, then verify the
+    exact integer cosine certificate on INTRA-CLUSTER pairs only.
+
+    Differs from cosine_near_pairs (sign-LSH buckets) in recall shape:
+    LSH buckets drop near pairs probabilistically per plane; the
+    cluster restriction drops exactly the pairs whose members quantize
+    to different Voronoi cells — the SemDeDup trade, bounded by
+    training quality rather than plane count. Candidates per cluster
+    join on cent_id (equi-join, never all-pairs across clusters);
+    verification reuses the shared Arrow dot kernel + decimal(38,0)
+    certificate, so results are directly comparable with the LSH and
+    exact-NLJ siblings. Output: [vec_a, vec_b, dot, na2, nb2].
+
+    At 100 TB: n·C assignment dots + n²/(2C) in-cluster candidates;
+    size C with centroids_for_count (√n) for n^1.5 total work. The
+    registered gate entry keeps C = N_CENTROIDS so the oracle's
+    training replay stays static (the emb_ivf convention).
+
+    Assignment is ONE Arrow kernel pass (quantize + blocked int64
+    matmul argmax + self-norm per batch) rather than
+    assign_to_centroids' broadcast crossJoin: the SQL shape
+    materializes n·C rows through codegen, which at the √n-sized C of
+    the third decade is n^1.5 ROWS (4.5e9 at 2.2M vectors) — the
+    kernel keeps the same integers (np.argmax first-max ≡
+    max_by(cent_id, struct(cdot, -cent_id)) tie-break) and emits
+    exactly n rows."""
+    import numpy as np
+
+    rows, _ = train_centroid_rows(
+        emb, n_centroids, iters, compute_inertia=False
+    )
+    cm = np.array([cv for _, cv in sorted(rows)], dtype=np.int64)  # (C, D)
+    cent_ids = np.array([cid for cid, _ in sorted(rows)], dtype=np.int64)
+
+    def assign_kernel(batches):
+        import pandas as pd
+
+        from ..functions import bits as _bits
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            xm = np.floor(
+                _bits.np_stack_cells(pdf["embedding"], dtype="float64")
+                * SCALE + 0.5
+            ).astype(np.int64)  # (N, D)
+            best = np.argmax(xm @ cm.T, axis=1)  # max dot, lowest-id tie
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"].to_numpy(),
+                "cent_id": cent_ids[best],
+                "qv": list(xm),
+                "n2": (xm * xm).sum(axis=1),
+            })
+
+    base = scoped_persist(
+        emb.select("vec_id", "embedding")
+        .mapInPandas(
+            assign_kernel,
+            schema="vec_id long, cent_id long, qv array<long>, n2 long",
+        )
+        .filter(F.col("n2") > 0)
+    )
+    a, b = base.alias("a"), base.alias("b")
+    cand = (
+        a.join(b, "cent_id")
+        .filter(F.expr("a.vec_id < b.vec_id"))
+        .select(
+            F.expr("a.vec_id").alias("vec_a"),
+            F.expr("b.vec_id").alias("vec_b"),
+            F.expr("a.qv").alias("qa"), F.expr("b.qv").alias("qb"),
+            F.expr("a.n2").alias("na2"), F.expr("b.n2").alias("nb2"),
+        )
+    )
+    return _verify_cosine_candidates(cand, tau_milli)
+
+
+def duck_semantic_cluster_pairs_sql(
+    tau_milli: int = 800, n_centroids: int = N_CENTROIDS,
+    iters: int = 2, table: str = DUCK_AUG_EMB,
+) -> str:
+    """Twin of semantic_cluster_pairs: full symbolic Lloyd's replay
+    (_duck_kmeans_ctes), the same argmax-dot assignment as
+    duck_trained_ivf_sql, intra-cluster pairs, HUGEINT certificate."""
+    ctes, prev = _duck_kmeans_ctes(n_centroids, iters, table)
+    ctes.append(
+        f"asgn AS (SELECT vec_id, qv, cent_id FROM ("
+        f"SELECT v.vec_id, v.qv, c.cent_id, "
+        f"row_number() OVER (PARTITION BY v.vec_id "
+        f"ORDER BY {_duck_ldot('v.qv', 'c.cv')} DESC, c.cent_id ASC) AS arn "
+        f"FROM qz v CROSS JOIN {prev} c) _a WHERE arn = 1)"
+    )
+    ctes.append(
+        f"withn2 AS (SELECT vec_id, cent_id, qv, "
+        f"{_duck_ldot('qv', 'qv')} AS n2 FROM asgn)"
+    )
+    body = ",\n      ".join(ctes)
+    dot = _duck_ldot("a.qv", "b.qv")
+    t2 = tau_milli * tau_milli
+    return f"""(
+      WITH {body}
+      SELECT vec_a, vec_b, dot, na2, nb2 FROM (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {dot} AS dot,
+               a.n2 AS na2, b.n2 AS nb2
+        FROM withn2 a JOIN withn2 b
+          ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+      ) _p
+      WHERE na2 > 0 AND nb2 > 0 AND dot >= 0
+        AND 1000000::HUGEINT * dot::HUGEINT * dot::HUGEINT
+            >= {t2}::HUGEINT * na2::HUGEINT * nb2::HUGEINT
+    )"""

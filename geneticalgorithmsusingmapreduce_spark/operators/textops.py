@@ -838,3 +838,141 @@ def duck_redact_pii_sql(docs_sql: str) -> str:
         FROM {docs_sql} _p
       ) _e
     )"""
+
+
+# --------------------------------------------------------------------------
+# BM25 ranked keyword search (r10 extension — the retrieval operator a
+# curation pipeline runs for targeted audits, decontamination triage,
+# and topic slicing over a 100 TB corpus)
+# --------------------------------------------------------------------------
+
+BM25_K1 = "1.2"   # Robertson k1, emitted as an identical literal in
+BM25_B = "0.75"   # both dialects so the double arithmetic is bit-equal
+
+
+def bm25_topk(docs: DataFrame, terms: list[str], k: int = 20) -> DataFrame:
+    """BM25 top-k document retrieval for a fixed term query, fully
+    map-side: NO posting-list shuffle at any scale.
+
+    Instead of explode→filter→groupBy (which exchanges one row per
+    matching token occurrence), per-doc term frequencies come from
+    literal ``size(filter(toks, t -> t = term))`` projections — one
+    corpus scan emits [doc_id, dl, tf_0..tf_m]. Corpus statistics
+    (N, total tokens, per-term document frequencies) partial-aggregate
+    to ONE row that broadcasts back; the Lucene-style idf
+    ln(1 + (N − df + 0.5)/(df + 0.5)) and the tf saturation
+    tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl)) are computed per (doc,
+    term) and ROUNDED TO INT64 MICRO-UNITS per term before the score
+    sum — integer addition is order-free, so the cross-engine hash
+    cannot be broken by float summation order (house integer-output
+    discipline; the only transcendental, ln, is quantized at 1e6 where
+    a ULP disagreement cannot move the rounded value). Top-k is
+    TakeOrderedAndProject on (score desc, doc_id asc) — deterministic
+    ties, no full sort.
+
+    At 100 TB: one scan, a scalar-sized exchange for the stats row, a
+    broadcast back, and a per-partition top-k — the same plan shape at
+    any corpus size. Output: [doc_id, score_micro]."""
+    toks = text.SPARK_TOKENS
+    tf_cols = [
+        F.expr(
+            f"cast(size(filter({toks}, t -> t = '{t}')) as bigint)"
+        ).alias(f"tf_{i}")
+        for i, t in enumerate(terms)
+    ]
+    per_doc = docs.select(
+        "doc_id",
+        F.expr(f"cast(size({toks}) as bigint)").alias("dl"),
+        *tf_cols,
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_toks"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    avgdl = "(cast(total_toks as double) / n_docs)"
+
+    def idf(i: int) -> str:
+        # Lucene BM25 idf, quantized to int64 micro-units
+        return (
+            f"cast(floor(1000000.0 * ln(1.0 + "
+            f"(cast(n_docs - df_{i} as double) + 0.5) / "
+            f"(cast(df_{i} as double) + 0.5)) + 0.5) as bigint)"
+        )
+
+    def contrib(i: int) -> str:
+        sat = (
+            f"((cast(tf_{i} as double) * ({BM25_K1} + 1.0)) / "
+            f"(cast(tf_{i} as double) + {BM25_K1} * "
+            f"(1.0 - {BM25_B} + {BM25_B} * (cast(dl as double) / {avgdl}))))"
+        )
+        return (
+            f"CASE WHEN tf_{i} > 0 THEN "
+            f"cast(floor({idf(i)} * {sat} + 0.5) as bigint) ELSE 0 END"
+        )
+
+    score = " + ".join(f"({contrib(i)})" for i in range(len(terms)))
+    return (
+        per_doc.crossJoin(F.broadcast(stats))
+        .select("doc_id", F.expr(score).alias("score_micro"))
+        .filter(F.col("score_micro") > 0)
+        .orderBy(F.desc("score_micro"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def duck_bm25_topk_sql(terms: list[str], k: int = 20,
+                       docs_sql: str = "documents") -> str:
+    """Twin of bm25_topk: identical literals, identical association, the
+    same per-term int64 quantization before the score sum."""
+    toks = text.DUCK_TOKENS
+    tf_cols = ", ".join(
+        f"cast(len(list_filter({toks}, t -> t = '{t}')) as bigint)"
+        f" AS tf_{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ", ".join(
+        f"sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(terms))
+    )
+    avgdl = "(cast(total_toks as double) / n_docs)"
+
+    def idf(i: int) -> str:
+        return (
+            f"cast(floor(1000000.0 * ln(1.0 + "
+            f"(cast(n_docs - df_{i} as double) + 0.5) / "
+            f"(cast(df_{i} as double) + 0.5)) + 0.5) as bigint)"
+        )
+
+    def contrib(i: int) -> str:
+        sat = (
+            f"((cast(tf_{i} as double) * ({BM25_K1} + 1.0)) / "
+            f"(cast(tf_{i} as double) + {BM25_K1} * "
+            f"(1.0 - {BM25_B} + {BM25_B} * (cast(dl as double) / {avgdl}))))"
+        )
+        return (
+            f"CASE WHEN tf_{i} > 0 THEN "
+            f"cast(floor({idf(i)} * {sat} + 0.5) as bigint) ELSE 0 END"
+        )
+
+    score = " + ".join(f"({contrib(i)})" for i in range(len(terms)))
+    return f"""(
+      WITH per_doc AS (
+        SELECT doc_id, cast(len({toks}) as bigint) AS dl, {tf_cols}
+        FROM {docs_sql} _b
+      ),
+      stats AS (
+        SELECT count(*) AS n_docs, sum(dl) AS total_toks, {df_cols}
+        FROM per_doc
+      )
+      SELECT doc_id, score_micro FROM (
+        SELECT doc_id, {score} AS score_micro
+        FROM per_doc CROSS JOIN stats
+      ) _s
+      WHERE score_micro > 0
+      ORDER BY score_micro DESC, doc_id ASC
+      LIMIT {k}
+    )"""

@@ -1,0 +1,155 @@
+"""r10 extensions: BM25 ranked retrieval + SemDeDup cluster-restricted
+semantic near-dup."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from geneticalgorithmsusingmapreduce_spark.operators import ann, textops
+
+SF = "/root/testdata/sf0.001"
+
+
+def _bm25_expected(docs: list[tuple[int, str]], terms: list[str], k: int):
+    """Reference recompute in plain Python doubles — same association,
+    same per-term int64 quantization as both engines."""
+    toked = {
+        d: [t for t in txt.lower().split(" ") if t] for d, txt in docs
+    }
+    n = len(docs)
+    total = sum(len(t) for t in toked.values())
+    avgdl = float(total) / n
+    scores = {}
+    for i, term in enumerate(terms):
+        df = sum(1 for t in toked.values() if term in t)
+        idf = math.floor(
+            1_000_000.0 * math.log(
+                1.0 + (float(n - df) + 0.5) / (float(df) + 0.5)
+            ) + 0.5
+        )
+        for d, t in toked.items():
+            tf = t.count(term)
+            if tf == 0:
+                continue
+            dl = len(t)
+            sat = (float(tf) * (1.2 + 1.0)) / (
+                float(tf) + 1.2 * (1.0 - 0.75 + 0.75 * (float(dl) / avgdl))
+            )
+            scores[d] = scores.get(d, 0) + math.floor(idf * sat + 0.5)
+    ranked = sorted(
+        ((d, s) for d, s in scores.items() if s > 0),
+        key=lambda x: (-x[1], x[0]),
+    )
+    return ranked[:k]
+
+
+def test_bm25_matches_reference_recompute(spark):
+    docs = [
+        (0, "spark merge window merge merge"),
+        (1, "the the the the the the the the the the spark"),
+        (2, "window window spark"),
+        (3, "vector stream data"),
+        (4, "no match here"),
+        (5, ""),
+        (6, "merge"),
+    ]
+    terms = ["merge", "window", "absentterm"]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = [
+        (r.doc_id, r.score_micro)
+        for r in textops.bm25_topk(df, terms, 3).collect()
+    ]
+    assert got == _bm25_expected(docs, terms, 3)
+
+
+def test_bm25_tie_break_and_k_bound(spark):
+    # identical docs tie exactly in score → doc_id ascending decides
+    docs = [(i, "merge data") for i in range(5)] + [(9, "other")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = textops.bm25_topk(df, ["merge"], 3).collect()
+    assert [r.doc_id for r in got] == [0, 1, 2]
+    assert len({r.score_micro for r in got}) == 1
+
+
+def test_bm25_plan_is_mapside_no_wide_exchange(spark):
+    # the whole retrieval must be scan → scalar stats → broadcast →
+    # TakeOrdered: no hash-partitioned exchange anywhere (no posting
+    # shuffle), top-k without a global sort
+    from geneticalgorithmsusingmapreduce_spark.sources.registry import (
+        read_table,
+    )
+
+    df = textops.bm25_topk(
+        read_table(spark, SF, "documents").select("doc_id", "text"),
+        ["vector", "stream"], 10,
+    )
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in p
+    assert "hashpartitioning" not in p
+    assert "BroadcastExchange" in p
+
+
+def test_semdedup_subset_of_exact_and_finds_plants(spark):
+    aug = ann.augmented_embeddings(spark, SF)
+    sem = {
+        (r.vec_a, r.vec_b, r.dot, r.na2, r.nb2)
+        for r in ann.semantic_cluster_pairs(aug).collect()
+    }
+    exact = {
+        (r.vec_a, r.vec_b, r.dot, r.na2, r.nb2)
+        for r in ann.exact_cosine_pairs(aug).collect()
+    }
+    # the cluster restriction can only DROP pairs, never invent them
+    assert sem <= exact
+    # planted perturbed copies are ~colinear with their source — the
+    # clustering must keep most of them co-located
+    plants = {p for p in sem if p[1] == p[0] + 1_000_000}
+    assert len(plants) > 0
+
+
+def test_semdedup_engine_parity_nondefault_params(spark):
+    # gate pins C=8/iters=2; pin the PARAMETERIZATION too (a hardcoded
+    # constant in either dialect would pass the gate and fail here)
+    import duckdb
+
+    aug = ann.augmented_embeddings(spark, SF)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{SF}/embeddings.parquet')"
+    )
+    got = {
+        (r.vec_a, r.vec_b, r.dot, r.na2, r.nb2)
+        for r in ann.semantic_cluster_pairs(
+            aug, tau_milli=700, n_centroids=4, iters=1
+        ).collect()
+    }
+    duck = {
+        tuple(r) for r in con.sql(
+            "SELECT * FROM " + ann.duck_semantic_cluster_pairs_sql(
+                tau_milli=700, n_centroids=4, iters=1
+            ) + " _q"
+        ).fetchall()
+    }
+    assert got == duck
+    assert len(got) > 0
+
+
+def test_centroids_for_count_rule():
+    # √n, power of two, floor at 8 — the n^1.5 balance point between
+    # n·C assignment and n²/(2C) intra-cluster candidates
+    assert ann.centroids_for_count(100) == 8
+    assert ann.centroids_for_count(220_000) == 512
+    assert ann.centroids_for_count(2_200_000) == 2048
+
+
+def test_semdedup_assignment_exchange_is_skinny(spark):
+    # the intra-cluster self-join must not re-quantize: both sides read
+    # the persisted kernel output, and no exchange carries the raw
+    # float embedding column
+    aug = ann.augmented_embeddings(spark, SF)
+    df = ann.semantic_cluster_pairs(aug)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in p
