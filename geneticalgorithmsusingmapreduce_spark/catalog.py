@@ -2056,6 +2056,36 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_unigram_logppl",
+    f"SELECT * FROM {textops.duck_unigram_logppl_sql('documents')} _q",
+)
+def text_unigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality signal: per-doc negative log-likelihood
+    under the corpus's own unigram LM, integer micro-nats. Two linear
+    passes + one broadcast-eligible vocab join; the doc-level re-agg
+    rides the (doc_id, tok) partitioning."""
+    return textops.unigram_logppl(
+        read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+
+
+@register(
+    "emb_diversity_sample",
+    f"SELECT * FROM {ann_ops.duck_cluster_balanced_sample_sql()} _q",
+)
+def emb_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced diversity draw: k-means strata + per-cluster
+    hash-ranked quota (stratified_sample with a LEARNED stratum — the
+    selection step of SemDeDup/DCLM-family curation). One exchange on
+    cent_id; assignment is the Arrow kernel, never the n·C join."""
+    return ann_ops.cluster_balanced_sample(
+        read_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding"
+        )
+    )
+
+
+@register(
     "dedup_cosine_banded",
     f"SELECT * FROM {ann_ops.duck_cosine_near_pairs_banded_sql(n_planes=16, bands=4)} _q",
 )

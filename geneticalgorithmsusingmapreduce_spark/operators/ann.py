@@ -2027,6 +2027,48 @@ def centroids_for_count(n_vecs: int, min_centroids: int = 8) -> int:
     return max(min_centroids, 2 ** round(math.log2(math.sqrt(n_vecs))))
 
 
+def kernel_assign(emb: DataFrame, centroid_rows: list) -> DataFrame:
+    """One-pass Arrow assignment: quantize + blocked int64 matmul
+    argmax + self-norm per batch → [vec_id, cent_id, qv, n2]. Same
+    integers as assign_to_centroids (np.argmax first-max ≡
+    max_by(cent_id, struct(cdot, -cent_id)) tie-break) but emits n
+    rows instead of materializing the n·C crossJoin — the path that
+    stays linear when C is corpus-sized (√n at the third decade)."""
+    import numpy as np
+
+    cm = np.array(
+        [cv for _, cv in sorted(centroid_rows)], dtype=np.int64
+    )  # (C, D)
+    cent_ids = np.array(
+        [cid for cid, _ in sorted(centroid_rows)], dtype=np.int64
+    )
+
+    def assign_kernel(batches):
+        import pandas as pd
+
+        from ..functions import bits as _bits
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            xm = np.floor(
+                _bits.np_stack_cells(pdf["embedding"], dtype="float64")
+                * SCALE + 0.5
+            ).astype(np.int64)  # (N, D)
+            best = np.argmax(xm @ cm.T, axis=1)  # max dot, lowest-id tie
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"].to_numpy(),
+                "cent_id": cent_ids[best],
+                "qv": list(xm),
+                "n2": (xm * xm).sum(axis=1),
+            })
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        assign_kernel,
+        schema="vec_id long, cent_id long, qv array<long>, n2 long",
+    )
+
+
 def semantic_cluster_pairs(
     emb: DataFrame, tau_milli: int = 800,
     n_centroids: int = N_CENTROIDS, iters: int = 2,
@@ -2059,41 +2101,11 @@ def semantic_cluster_pairs(
     kernel keeps the same integers (np.argmax first-max ≡
     max_by(cent_id, struct(cdot, -cent_id)) tie-break) and emits
     exactly n rows."""
-    import numpy as np
-
     rows, _ = train_centroid_rows(
         emb, n_centroids, iters, compute_inertia=False
     )
-    cm = np.array([cv for _, cv in sorted(rows)], dtype=np.int64)  # (C, D)
-    cent_ids = np.array([cid for cid, _ in sorted(rows)], dtype=np.int64)
-
-    def assign_kernel(batches):
-        import pandas as pd
-
-        from ..functions import bits as _bits
-
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            xm = np.floor(
-                _bits.np_stack_cells(pdf["embedding"], dtype="float64")
-                * SCALE + 0.5
-            ).astype(np.int64)  # (N, D)
-            best = np.argmax(xm @ cm.T, axis=1)  # max dot, lowest-id tie
-            yield pd.DataFrame({
-                "vec_id": pdf["vec_id"].to_numpy(),
-                "cent_id": cent_ids[best],
-                "qv": list(xm),
-                "n2": (xm * xm).sum(axis=1),
-            })
-
     base = scoped_persist(
-        emb.select("vec_id", "embedding")
-        .mapInPandas(
-            assign_kernel,
-            schema="vec_id long, cent_id long, qv array<long>, n2 long",
-        )
-        .filter(F.col("n2") > 0)
+        kernel_assign(emb, rows).filter(F.col("n2") > 0)
     )
     a, b = base.alias("a"), base.alias("b")
     cand = (
@@ -2142,4 +2154,75 @@ def duck_semantic_cluster_pairs_sql(
       WHERE na2 > 0 AND nb2 > 0 AND dot >= 0
         AND 1000000::HUGEINT * dot::HUGEINT * dot::HUGEINT
             >= {t2}::HUGEINT * na2::HUGEINT * nb2::HUGEINT
+    )"""
+
+
+SALT_DIVERSITY = 13  # cluster-balanced sampling stream
+
+
+def cluster_balanced_sample(
+    emb: DataFrame, per_cluster: int = 50,
+    n_centroids: int = N_CENTROIDS, iters: int = 2, seed: int = 42,
+) -> DataFrame:
+    """Diversity-balanced corpus draw: k-means partitions the embedding
+    space, then up to ``per_cluster`` vectors are kept per cluster,
+    ranked by the seeded hash of vec_id — stratified_sample with a
+    LEARNED stratum. The selection step of cluster-balanced data
+    curation (the SemDeDup/DCLM family): a uniform draw over-samples
+    dense regions; an equal per-cluster quota flattens the semantic
+    density profile.
+
+    Scale shape: one training pass (sample-able at 100 TB), one Arrow
+    assignment kernel (n rows out, no n·C join), ONE exchange on
+    cent_id + an in-partition window sort on the 64-bit hash — the
+    same shape as doc_stratified_sample, with the hot-stratum salting
+    mitigation documented there. Output: [vec_id, cent_id, rk]."""
+    from pyspark.sql import Window
+
+    from ..functions import bits as _bits
+
+    rows, _ = train_centroid_rows(
+        emb, n_centroids, iters, compute_inertia=False
+    )
+    ss = _bits.seed_salt(seed, SALT_DIVERSITY)
+    h = prng.spark_hash(str(ss), "vec_id")
+    w = Window.partitionBy("cent_id").orderBy("hk", "vec_id")
+    return (
+        kernel_assign(emb, rows)
+        .select("vec_id", "cent_id", F.expr(h).alias("hk"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= per_cluster)
+        .select("vec_id", "cent_id", F.col("rk").cast("bigint").alias("rk"))
+    )
+
+
+def duck_cluster_balanced_sample_sql(
+    per_cluster: int = 50, n_centroids: int = N_CENTROIDS,
+    iters: int = 2, seed: int = 42, table: str = "embeddings",
+) -> str:
+    """Twin of cluster_balanced_sample: symbolic Lloyd's replay + the
+    argmax-dot assignment + the emulated-xxhash64 rank chain."""
+    from ..functions import bits as _bits
+
+    ctes, prev = _duck_kmeans_ctes(n_centroids, iters, table)
+    ctes.append(
+        f"asgn AS (SELECT vec_id, cent_id FROM ("
+        f"SELECT v.vec_id, c.cent_id, "
+        f"row_number() OVER (PARTITION BY v.vec_id "
+        f"ORDER BY {_duck_ldot('v.qv', 'c.cv')} DESC, c.cent_id ASC) AS arn "
+        f"FROM qz v CROSS JOIN {prev} c) _a WHERE arn = 1)"
+    )
+    body = ",\n      ".join(ctes)
+    ss = _bits.seed_salt(seed, SALT_DIVERSITY)
+    hq = prng.duck_hash_query(
+        "SELECT vec_id, cent_id FROM asgn", [str(ss), "vec_id"], "__dv"
+    )
+    return f"""(
+      WITH {body}
+      SELECT vec_id, cent_id, rk FROM (
+        SELECT vec_id, cent_id,
+               row_number() OVER (PARTITION BY cent_id
+                 ORDER BY __dv, vec_id) AS rk
+        FROM {hq} _h
+      ) _r WHERE rk <= {per_cluster}
     )"""

@@ -976,3 +976,88 @@ def duck_bm25_topk_sql(terms: list[str], k: int = 20,
       ORDER BY score_micro DESC, doc_id ASC
       LIMIT {k}
     )"""
+
+
+# --------------------------------------------------------------------------
+# Unigram-LM perplexity scoring (r10 extension — the CCNet-style quality
+# signal: rank documents by how surprising their tokens are under a
+# corpus-level language model; boilerplate scores low-surprise, junk and
+# OCR noise score high)
+# --------------------------------------------------------------------------
+
+def unigram_logppl(docs: DataFrame) -> DataFrame:
+    """Per-document negative log-likelihood under the corpus's own
+    unigram LM, in integer micro-nats.
+
+    Two-phase: (1) the LM — token counts over the corpus (map-side
+    partial combine, a vocabulary-sized exchange) with
+    logp_micro(t) = ⌊1e6·ln(count_t / total) + 0.5⌋ (the one
+    transcendental, quantized at 1e6 per the house discipline);
+    (2) scoring — per-doc term frequencies (one (doc_id, tok)
+    exchange), an equi-join against the vocabulary (broadcast-eligible:
+    the vocab is corpus-log-sized, never corpus-sized), and an integer
+    fold: nll_sum_micro = −Σ tf·logp_micro — all int64, order-free.
+    avg_nll_micro divides two NON-NEGATIVE ints (Spark `div` truncates
+    toward zero, DuckDB `//` floors — identical only when the dividend
+    is non-negative, which negating the sum first guarantees).
+
+    Output: [doc_id, n_toks, nll_sum_micro, avg_nll_micro] over docs
+    with ≥ 1 token. At 100 TB the plan is two linear passes and one
+    skinny join; the doc-level re-agg rides the (doc_id, tok)
+    partitioning (doc_id is a prefix), adding no exchange."""
+    toks = text.SPARK_TOKENS
+    posting = (
+        docs.select("doc_id", F.explode(F.expr(toks)).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    vocab = posting.groupBy("tok").agg(F.sum("tf").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    lm = vocab.crossJoin(F.broadcast(total)).select(
+        "tok",
+        F.expr(
+            "cast(floor(1000000.0 * ln(cast(cnt as double) / "
+            "cast(total as double)) + 0.5) as bigint)"
+        ).alias("logp_micro"),
+    )
+    return (
+        posting.join(lm, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_toks"),
+            (-F.sum(F.col("tf") * F.col("logp_micro")))
+            .alias("nll_sum_micro"),
+        )
+        .select(
+            "doc_id", "n_toks", "nll_sum_micro",
+            F.expr("nll_sum_micro div n_toks").alias("avg_nll_micro"),
+        )
+    )
+
+
+def duck_unigram_logppl_sql(docs_sql: str = "documents") -> str:
+    toks = text.DUCK_TOKENS
+    return f"""(
+      WITH posting AS (
+        SELECT doc_id, tok, count(*) AS tf
+        FROM (SELECT doc_id, unnest({toks}) AS tok FROM {docs_sql} _u) _t
+        GROUP BY doc_id, tok
+      ),
+      vocab AS (SELECT tok, sum(tf) AS cnt FROM posting GROUP BY tok),
+      tot AS (SELECT sum(cnt) AS total FROM vocab),
+      lm AS (
+        SELECT tok, cast(floor(1000000.0 * ln(cast(cnt as double) /
+               cast(total as double)) + 0.5) as bigint) AS logp_micro
+        FROM vocab CROSS JOIN tot
+      )
+      SELECT doc_id, n_toks, nll_sum_micro,
+             cast(nll_sum_micro // n_toks as bigint) AS avg_nll_micro
+      FROM (
+        -- BIGINT casts: DuckDB sums BIGINT into DECIMAL(38,0), which
+        -- the comparator normalizes differently from int64
+        SELECT p.doc_id, cast(sum(p.tf) as bigint) AS n_toks,
+               cast(-sum(p.tf * l.logp_micro) as bigint) AS nll_sum_micro
+        FROM posting p JOIN lm l USING (tok)
+        GROUP BY p.doc_id
+      ) _s
+    )"""

@@ -153,3 +153,94 @@ def test_semdedup_assignment_exchange_is_skinny(spark):
     df = ann.semantic_cluster_pairs(aug)
     p = df._jdf.queryExecution().executedPlan().toString()
     assert "InMemoryTableScan" in p
+
+
+def _logppl_expected(docs: list[tuple[int, str]]):
+    toked = {
+        d: [t for t in txt.lower().split(" ") if t] for d, txt in docs
+    }
+    cnt: dict[str, int] = {}
+    for t in toked.values():
+        for tok in t:
+            cnt[tok] = cnt.get(tok, 0) + 1
+    total = sum(cnt.values())
+    logp = {
+        t: math.floor(1_000_000.0 * math.log(float(c) / float(total)) + 0.5)
+        for t, c in cnt.items()
+    }
+    out = {}
+    for d, t in toked.items():
+        if not t:
+            continue
+        s = -sum(logp[tok] for tok in t)
+        out[d] = (len(t), s, s // len(t))
+    return out
+
+
+def test_unigram_logppl_matches_reference_recompute(spark):
+    docs = [
+        (0, "the the the spark"),
+        (1, "rare unique tokens here"),
+        (2, "the the"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_toks, r.nll_sum_micro, r.avg_nll_micro)
+        for r in textops.unigram_logppl(df).collect()
+    }
+    assert got == _logppl_expected(docs)
+    # boilerplate (all head tokens) must score LOWER surprise than the
+    # all-rare-token doc — the signal the quality filter keys on
+    assert got[0][2] < got[1][2]
+
+
+def test_diversity_sample_quota_and_determinism(spark):
+    from geneticalgorithmsusingmapreduce_spark.sources.registry import (
+        read_table,
+    )
+
+    emb = read_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    s1 = ann.cluster_balanced_sample(emb, per_cluster=5, n_centroids=4)
+    rows = s1.collect()
+    got = {(r.vec_id, r.cent_id, r.rk) for r in rows}
+    # per-cluster quota holds; ranks are 1..quota dense per cluster
+    by_cluster: dict[int, list[int]] = {}
+    for r in rows:
+        by_cluster.setdefault(r.cent_id, []).append(r.rk)
+    for c, rks in by_cluster.items():
+        assert sorted(rks) == list(range(1, len(rks) + 1))
+        assert len(rks) <= 5
+    # deterministic: the draw is a pure function of (corpus, seed)
+    s2 = ann.cluster_balanced_sample(emb, per_cluster=5, n_centroids=4)
+    assert {(r.vec_id, r.cent_id, r.rk) for r in s2.collect()} == got
+
+
+def test_diversity_sample_engine_parity_nondefault_params(spark):
+    import duckdb
+
+    from geneticalgorithmsusingmapreduce_spark.sources.registry import (
+        read_table,
+    )
+
+    emb = read_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    got = {
+        (r.vec_id, r.cent_id, r.rk)
+        for r in ann.cluster_balanced_sample(
+            emb, per_cluster=3, n_centroids=4, iters=1, seed=5
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{SF}/embeddings.parquet')"
+    )
+    duck = {
+        tuple(r) for r in con.sql(
+            "SELECT * FROM " + ann.duck_cluster_balanced_sample_sql(
+                per_cluster=3, n_centroids=4, iters=1, seed=5
+            ) + " _q"
+        ).fetchall()
+    }
+    assert got == duck
+    assert len(got) > 0
