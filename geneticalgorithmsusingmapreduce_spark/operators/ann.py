@@ -2013,18 +2013,27 @@ def duck_cosine_near_pairs_banded_sql(
 # parallel across cluster ids.
 # --------------------------------------------------------------------------
 
-def centroids_for_count(n_vecs: int, min_centroids: int = 8) -> int:
-    """Cluster-count sizing rule for the SemDeDup restriction: C ≈ √n
-    (power of two) balances the two scale terms — assignment cost n·C
-    against intra-cluster candidate volume n²/(2C); both are n^1.5 at
-    C = √n, vs n² for any FIXED C. Same rule family as planes_for_count
-    / buckets_for_pop: size the partitioning dial to the corpus, never
-    ship a constant that silently goes quadratic a decade later."""
+def centroids_for_count(
+    n_vecs: int, target_cluster: int = 256, min_centroids: int = 8,
+) -> int:
+    """Cluster-count sizing rule for the SemDeDup restriction: C ≈
+    n / target_cluster (power of two) holds the expected cluster SIZE
+    fixed as the corpus grows, so in-cluster pairwise work stays
+    n·K/2 — LINEAR in n — and each applyInPandas group's K×K dot
+    block stays a bounded working set. A √n-sized C balances the raw
+    FLOP terms (n·C assignment vs n²/(2C) candidates, both n^1.5) but
+    lets the per-decade candidate count grow ~3× faster than the
+    corpus; fixed-K is the rule that survives the next decade. Same
+    family as planes_for_count / buckets_for_pop: size the
+    partitioning dial to the corpus, never ship a constant that
+    silently goes quadratic."""
     import math
 
-    if n_vecs <= 1:
+    if n_vecs <= target_cluster:
         return min_centroids
-    return max(min_centroids, 2 ** round(math.log2(math.sqrt(n_vecs))))
+    return max(
+        min_centroids, 2 ** round(math.log2(n_vecs / target_cluster))
+    )
 
 
 def kernel_assign(emb: DataFrame, centroid_rows: list) -> DataFrame:
@@ -2082,43 +2091,77 @@ def semantic_cluster_pairs(
     LSH buckets drop near pairs probabilistically per plane; the
     cluster restriction drops exactly the pairs whose members quantize
     to different Voronoi cells — the SemDeDup trade, bounded by
-    training quality rather than plane count. Candidates per cluster
-    join on cent_id (equi-join, never all-pairs across clusters);
-    verification reuses the shared Arrow dot kernel + decimal(38,0)
-    certificate, so results are directly comparable with the LSH and
-    exact-NLJ siblings. Output: [vec_a, vec_b, dot, na2, nb2].
+    training quality rather than plane count. Output (identical schema
+    to the LSH and exact-NLJ siblings): [vec_a, vec_b, dot, na2, nb2].
 
-    At 100 TB: n·C assignment dots + n²/(2C) in-cluster candidates;
-    size C with centroids_for_count (√n) for n^1.5 total work. The
-    registered gate entry keeps C = N_CENTROIDS so the oracle's
-    training replay stays static (the emb_ivf convention).
+    Physical shape — the part that makes SemDeDup a SCALE recipe: each
+    vector ships ONCE to its cluster's partition (one exchange of n
+    skinny rows keyed on cent_id), and the within-cluster pairwise
+    similarity is a DENSE K×K int64 matmul inside an applyInPandas
+    kernel that emits only pairs passing a float64 pre-filter with a
+    1e-9 slack margin (a guaranteed superset: magnitudes ≤ 4.4e32,
+    float64 relative error 2.2e-16 ≪ the margin). The exact
+    decimal(38,0) certificate above the kernel is the DECIDER — the
+    same filter as _verify_cosine_candidates, so a boundary pair
+    cannot flip between engines. A first-cut shape that equi-joined
+    array-carrying candidate ROWS on cent_id was rejected before
+    measurement: n²/(2C) pairs × ~1 KB of genome-sized arrays is
+    1.4e9 rows at the third decade even at √n-sized C — the dense
+    block never materializes pairs that fail.
 
-    Assignment is ONE Arrow kernel pass (quantize + blocked int64
-    matmul argmax + self-norm per batch) rather than
-    assign_to_centroids' broadcast crossJoin: the SQL shape
-    materializes n·C rows through codegen, which at the √n-sized C of
-    the third decade is n^1.5 ROWS (4.5e9 at 2.2M vectors) — the
-    kernel keeps the same integers (np.argmax first-max ≡
-    max_by(cent_id, struct(cdot, -cent_id)) tie-break) and emits
-    exactly n rows."""
+    At 100 TB: one training pass (sample-able), one Arrow assignment
+    kernel (n rows out, never the n·C crossJoin), ONE cent_id
+    exchange, n·K/2 in-cluster dot evaluations all inside numpy. Size
+    C with centroids_for_count (fixed target cluster size K → C grows
+    linearly with the corpus, work stays n·K/2); a hot cluster is
+    bounded by the applyInPandas group materialization — K² int64
+    dots per group, ~72 MB at K=3,000. The registered gate entry
+    keeps C = N_CENTROIDS so the oracle's training replay stays
+    static (the emb_ivf convention)."""
+    import numpy as np
+
     rows, _ = train_centroid_rows(
         emb, n_centroids, iters, compute_inertia=False
     )
-    base = scoped_persist(
-        kernel_assign(emb, rows).filter(F.col("n2") > 0)
-    )
-    a, b = base.alias("a"), base.alias("b")
-    cand = (
-        a.join(b, "cent_id")
-        .filter(F.expr("a.vec_id < b.vec_id"))
-        .select(
-            F.expr("a.vec_id").alias("vec_a"),
-            F.expr("b.vec_id").alias("vec_b"),
-            F.expr("a.qv").alias("qa"), F.expr("b.qv").alias("qb"),
-            F.expr("a.n2").alias("na2"), F.expr("b.n2").alias("nb2"),
+    base = kernel_assign(emb, rows).filter(F.col("n2") > 0)
+    t2 = tau_milli * tau_milli
+
+    def cluster_block(pdf):
+        import pandas as pd
+
+        order = np.argsort(pdf["vec_id"].to_numpy())
+        vid = pdf["vec_id"].to_numpy()[order]
+        n2 = pdf["n2"].to_numpy()[order]
+        xm = np.stack(
+            [np.asarray(v, dtype=np.int64) for v in pdf["qv"]]
+        )[order]
+        ia, ib = np.triu_indices(len(vid), k=1)  # vid sorted → a < b
+        d = (xm @ xm.T)[ia, ib]
+        na, nb = n2[ia], n2[ib]
+        keep = (d >= 0) & (
+            1e6 * d.astype(np.float64) ** 2
+            >= t2 * (na.astype(np.float64) * nb.astype(np.float64))
+            * (1.0 - 1e-9)
         )
+        return pd.DataFrame({
+            "vec_a": vid[ia][keep], "vec_b": vid[ib][keep],
+            "dot": d[keep], "na2": na[keep], "nb2": nb[keep],
+        })
+
+    cand = base.groupBy("cent_id").applyInPandas(
+        cluster_block,
+        schema="vec_a long, vec_b long, dot long, na2 long, nb2 long",
     )
-    return _verify_cosine_candidates(cand, tau_milli)
+    # the exact certificate decides; the kernel's float pre-filter only
+    # bounds what reaches it (identical to _verify_cosine_candidates)
+    keep = (
+        "dot >= 0 AND "
+        "cast(1000000 as decimal(38,0)) * cast(dot as decimal(38,0))"
+        " * cast(dot as decimal(38,0)) >= "
+        f"cast({t2} as decimal(38,0)) * cast(na2 as decimal(38,0))"
+        " * cast(nb2 as decimal(38,0))"
+    )
+    return cand.filter(F.expr(keep))
 
 
 def duck_semantic_cluster_pairs_sql(

@@ -138,21 +138,24 @@ def test_semdedup_engine_parity_nondefault_params(spark):
 
 
 def test_centroids_for_count_rule():
-    # √n, power of two, floor at 8 — the n^1.5 balance point between
-    # n·C assignment and n²/(2C) intra-cluster candidates
+    # fixed target cluster size: C grows linearly with the corpus, so
+    # in-cluster pairwise work stays n·K/2 and each group's K×K dot
+    # block is a bounded working set
     assert ann.centroids_for_count(100) == 8
-    assert ann.centroids_for_count(220_000) == 512
-    assert ann.centroids_for_count(2_200_000) == 2048
+    assert ann.centroids_for_count(220_000) == 1024
+    assert ann.centroids_for_count(2_200_000) == 8192
 
 
-def test_semdedup_assignment_exchange_is_skinny(spark):
-    # the intra-cluster self-join must not re-quantize: both sides read
-    # the persisted kernel output, and no exchange carries the raw
-    # float embedding column
+def test_semdedup_ships_each_vector_once(spark):
+    # the SemDeDup scale property: ONE exchange keyed on cent_id (each
+    # vector ships once to its cluster's partition), the pairwise block
+    # inside a grouped pandas kernel — candidate PAIRS never cross an
+    # exchange
     aug = ann.augmented_embeddings(spark, SF)
     df = ann.semantic_cluster_pairs(aug)
     p = df._jdf.queryExecution().executedPlan().toString()
-    assert "InMemoryTableScan" in p
+    assert "FlatMapGroupsInPandas" in p
+    assert p.count("hashpartitioning(cent_id") == 1
 
 
 def _logppl_expected(docs: list[tuple[int, str]]):
