@@ -60,6 +60,29 @@ def planes_for_count(n_vecs: int, min_planes: int = 8,
     return max(min_planes, min(max_planes, math.ceil(math.log2(n_vecs)) + 2))
 
 
+def _argmax_dot_chunked(xm, cm, cnorm=None, chunk_elems=1 << 24):
+    """Row-chunked exact-float64 argmax over xm·cmᵀ (optionally scored
+    as 2·dot − cnorm — Lloyd's min-distance form). The full (N, C)
+    score block at corpus-sized C is N·C doubles: 655 MB per Arrow
+    batch per worker at C=8192, which × 32 workers blew the tenant
+    memory cap (the probe's Python workers were OOM-killed); chunking
+    caps the block at chunk_elems (134 MB) regardless of C. All values
+    stay < 2^53 so float64 comparisons are exact; np.argmax first-max
+    keeps the lowest-index tie-break."""
+    import numpy as np
+
+    cf = cm.astype(np.float64)
+    cnf = cnorm.astype(np.float64) if cnorm is not None else None
+    rows = max(1, chunk_elems // max(1, len(cm)))
+    out = np.empty(len(xm), dtype=np.int64)
+    for i in range(0, len(xm), rows):
+        s = xm[i:i + rows].astype(np.float64) @ cf.T
+        if cnf is not None:
+            s = 2.0 * s - cnf
+        out[i:i + rows] = np.argmax(s, axis=1)
+    return out
+
+
 def _i64_matmul(a, b):
     """Exact int64 matmul via BLAS float64. Every product and partial
     sum in this module's quantized ranges stays < 2^53 (max |dot| =
@@ -286,28 +309,34 @@ def train_centroid_rows(
                     _bits.np_stack_cells(pdf["embedding"], dtype="float64")
                     * SCALE + 0.5
                 ).astype(np.int64)  # (N, D)
-                scores = 2 * _i64_matmul(xm, cm.T) - cnorm  # (N, C)
                 # argmax with ties to the LOWEST cent index — np.argmax
-                # picks the first maximum, matching struct(score, -cent)
-                best = np.argmax(scores, axis=1)  # (N,)
-                out = {"cent": [], "cnt": [], "sums": [], "inert": []}
-                # guard on the flag: callers that don't monitor inertia
-                # (trained-IVF, cluster stats) skip the xnorm pass and
-                # ship a zero instead of the per-batch reduction
-                xnorm = (xm * xm).sum(axis=1) if compute_inertia else None
-                for ci in range(len(cm)):
-                    mask = best == ci
-                    n = int(mask.sum())
-                    if n == 0:
-                        continue
-                    out["cent"].append(ci)
-                    out["cnt"].append(n)
-                    out["sums"].append(xm[mask].sum(axis=0).tolist())
-                    out["inert"].append(
-                        int((xnorm[mask] - scores[mask, ci]).sum())
-                        if compute_inertia else 0
+                # picks the first maximum, matching struct(score, -cent);
+                # chunked so the score block stays bounded at large C
+                best = _argmax_dot_chunked(xm, cm, cnorm)  # (N,)
+                # sort-based group fold (exact int64, order-free sums):
+                # the earlier per-centroid Python mask loop was O(C·N)
+                # per batch — 8192 passes at corpus-sized C
+                order = np.argsort(best, kind="stable")
+                ub, starts = np.unique(best[order], return_index=True)
+                sums = np.add.reduceat(xm[order], starts, axis=0)
+                cnts = np.diff(np.append(starts, len(order)))
+                if compute_inertia:
+                    xnorm = (xm * xm).sum(axis=1)
+                    # per-row best score via one int64 gather-dot
+                    sb = 2 * np.einsum(
+                        "ij,ij->i", xm, cm[best]
+                    ) - cnorm[best]
+                    inert = np.add.reduceat(
+                        (xnorm - sb)[order], starts
                     )
-                yield pd.DataFrame(out)
+                else:
+                    inert = np.zeros(len(ub), dtype=np.int64)
+                yield pd.DataFrame({
+                    "cent": ub.astype(np.int32),
+                    "cnt": cnts.astype(np.int64),
+                    "sums": [r.tolist() for r in sums],
+                    "inert": inert.astype(np.int64),
+                })
 
         partial = src.mapInPandas(
             partials,
@@ -2078,7 +2107,7 @@ def kernel_assign(emb: DataFrame, centroid_rows: list) -> DataFrame:
                 _bits.np_stack_cells(pdf["embedding"], dtype="float64")
                 * SCALE + 0.5
             ).astype(np.int64)  # (N, D)
-            best = np.argmax(_i64_matmul(xm, cm.T), axis=1)  # max dot, lowest-id tie
+            best = _argmax_dot_chunked(xm, cm)  # max dot, lowest-id tie
             yield pd.DataFrame({
                 "vec_id": pdf["vec_id"].to_numpy(),
                 "cent_id": cent_ids[best],
