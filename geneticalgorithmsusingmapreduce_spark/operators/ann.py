@@ -2169,6 +2169,8 @@ def semantic_cluster_pairs(
     base = kernel_assign(emb, rows).filter(F.col("n2") > 0)
     t2 = tau_milli * tau_milli
 
+    TILE = 4096  # 4096² float64 blocks = 134 MB — bounded per worker
+
     def cluster_block(pdf):
         import pandas as pd
 
@@ -2178,18 +2180,44 @@ def semantic_cluster_pairs(
         xm = np.stack(
             [np.asarray(v, dtype=np.int64) for v in pdf["qv"]]
         )[order]
-        ia, ib = np.triu_indices(len(vid), k=1)  # vid sorted → a < b
-        d = _i64_matmul(xm, xm.T)[ia, ib]
-        na, nb = n2[ia], n2[ib]
-        keep = (d >= 0) & (
-            1e6 * d.astype(np.float64) ** 2
-            >= t2 * (na.astype(np.float64) * nb.astype(np.float64))
-            * (1.0 - 1e-9)
-        )
-        return pd.DataFrame({
-            "vec_a": vid[ia][keep], "vec_b": vid[ib][keep],
-            "dot": d[keep], "na2": na[keep], "nb2": nb[keep],
-        })
+        # TILED upper-triangle sweep: a monolithic K×K block is 42 GB
+        # at the measured hottest cluster (K=73k after 2 Lloyd's iters
+        # over near-uniform vectors — k-means leaves heavy Voronoi
+        # skew) and np.triu_indices alone allocates 2·K²/2 int64.
+        # Tiling keeps EVERY pair (no recall trade — the guard the
+        # LSH family needs is unnecessary here) at bounded memory;
+        # the hottest cluster is ~2.7e9 dots = seconds of BLAS.
+        xf = xm.astype(np.float64)
+        n2f = n2.astype(np.float64)
+        k = len(vid)
+        parts = []
+        for i0 in range(0, k, TILE):
+            xi = xf[i0:i0 + TILE]
+            for j0 in range(i0, k, TILE):
+                d = xi @ xf[j0:j0 + TILE].T  # exact (< 2^53)
+                rhs = t2 * np.outer(
+                    n2f[i0:i0 + TILE], n2f[j0:j0 + TILE]
+                ) * (1.0 - 1e-9)
+                keep = (d >= 0) & (1e6 * d * d >= rhs)
+                if i0 == j0:  # diagonal tile: strict upper triangle
+                    keep &= ~np.tri(*d.shape, k=0, dtype=bool)
+                ia, ib = np.nonzero(keep)
+                if not len(ia):
+                    continue
+                parts.append(pd.DataFrame({
+                    "vec_a": vid[i0 + ia], "vec_b": vid[j0 + ib],
+                    "dot": d[ia, ib].astype(np.int64),
+                    "na2": n2[i0 + ia], "nb2": n2[j0 + ib],
+                }))
+        if not parts:
+            return pd.DataFrame({
+                "vec_a": np.empty(0, np.int64),
+                "vec_b": np.empty(0, np.int64),
+                "dot": np.empty(0, np.int64),
+                "na2": np.empty(0, np.int64),
+                "nb2": np.empty(0, np.int64),
+            })
+        return pd.concat(parts, ignore_index=True)
 
     cand = base.groupBy("cent_id").applyInPandas(
         cluster_block,
