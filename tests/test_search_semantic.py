@@ -247,3 +247,28 @@ def test_diversity_sample_engine_parity_nondefault_params(spark):
     }
     assert got == duck
     assert len(got) > 0
+
+
+def test_semdedup_fast_rung_certificate_and_recall(spark):
+    # the approximate-assignment rung: same exact integer certificate
+    # (every emitted pair is a true cosine>=tau pair), recall traded at
+    # cluster boundaries and MEASURED, not assumed
+    aug = ann.augmented_embeddings(spark, SF)
+    n = aug.count()
+    fast = {
+        (r.vec_a, r.vec_b, r.dot, r.na2, r.nb2)
+        for r in ann.semantic_cluster_pairs_fast(
+            aug, n_centroids=8, iters=2, n_vecs=n
+        ).collect()
+    }
+    truth = {
+        (r.vec_a, r.vec_b, r.dot, r.na2, r.nb2)
+        for r in ann.exact_cosine_pairs(aug).collect()
+    }
+    assert fast <= truth  # never invents a pair
+    exact_rung = {
+        (r.vec_a, r.vec_b, r.dot, r.na2, r.nb2)
+        for r in ann.semantic_cluster_pairs(aug).collect()
+    }
+    # two-level probing keeps the bulk of the exact rung's pairs
+    assert len(fast & exact_rung) >= 0.8 * len(exact_rung)
