@@ -58,6 +58,14 @@ def build_session(
         # a real cluster where one slow executor would gate a generation.
         .config("spark.speculation", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # one BLAS thread per Python worker: the float64 matmul kernels
+        # (Lloyd's partials, SemDeDup assignment/tiles) otherwise spawn
+        # an OpenBLAS pool of nproc threads in EACH of the 32 parallel
+        # workers — 1,024 threads of pure oversubscription on a 32-core
+        # box; task-level parallelism is already the outer loop
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # local-mode split sizing: test-scale parquet is tens of MB, so the
