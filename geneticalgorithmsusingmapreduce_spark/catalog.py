@@ -2027,8 +2027,10 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     certificate verifies. Same known-answer fixture and τ=0.8 as the
     LSH sibling dedup_embedding_cosine, so the two candidate policies
     are directly comparable. Gate keeps C=8/iters=2 so the oracle's
-    symbolic training replay stays static; at scale C is sized ~√n by
-    ann.centroids_for_count (n^1.5 total work vs n² for any fixed C)."""
+    symbolic training replay stays static; at scale C is sized for a
+    fixed target cluster size by ann.centroids_for_count (in-cluster
+    verify work linear in n; the probe rows in BASELINE price the
+    training/assignment term and the approximate rung)."""
     return ann_ops.semantic_cluster_pairs(
         ann_ops.augmented_embeddings(spark, sf_dir)
     )

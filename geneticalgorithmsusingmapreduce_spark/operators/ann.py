@@ -2442,6 +2442,13 @@ def semantic_cluster_pairs_fast(
                 idx = np.nonzero(mask)[0][upd]
                 best_sc[idx] = sc[upd]
                 best_fine[idx] = mem[loc[upd]]
+            # a vector whose n_probe best coarse cells are ALL empty
+            # (stale cells keep their centroid) would otherwise keep
+            # the -inf sentinel and silently land in fine centroid 0 —
+            # fall back to the exact argmax for those rare rows
+            miss = ~np.isfinite(best_sc)
+            if miss.any():
+                best_fine[miss] = _argmax_dot_chunked(xm[miss], cm)
             yield pd.DataFrame({
                 "vec_id": pdf["vec_id"].to_numpy(),
                 "cent_id": cent_ids[best_fine],
