@@ -241,6 +241,22 @@ def cluster_benchmarks(spark, sf_dir: str) -> dict[str, float]:
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # idle-box guard (r10 VERDICT #1): the r10 official reading was taken
+    # at load 21+ on a 32-thread box (the builder's own sf100 probes were
+    # draining) and recorded a phantom 2x regression. A contended reading
+    # must never silently become the official number again — annotate the
+    # start-of-run load average in BOTH output lines and flag readings
+    # taken on a busy box. Annotation, not refusal: the driver contract
+    # is "print ONE JSON line", so the bench always completes.
+    load_1m = round(os.getloadavg()[0], 2)
+    contended = load_1m > 4.0  # >4 runnable on 32 cores = not idle
+    if contended:
+        print(
+            f"WARNING: load average {load_1m} at bench start — timings "
+            "will be inflated by contention; rerun on an idle box for an "
+            "official reading",
+            file=sys.stderr,
+        )
     spark = build_session("gamr-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -256,6 +272,11 @@ def main():
         "streaming_dedup", "streaming_windowed_counts", "incremental_sga",
         "streaming_neardup", "streaming_neardup_guarded",
         "emb_ivf_append_int8",
+        # the two r10 foreachBatch lifecycle entries ran MID-bench in
+        # r10/r11 readings, violating this very isolation rule — their
+        # streaming-state residue inflated the int8/pq neighbors
+        # (emb_ivf_recall_pq_rerank +1.3 s in the r11 clean run)
+        "emb_ivf_append_compacted", "emb_ivf_rebuild_gen",
     )
     # r2→r3 regression audit (cga_member_fitness 0.16→0.62 s, cga_sample
     # 0.11→0.27 s in BENCH_r02): timed in ISOLATION at sf0.1 (fresh
@@ -306,6 +327,8 @@ def main():
         "queries": timings,
         "ga_convergence": convergence,
         "sf": sf_val,
+        "load_1m_at_start": load_1m,
+        "contended": contended,
     }))
     # ... then a compact FINAL line: the driver captures the tail of
     # stdout, and r2's single 2.5 KB line was truncated mid-JSON
@@ -317,6 +340,8 @@ def main():
         "unit": "sec",
         "sf": sf_val,
         "n_queries": len(timings),
+        "load_1m_at_start": load_1m,
+        "contended": contended,
     }))
     spark.stop()
 

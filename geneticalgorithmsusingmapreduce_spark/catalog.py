@@ -1719,6 +1719,32 @@ def corpus_curation_chunk_containment(
     )
 
 
+@register(
+    "corpus_curation_semdedup",
+    f"SELECT * FROM "
+    f"{pipeline_ops.duck_curate_semdedup_sql(textops.DUCK_PARA_AUG, ann_ops.DUCK_PARA_EMB)}"
+    f" _q",
+)
+def corpus_curation_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation pipeline with the SEMANTIC stage composed in (r10
+    VERDICT "Next round" #3): gates → exact digest → doc-level
+    MinHash/LSH → candidate-restricted chunk containment →
+    embedding-level SemDeDup → split. The fixture plants PARAPHRASES
+    (every 10th doc re-emitted with its tokens reversed + a perturbed
+    near-identical embedding): same token multiset, so gates agree;
+    different bytes, so the digest keeps it; disjoint word n-grams, so
+    MinHash/LSH and chunk containment provably keep it — only the
+    embedding stage can collapse it, and sd_absorbed credits each
+    survivor with the paraphrases it absorbed. The semantic stage runs
+    rank-seeded (survivor ids aren't dense from 0) with the skew-cap
+    block-pair verify; the cap is physical-only and absent from the
+    oracle."""
+    return pipeline_ops.curate_corpus_semdedup(
+        textops.paraphrase_corpus(spark, sf_dir),
+        ann_ops.paraphrase_embeddings(spark, sf_dir),
+    )
+
+
 def _dataset_fingerprint(sf_dir: str, table: str) -> tuple:
     """Cheap content fingerprint of one parquet table — (name, size,
     mtime_ns) per file — folded into every per-process cache key so a
@@ -2033,6 +2059,31 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     training/assignment term and the approximate rung)."""
     return ann_ops.semantic_cluster_pairs(
         ann_ops.augmented_embeddings(spark, sf_dir)
+    )
+
+
+@register(
+    "dedup_semantic_semdedup_balanced",
+    f"SELECT * FROM "
+    f"{ann_ops.duck_semantic_cluster_pairs_sql(tau_milli=700, n_centroids=16)}"
+    f" _q",
+)
+def dedup_semantic_semdedup_balanced(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SemDeDup with the SKEW-BOUNDED verify stage (r10 VERDICT #2):
+    clusters over ``cap`` rows decompose into P(P+1)/2 block-pair
+    groups — every unordered pair lands in exactly one group, so the
+    output is byte-identical to the monolithic sweep while no verify
+    task ever exceeds ~cap² dots (the guard that un-refutes the
+    approximate rung's 30-minute hot-cluster straggler). Registered at
+    non-default dials (τ=0.7, C=16, cap=24 — small enough that the
+    gate corpus actually exercises the decomposition); the oracle is
+    the SAME symbolic replay as the monolithic entry at (τ, C) — cap
+    is physical-only, which is precisely the claim under test."""
+    return ann_ops.semantic_cluster_pairs(
+        ann_ops.augmented_embeddings(spark, sf_dir),
+        tau_milli=700, n_centroids=16, cap=24,
     )
 
 

@@ -471,6 +471,29 @@ def _containment_drop(
     """Shared tail of the chunk-composed pipelines: chunk-pair evidence →
     per-doc matched-chunk counts → closed-form chunk totals → containment
     drop → absorption attribution → split."""
+    final = _containment_final(
+        kept, cpairs_raw, chunk_tokens, stride, chunk_drop_pm
+    )
+    return split_ops.assign_splits(
+        final, key="doc_id", seed=seed, train_pm=train_pm, val_pm=val_pm
+    ).select(
+        "doc_id", "n_tokens", "dup_count", "nd_dropped", "cc_absorbed",
+        "pm", "split",
+    )
+
+
+def _containment_final(
+    kept: DataFrame,
+    cpairs_raw: DataFrame,
+    chunk_tokens: int,
+    stride: int,
+    chunk_drop_pm: int,
+) -> DataFrame:
+    """Containment drop + absorption attribution WITHOUT the split —
+    the pre-split survivor frame [doc_id, n_tokens, dup_count,
+    nd_dropped, cc_absorbed] shared by _containment_drop and the
+    semantic-composed pipeline (which inserts one more stage before
+    splitting)."""
     cpairs = scoped_persist(
         cpairs_raw.filter(F.col("doc_a") != F.col("doc_b"))
     )
@@ -503,19 +526,13 @@ def _containment_drop(
         .groupBy("doc_b").agg(F.min("doc_a").alias("rep"))
         .groupBy("rep").agg(F.count(F.lit(1)).alias("cc_absorbed"))
     )
-    final = (
+    return (
         kept.join(dropped, kept.doc_id == dropped.dropped_id, "left_anti")
         .join(attr, kept.doc_id == attr.rep, "left")
         .select(
             "doc_id", "n_tokens", "dup_count", "nd_dropped",
             F.coalesce("cc_absorbed", F.lit(0)).alias("cc_absorbed"),
         )
-    )
-    return split_ops.assign_splits(
-        final, key="doc_id", seed=seed, train_pm=train_pm, val_pm=val_pm
-    ).select(
-        "doc_id", "n_tokens", "dup_count", "nd_dropped", "cc_absorbed",
-        "pm", "split",
     )
 
 
@@ -563,6 +580,35 @@ def curate_corpus_chunk_containment(
     At 100 TB: stages 1-3 unchanged; the candidate stage is one
     df-capped posting-list shuffle over already-persisted shingle rows;
     the chunk stage sees the candidate set, not the corpus."""
+    final = _chunk_containment_final(
+        docs, lang, min_tokens, max_bucket, chunk_tokens, stride,
+        chunk_tau_milli, chunk_drop_pm, cand_max_df, cand_min_shared,
+    )
+    return split_ops.assign_splits(
+        final, key="doc_id", seed=seed, train_pm=train_pm, val_pm=val_pm
+    ).select(
+        "doc_id", "n_tokens", "dup_count", "nd_dropped", "cc_absorbed",
+        "pm", "split",
+    )
+
+
+def _chunk_containment_final(
+    docs: DataFrame,
+    lang: str = "en",
+    min_tokens: int = 12,
+    max_bucket: int | None = 64,
+    chunk_tokens: int = 32,
+    stride: int = 16,
+    chunk_tau_milli: int = 500,
+    chunk_drop_pm: int = 500,
+    cand_max_df: int = 50,
+    cand_min_shared: int = 4,
+) -> DataFrame:
+    """Stages 1-4 of curate_corpus_chunk_containment, pre-split: gates →
+    exact digest → doc near-dup → candidate-restricted chunk
+    containment. Output: [doc_id, n_tokens, dup_count, nd_dropped,
+    cc_absorbed] — shared by the containment entry and the
+    semantic-composed pipeline."""
     kept, shingles = _neardup_kept(
         docs, lang, min_tokens, max_bucket, return_shingles=True
     )
@@ -595,9 +641,98 @@ def curate_corpus_chunk_containment(
     cpairs = chunk_near_dup_pairs(
         cdocs, chunk_tokens, stride, max_bucket, chunk_tau_milli
     )
-    return _containment_drop(
-        kept, cpairs, chunk_tokens, stride, chunk_drop_pm,
-        seed, train_pm, val_pm,
+    return _containment_final(
+        kept, cpairs, chunk_tokens, stride, chunk_drop_pm
+    )
+
+
+def curate_corpus_semdedup(
+    docs: DataFrame,
+    emb: DataFrame,
+    lang: str = "en",
+    min_tokens: int = 12,
+    seed: int = 42,
+    train_pm: int = 800,
+    val_pm: int = 100,
+    max_bucket: int | None = 64,
+    chunk_tokens: int = 32,
+    stride: int = 16,
+    chunk_tau_milli: int = 500,
+    chunk_drop_pm: int = 500,
+    cand_max_df: int = 50,
+    cand_min_shared: int = 4,
+    sem_tau_milli: int = 800,
+    sem_centroids: int = 8,
+    sem_iters: int = 2,
+    sem_cap: int | None = 64,
+) -> DataFrame:
+    """The DCLM-style curation pipeline with the SEMANTIC stage composed
+    in (r10 VERDICT "Next round" #3): gates → exact digest → doc-level
+    MinHash/LSH near-dup → candidate-restricted chunk containment →
+    EMBEDDING-level SemDeDup → split.
+
+    Every earlier stage is order-sensitive (digests, word n-gram
+    shingles): a PARAPHRASE — same meaning, disjoint shingles — sails
+    through all of them and only an embedding-level stage can catch it
+    (the fixture plants exactly these: reversed-token docs with
+    near-identical embeddings; tests pin that stages 1-4 provably keep
+    them). The stage: survivors' embeddings (vec_id = doc_id, one
+    leftsemi restriction) → cluster-restricted semantic pairs
+    (semantic_cluster_pairs with rank seeding — survivor ids aren't
+    dense from 0 — and the ``sem_cap`` skew bound) → drop every doc
+    that pairs at cosine ≥ τ with ANY smaller-id survivor. The
+    decision compares against stage-4 survivors, not semantic
+    survivors (the containment stage's single-pass non-cascading rule
+    — order-free, symbolically replayable), and ``sd_absorbed``
+    credits each keeper with the paraphrases it absorbed, attributed
+    to the smallest pairing id (cc_absorbed's rule).
+
+    Scale shape: stages 1-4 unchanged (their guards intact); the
+    semantic stage adds one leftsemi (16-byte ids), one training pass,
+    one cent_id exchange, and the skew-bounded tiled verify — the
+    standalone SemDeDup entry's shape over the (smaller) survivor set.
+    Output: [doc_id, n_tokens, dup_count, nd_dropped, cc_absorbed,
+    sd_absorbed, pm, split]."""
+    from . import ann as ann_ops
+
+    # localCheckpoint, not persist: the semantic stage makes ~6 passes
+    # (seed collect, Lloyd's iterations, assignment, skew census, block
+    # sweep) over frames derived from `final`, and the containment
+    # composition's logical plan is enormous — a cached-but-untruncated
+    # lineage made EVERY pass pay ~7 s of Catalyst re-analysis at sf0.1
+    # (measured: semb.count() 6-8 s/pass on 1,963 cached rows).
+    # Checkpointing collapses the plan to a leaf; downstream planning
+    # is constant-size. Same pattern as plans/sga.py's generation loop.
+    final = _chunk_containment_final(
+        docs, lang, min_tokens, max_bucket, chunk_tokens, stride,
+        chunk_tau_milli, chunk_drop_pm, cand_max_df, cand_min_shared,
+    ).localCheckpoint(eager=True)
+    semb = emb.join(
+        final.select(F.col("doc_id").alias("vec_id")), "vec_id", "leftsemi"
+    )
+    pairs = ann_ops.semantic_cluster_pairs(
+        semb, tau_milli=sem_tau_milli, n_centroids=sem_centroids,
+        iters=sem_iters, cap=sem_cap, seed_by_rank=True,
+    )
+    pairs = scoped_persist(pairs.select("vec_a", "vec_b"))
+    dropped = pairs.select(F.col("vec_b").alias("dropped_id")).distinct()
+    attr = (
+        pairs.groupBy("vec_b").agg(F.min("vec_a").alias("rep"))
+        .groupBy("rep").agg(F.count(F.lit(1)).alias("sd_absorbed"))
+    )
+    final2 = (
+        final.join(dropped, final.doc_id == dropped.dropped_id, "left_anti")
+        .join(attr, final.doc_id == attr.rep, "left")
+        .select(
+            "doc_id", "n_tokens", "dup_count", "nd_dropped", "cc_absorbed",
+            F.coalesce("sd_absorbed", F.lit(0)).alias("sd_absorbed"),
+        )
+    )
+    return split_ops.assign_splits(
+        final2, key="doc_id", seed=seed, train_pm=train_pm, val_pm=val_pm
+    ).select(
+        "doc_id", "n_tokens", "dup_count", "nd_dropped", "cc_absorbed",
+        "sd_absorbed", "pm", "split",
     )
 
 
@@ -799,5 +934,93 @@ def duck_curate_chunk_containment_sql(
       {tail}
       SELECT doc_id, n_tokens, dup_count, nd_dropped, cc_absorbed,
              pm, split
+      FROM {assigned} _o
+    )"""
+
+
+def duck_curate_semdedup_sql(
+    docs_sql: str,
+    emb_sql: str,
+    lang: str = "en",
+    min_tokens: int = 12,
+    seed: int = 42,
+    train_pm: int = 800,
+    val_pm: int = 100,
+    max_bucket: int | None = 64,
+    chunk_tokens: int = 32,
+    stride: int = 16,
+    chunk_tau_milli: int = 500,
+    chunk_drop_pm: int = 500,
+    cand_max_df: int = 50,
+    cand_min_shared: int = 4,
+    sem_tau_milli: int = 800,
+    sem_centroids: int = 8,
+    sem_iters: int = 2,
+) -> str:
+    """Oracle twin of curate_corpus_semdedup: the chunk-containment
+    composition's CTEs plus the semantic stage — survivor-restricted
+    embeddings, the rank-seeded symbolic Lloyd's replay + intra-cluster
+    HUGEINT-certificate pairs, the smaller-id drop rule and sd_absorbed
+    attribution. The skew cap has NO oracle counterpart by design: the
+    block-pair decomposition is physical-only."""
+    from ..functions import text as text_fns
+    from . import ann as ann_ops
+
+    ctes = _duck_neardup_kept_ctes(docs_sql, lang, min_tokens, max_bucket)
+    kdocs = "(SELECT doc_id, text FROM _aug WHERE doc_id IN "\
+            "(SELECT doc_id FROM _kept0))"
+    h64 = text_fns.duck_hash64_str("shingle")
+    sh = text_fns.duck_shingle_rows_sql(kdocs)
+    cand_ctes = f"""_ksh AS MATERIALIZED (
+        SELECT DISTINCT doc_id, {h64} AS sh64 FROM {sh} _s),
+      _post AS (SELECT sh64 FROM _ksh GROUP BY sh64
+                HAVING count(*) BETWEEN 2 AND {cand_max_df}),
+      _idx AS (SELECT k.doc_id, k.sh64 FROM _ksh k
+               JOIN _post USING (sh64)),
+      _cnd AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+               FROM _idx a JOIN _idx b
+                 ON a.sh64 = b.sh64 AND a.doc_id < b.doc_id
+               GROUP BY a.doc_id, b.doc_id
+               HAVING count(*) >= {cand_min_shared}),
+      _cdocs AS MATERIALIZED (SELECT doc_a AS doc_id FROM _cnd
+                UNION SELECT doc_b AS doc_id FROM _cnd)"""
+    cdocs = "(SELECT doc_id, text FROM _aug WHERE doc_id IN "\
+            "(SELECT doc_id FROM _cdocs))"
+    cpairs = duck_chunk_near_dup_sql(
+        cdocs, chunk_tokens, stride, max_bucket, chunk_tau_milli
+    )
+    tail = _duck_containment_tail_ctes(
+        cpairs, chunk_tokens, stride, chunk_drop_pm
+    )
+    sem_pairs = ann_ops.duck_semantic_cluster_pairs_sql(
+        tau_milli=sem_tau_milli, n_centroids=sem_centroids,
+        iters=sem_iters, table="_semb", seed_by_rank=True,
+    )
+    sem_ctes = f"""_semb AS MATERIALIZED (
+        SELECT vec_id, embedding FROM {emb_sql} _e
+        WHERE vec_id IN (SELECT doc_id FROM _final)),
+      _sp AS MATERIALIZED (SELECT vec_a, vec_b FROM {sem_pairs} _p),
+      _sdrop AS (SELECT DISTINCT vec_b AS doc_id FROM _sp),
+      _sattr AS (SELECT rep, count(*) AS sd_absorbed FROM (
+                   SELECT vec_b, min(vec_a) AS rep FROM _sp
+                   GROUP BY vec_b) _a GROUP BY rep),
+      _final2 AS (
+        SELECT f.doc_id, f.n_tokens, f.dup_count, f.nd_dropped,
+               f.cc_absorbed, coalesce(s.sd_absorbed, 0) AS sd_absorbed
+        FROM _final f
+        LEFT JOIN _sattr s ON s.rep = f.doc_id
+        WHERE f.doc_id NOT IN (SELECT doc_id FROM _sdrop)
+      )"""
+    assigned = split_ops.duck_assign_splits_sql(
+        "SELECT * FROM _final2 _k", key="doc_id", seed=seed,
+        train_pm=train_pm, val_pm=val_pm,
+    )
+    return f"""(
+      WITH {ctes},
+      {cand_ctes},
+      {tail},
+      {sem_ctes}
+      SELECT doc_id, n_tokens, dup_count, nd_dropped, cc_absorbed,
+             sd_absorbed, pm, split
       FROM {assigned} _o
     )"""

@@ -90,6 +90,39 @@ DUCK_CLUSTER_AUG = """(
 )"""
 
 
+def paraphrase_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document side of the PARAPHRASE fixture (r10 VERDICT #3): every
+    10th doc gets a copy under doc_id+2,000,000 whose text is the same
+    tokens in REVERSED order. A bag-of-words model sees the same
+    document (same token multiset → same language vote, same token
+    count, near-identical embedding in paraphrase_embeddings), but
+    every ORDER-SENSITIVE stage provably keeps it: the md5 digest
+    differs, and all word n-gram (n ≥ 2) shingle sets — doc-level
+    MinHash/LSH, chunk-level near-dup, chunk containment — are
+    disjoint from the original's (a reversed trigram is a different
+    string). Only an embedding-level stage can catch it: exactly the
+    gap the curation semantic stage exists to close."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    para = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.expr(
+            "array_join(reverse(filter(split(text, ' '), t -> t != '')),"
+            " ' ')"
+        ).alias("text"),
+    )
+    return docs.unionByName(para)
+
+
+DUCK_PARA_AUG = """(
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id,
+         array_to_string(list_reverse(
+           list_filter(string_split(text, ' '), t -> t != '')), ' ') AS text
+  FROM documents WHERE doc_id % 10 = 0
+)"""
+
+
 def _count_in(tokens_expr: str, words: list[str], dialect: str) -> str:
     """# tokens that belong to a word set — same HOF shape both engines."""
     lst = ", ".join(f"'{w}'" for w in words)
@@ -850,39 +883,59 @@ BM25_K1 = "1.2"   # Robertson k1, emitted as an identical literal in
 BM25_B = "0.75"   # both dialects so the double arithmetic is bit-equal
 
 
+def _bm25_term(t: str) -> str:
+    """Escape a query term for literal interpolation into the Spark
+    lambda / DuckDB list_filter expressions. Terms are matched against
+    the tokenizer's output (lowercased, space-split), so a term holding
+    a space can never match and is rejected outright; a single quote is
+    doubled — the string-literal escape BOTH engines share (r10 ADVICE:
+    unescaped interpolation broke, or injected into, both queries)."""
+    if any(c in t for c in " \t\n\r"):
+        raise ValueError(f"BM25 term can never match a token: {t!r}")
+    return t.replace("'", "''")
+
+
 def bm25_topk(docs: DataFrame, terms: list[str], k: int = 20) -> DataFrame:
     """BM25 top-k document retrieval for a fixed term query, fully
     map-side: NO posting-list shuffle at any scale.
 
     Instead of explode→filter→groupBy (which exchanges one row per
     matching token occurrence), per-doc term frequencies come from
-    literal ``size(filter(toks, t -> t = term))`` projections — one
-    corpus scan emits [doc_id, dl, tf_0..tf_m]. Corpus statistics
-    (N, total tokens, per-term document frequencies) partial-aggregate
-    to ONE row that broadcasts back; the Lucene-style idf
+    literal ``size(filter(toks, t -> t = term))`` projections over ONE
+    shared ``toks`` array (the tokenizer HOF evaluates once per row,
+    not once per term — r10 VERDICT nit) — one corpus scan emits
+    [doc_id, dl, tf_0..tf_m]. Corpus statistics (N, total tokens,
+    per-term document frequencies) partial-aggregate to ONE row that
+    broadcasts back; the Lucene-style idf
     ln(1 + (N − df + 0.5)/(df + 0.5)) and the tf saturation
     tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl)) are computed per (doc,
     term) and ROUNDED TO INT64 MICRO-UNITS per term before the score
     sum — integer addition is order-free, so the cross-engine hash
     cannot be broken by float summation order (house integer-output
-    discipline; the only transcendental, ln, is quantized at 1e6 where
-    a ULP disagreement cannot move the rounded value). Top-k is
-    TakeOrderedAndProject on (score desc, doc_id asc) — deterministic
-    ties, no full sort.
+    discipline). The one transcendental, ln, is quantized at 1e6; JVM
+    Math.log and DuckDB libm may disagree by ~1 ulp, so a value landing
+    within ~1 ulp of a .5 micro-boundary COULD flip the rounded int64
+    between engines — a data-dependent (vanishingly small per value,
+    non-zero in aggregate) risk, asserted away for the registered
+    fixtures by tests/test_ln_margin.py rather than claimed impossible
+    (r10 ADVICE). Top-k is TakeOrderedAndProject on (score desc,
+    doc_id asc) — deterministic ties, no full sort.
 
     At 100 TB: one scan, a scalar-sized exchange for the stats row, a
     broadcast back, and a per-partition top-k — the same plan shape at
     any corpus size. Output: [doc_id, score_micro]."""
-    toks = text.SPARK_TOKENS
+    terms = [_bm25_term(t) for t in terms]
     tf_cols = [
         F.expr(
-            f"cast(size(filter({toks}, t -> t = '{t}')) as bigint)"
+            f"cast(size(filter(toks, t -> t = '{t}')) as bigint)"
         ).alias(f"tf_{i}")
         for i, t in enumerate(terms)
     ]
     per_doc = docs.select(
+        "doc_id", F.expr(text.SPARK_TOKENS).alias("toks")
+    ).select(
         "doc_id",
-        F.expr(f"cast(size({toks}) as bigint)").alias("dl"),
+        F.expr("cast(size(toks) as bigint)").alias("dl"),
         *tf_cols,
     )
     stats = per_doc.agg(
@@ -927,10 +980,11 @@ def bm25_topk(docs: DataFrame, terms: list[str], k: int = 20) -> DataFrame:
 def duck_bm25_topk_sql(terms: list[str], k: int = 20,
                        docs_sql: str = "documents") -> str:
     """Twin of bm25_topk: identical literals, identical association, the
-    same per-term int64 quantization before the score sum."""
-    toks = text.DUCK_TOKENS
+    same per-term int64 quantization before the score sum, the same
+    single tokenize per row."""
+    terms = [_bm25_term(t) for t in terms]
     tf_cols = ", ".join(
-        f"cast(len(list_filter({toks}, t -> t = '{t}')) as bigint)"
+        f"cast(len(list_filter(toks, t -> t = '{t}')) as bigint)"
         f" AS tf_{i}"
         for i, t in enumerate(terms)
     )
@@ -960,9 +1014,12 @@ def duck_bm25_topk_sql(terms: list[str], k: int = 20,
 
     score = " + ".join(f"({contrib(i)})" for i in range(len(terms)))
     return f"""(
-      WITH per_doc AS (
-        SELECT doc_id, cast(len({toks}) as bigint) AS dl, {tf_cols}
-        FROM {docs_sql} _b
+      WITH tokd AS (
+        SELECT doc_id, {text.DUCK_TOKENS} AS toks FROM {docs_sql} _b
+      ),
+      per_doc AS (
+        SELECT doc_id, cast(len(toks) as bigint) AS dl, {tf_cols}
+        FROM tokd
       ),
       stats AS (
         SELECT count(*) AS n_docs, sum(dl) AS total_toks, {df_cols}
@@ -992,7 +1049,12 @@ def unigram_logppl(docs: DataFrame) -> DataFrame:
     Two-phase: (1) the LM — token counts over the corpus (map-side
     partial combine, a vocabulary-sized exchange) with
     logp_micro(t) = ⌊1e6·ln(count_t / total) + 0.5⌋ (the one
-    transcendental, quantized at 1e6 per the house discipline);
+    transcendental, quantized at 1e6 per the house discipline — but
+    ln is evaluated independently by each engine's libm, so a value
+    within ~1 ulp of a .5 micro-boundary could round differently;
+    the boundary-hit chance grows with vocab size, and the registered
+    fixtures are margin-asserted by tests/test_ln_margin.py instead
+    of the claim being treated as a guarantee — r10 ADVICE);
     (2) scoring — per-doc term frequencies (one (doc_id, tok)
     exchange), an equi-join against the vocabulary (broadcast-eligible:
     the vocab is corpus-log-sized, never corpus-sized), and an integer

@@ -34,6 +34,7 @@ keep directory-level list pruning until the atomic flip to N+1.
 from __future__ import annotations
 
 import re
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -151,3 +152,150 @@ def read_serve_tables(
         F.col("cent_id").cast("long").alias("cent_id"),
     )
     return cents, postings
+
+
+@dataclass
+class IvfGenAppendState:
+    index_dir: str
+    centroid_rows: list | None = None
+    batches_done: int = 0
+    gen: int = 0
+    list_sizes: dict = field(default_factory=dict)  # cent_id → rows
+    history: list = field(default_factory=list)  # (batch, rows, skew, gen)
+    rebuilds: list = field(default_factory=list)  # (batch, old, new, skew)
+    mid_rebuild_serve: list = field(default_factory=list)  # gen seen mid-swap
+
+
+def start_ivf_append_gen(
+    spark: SparkSession,
+    emb: DataFrame,
+    index_dir: str,
+    n_batches: int = 3,
+    n_centroids: int = ann.N_CENTROIDS,
+    iters: int = 3,
+    rebuild_skew: float | None = None,
+    timeout_sec: float = 300,
+) -> IvfGenAppendState:
+    """The append sink with the ALARM → REBUILD loop composed in (r10
+    VERDICT "Next round" #6): ``ivf_append`` computes list-size skew as
+    a measurement and ``rebuild_index`` exists as a separate manual
+    step; here the two are wired inside ONE foreachBatch maintenance
+    path (the compact_postings_lists composition pattern,
+    ivf_append.py) — ingestion appends int8 postings to the CURRENT
+    committed generation, and when the running max/mean list-size skew
+    exceeds ``rebuild_skew`` the maintenance step retrains on the full
+    ingested corpus, writes generation N+1, records the serve
+    generation MID-REBUILD (provably still N — the atomic-marker
+    discipline means a half-written generation is invisible), commits
+    N+1 atomically, deletes N, and continues appending against the new
+    centroids.
+
+    At 100 TB: per batch the work is unchanged from start_ivf_append
+    (batch-only scan + partitioned append + C scalars of skew state);
+    a triggered rebuild costs one full corpus scan + one partitioned
+    write — the price of a re-train, paid only when the alarm says the
+    Voronoi layout has drifted, while queries keep serving generation
+    N until the single metadata commit."""
+    import time
+
+    state = IvfGenAppendState(index_dir)
+
+    def _append_batch(batch: DataFrame, gdir: str) -> list:
+        cents = spark.createDataFrame(
+            state.centroid_rows, ann.CENTROID_SCHEMA
+        )
+        qz = batch.select(
+            "vec_id", F.expr(ann.quantize_expr()).alias("qv")
+        )
+        p8 = ann.quantize_postings_int8(
+            ann.assign_to_centroids(qz, cents)
+        ).persist()
+        try:
+            p8.write.mode("append").partitionBy("cent_id").parquet(
+                f"{gdir}/postings8"
+            )
+            return p8.groupBy("cent_id").count().collect()
+        finally:
+            p8.unpersist()
+
+    def one_batch(_df: DataFrame, _bid: int) -> None:
+        b = state.batches_done
+        if b >= n_batches:
+            return
+        batch = emb.filter(F.col("vec_id") % n_batches == b)
+        gdir = f"{index_dir}/gen={state.gen}"
+        if b == 0:
+            rows, _ = ann.train_centroid_rows(
+                batch, n_centroids, iters,
+                compute_inertia=False, seed_by_rank=True,
+            )
+            state.centroid_rows = rows
+            spark.createDataFrame(
+                rows, ann.CENTROID_SCHEMA
+            ).write.mode("overwrite").parquet(f"{gdir}/centroids")
+        counts = _append_batch(batch, gdir)
+        if b == 0:
+            # commit AFTER the first postings land: a committed but
+            # postings-empty generation would serve an empty index
+            commit_generation(spark, index_dir, state.gen)
+        for r in counts:
+            state.list_sizes[int(r["cent_id"])] = (
+                state.list_sizes.get(int(r["cent_id"]), 0) + r["count"]
+            )
+        sizes = list(state.list_sizes.values())
+        skew = (
+            round(max(sizes) * len(sizes) / sum(sizes), 3)
+            if sizes else 0.0
+        )
+        state.history.append((b, sum(sizes), skew, state.gen))
+        if rebuild_skew is not None and skew > rebuild_skew:
+            old, new = state.gen, state.gen + 1
+            ingested = emb.filter(F.col("vec_id") % n_batches <= b)
+            rows, _ = ann.train_centroid_rows(
+                ingested, n_centroids, iters,
+                compute_inertia=False, seed_by_rank=True,
+            )
+            write_generation(spark, ingested, index_dir, new, rows)
+            # the swap hasn't happened: readers MUST still resolve N
+            state.mid_rebuild_serve.append(
+                serve_generation(spark, index_dir)
+            )
+            commit_generation(spark, index_dir, new)
+            delete_generation(spark, index_dir, old)
+            state.gen = new
+            state.centroid_rows = rows
+            state.list_sizes = {
+                int(r["cent_id"]): int(r["count"])
+                for r in spark.read.parquet(
+                    f"{index_dir}/gen={new}/postings8"
+                ).groupBy("cent_id").count().collect()
+            }
+            state.rebuilds.append((b, old, new, skew))
+        state.batches_done = b + 1
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1000).load()
+    )
+    q = (
+        stream.writeStream.foreachBatch(one_batch)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + timeout_sec
+        while state.batches_done < n_batches and time.time() < deadline:
+            if not q.isActive:
+                exc = q.exception()
+                raise RuntimeError(
+                    f"ivf_append_gen: stream died after "
+                    f"{state.batches_done}/{n_batches} batches"
+                ) from exc
+            time.sleep(0.2)
+    finally:
+        q.stop()
+    if state.batches_done < n_batches:
+        raise RuntimeError(
+            f"ivf_append_gen: only {state.batches_done}/{n_batches} "
+            "batches completed before the deadline"
+        )
+    return state

@@ -95,3 +95,47 @@ def test_rebuild_matches_from_scratch_build(spark, tmp_path):
         tuple(r) for r in ann.ivf_topk_int8(emb, cents).collect()
     }
     assert rebuilt == scratch
+
+
+def test_append_alarm_rebuild_composed(spark, tmp_path):
+    # r10 VERDICT #6: append → skew alarm → retrain → atomic generation
+    # swap, all inside ONE foreachBatch maintenance path. Batch 0 is
+    # diverse (trains a spread quantizer); batches 1-2 pile onto one
+    # region, driving max/mean list skew over the threshold.
+    emb = read_table(spark, SF, "embeddings").select(
+        "vec_id",
+        F.expr(
+            "CASE WHEN vec_id % 3 = 0 THEN embedding "
+            "ELSE transform(embedding, (x, i) -> cast(0.9 + "
+            "(vec_id % 7) * 0.001 + i * 0.0001 as float)) END"
+        ).alias("embedding"),
+    )
+    idx = str(tmp_path / "genidx")
+    st = ir.start_ivf_append_gen(
+        spark, emb, idx, n_batches=3, n_centroids=4, iters=2,
+        rebuild_skew=1.5,
+    )
+    # the alarm fired and triggered at least one in-stream rebuild
+    assert st.rebuilds, st.history
+    # mid-rebuild, readers still resolved the OLD generation (the
+    # uncommitted N+1 directory is invisible until the marker lands)
+    for (b, old, new, skew), seen in zip(st.rebuilds, st.mid_rebuild_serve):
+        assert seen == old
+        assert skew > 1.5
+    # post-swap: exactly the latest generation is committed, the old
+    # one is deleted, and serving resolves the new one
+    assert ir.committed_generations(spark, idx) == [st.gen]
+    assert ir.serve_generation(spark, idx) == st.gen
+    assert st.gen == st.rebuilds[-1][2]
+    # no vector lost across the swap: the final generation's postings
+    # hold every ingested vec_id exactly once
+    cents, postings = ir.read_serve_tables(spark, idx)
+    got = sorted(r.vec_id for r in postings.select("vec_id").collect())
+    want = sorted(r.vec_id for r in emb.select("vec_id").collect())
+    assert got == want
+    # and the index serves: top-k against the new generation works
+    res = ann.ivf_serve_topk_int8(postings, cents, n_queries=2, k=5)
+    byq = {}
+    for r in res.collect():
+        byq.setdefault(r.query_id, []).append(r)
+    assert byq and all(len(v) == 5 for v in byq.values())
