@@ -662,14 +662,23 @@ def curate_corpus_semdedup(
     cand_max_df: int = 50,
     cand_min_shared: int = 4,
     sem_tau_milli: int = 800,
-    sem_centroids: int = 8,
+    sem_centroids: int | None = 8,
     sem_iters: int = 2,
     sem_cap: int | None = 64,
+    sem_rung: str = "exact",
 ) -> DataFrame:
     """The DCLM-style curation pipeline with the SEMANTIC stage composed
     in (r10 VERDICT "Next round" #3): gates → exact digest → doc-level
     MinHash/LSH near-dup → candidate-restricted chunk containment →
     EMBEDDING-level SemDeDup → split.
+
+    ``sem_rung``: "exact" (the gate config — flat Lloyd's, symbolically
+    replayable, C pinned small so the oracle's training replay stays
+    static) or "fast" (the AT-SCALE config: sampled training, two-level
+    probe, C sized by centroids_for_count when ``sem_centroids`` is
+    None, the same skew cap — the rung the decade rows measure;
+    approximate assignment, so quality-gated by plant recall rather
+    than hash equality, exactly the standalone operator's convention).
 
     Every earlier stage is order-sensitive (digests, word n-gram
     shingles): a PARAPHRASE — same meaning, disjoint shingles — sails
@@ -710,10 +719,16 @@ def curate_corpus_semdedup(
     semb = emb.join(
         final.select(F.col("doc_id").alias("vec_id")), "vec_id", "leftsemi"
     )
-    pairs = ann_ops.semantic_cluster_pairs(
-        semb, tau_milli=sem_tau_milli, n_centroids=sem_centroids,
-        iters=sem_iters, cap=sem_cap, seed_by_rank=True,
-    )
+    if sem_rung == "fast":
+        pairs = ann_ops.semantic_cluster_pairs_fast(
+            semb, tau_milli=sem_tau_milli, n_centroids=sem_centroids,
+            iters=sem_iters, cap=sem_cap,
+        )
+    else:
+        pairs = ann_ops.semantic_cluster_pairs(
+            semb, tau_milli=sem_tau_milli, n_centroids=sem_centroids,
+            iters=sem_iters, cap=sem_cap, seed_by_rank=True,
+        )
     pairs = scoped_persist(pairs.select("vec_a", "vec_b"))
     dropped = pairs.select(F.col("vec_b").alias("dropped_id")).distinct()
     attr = (
