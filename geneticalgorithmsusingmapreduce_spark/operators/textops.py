@@ -901,12 +901,18 @@ def bm25_topk(docs: DataFrame, terms: list[str], k: int = 20) -> DataFrame:
 
     Instead of explode→filter→groupBy (which exchanges one row per
     matching token occurrence), per-doc term frequencies come from
-    literal ``size(filter(toks, t -> t = term))`` projections over ONE
-    shared ``toks`` array (the tokenizer HOF evaluates once per row,
-    not once per term — r10 VERDICT nit) — one corpus scan emits
-    [doc_id, dl, tf_0..tf_m]. Corpus statistics (N, total tokens,
-    per-term document frequencies) partial-aggregate to ONE row that
-    broadcasts back; the Lucene-style idf
+    literal ``size(filter(tokens, t -> t = term))`` projections — one
+    corpus scan emits [doc_id, dl, tf_0..tf_m]. The r10 VERDICT nit
+    (tokenizer HOF re-evaluated per term) was MEASURED and refuted in
+    r11: a factored shared-``toks``-array form is a wash at sf100
+    (12.63 vs 12.68 s same-phase min-of-3) and ~1.5× SLOWER at sf10
+    (2.88 vs 1.91) — Spark's subexpression elimination already shares
+    the identical tokenize subtrees inside the single projection, and
+    the factored form's extra Project only adds per-row array
+    materialization (`.localdata/ab_bm25_tokenize_r11.json`). Corpus
+    statistics (N, total tokens, per-term document frequencies)
+    partial-aggregate to ONE row that broadcasts back; the Lucene-style
+    idf
     ln(1 + (N − df + 0.5)/(df + 0.5)) and the tf saturation
     tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl)) are computed per (doc,
     term) and ROUNDED TO INT64 MICRO-UNITS per term before the score
@@ -925,17 +931,16 @@ def bm25_topk(docs: DataFrame, terms: list[str], k: int = 20) -> DataFrame:
     broadcast back, and a per-partition top-k — the same plan shape at
     any corpus size. Output: [doc_id, score_micro]."""
     terms = [_bm25_term(t) for t in terms]
+    toks = text.SPARK_TOKENS
     tf_cols = [
         F.expr(
-            f"cast(size(filter(toks, t -> t = '{t}')) as bigint)"
+            f"cast(size(filter({toks}, t -> t = '{t}')) as bigint)"
         ).alias(f"tf_{i}")
         for i, t in enumerate(terms)
     ]
     per_doc = docs.select(
-        "doc_id", F.expr(text.SPARK_TOKENS).alias("toks")
-    ).select(
         "doc_id",
-        F.expr("cast(size(toks) as bigint)").alias("dl"),
+        F.expr(f"cast(size({toks}) as bigint)").alias("dl"),
         *tf_cols,
     )
     stats = per_doc.agg(
@@ -980,11 +985,11 @@ def bm25_topk(docs: DataFrame, terms: list[str], k: int = 20) -> DataFrame:
 def duck_bm25_topk_sql(terms: list[str], k: int = 20,
                        docs_sql: str = "documents") -> str:
     """Twin of bm25_topk: identical literals, identical association, the
-    same per-term int64 quantization before the score sum, the same
-    single tokenize per row."""
+    same per-term int64 quantization before the score sum."""
     terms = [_bm25_term(t) for t in terms]
+    toks = text.DUCK_TOKENS
     tf_cols = ", ".join(
-        f"cast(len(list_filter(toks, t -> t = '{t}')) as bigint)"
+        f"cast(len(list_filter({toks}, t -> t = '{t}')) as bigint)"
         f" AS tf_{i}"
         for i, t in enumerate(terms)
     )
@@ -1014,12 +1019,9 @@ def duck_bm25_topk_sql(terms: list[str], k: int = 20,
 
     score = " + ".join(f"({contrib(i)})" for i in range(len(terms)))
     return f"""(
-      WITH tokd AS (
-        SELECT doc_id, {text.DUCK_TOKENS} AS toks FROM {docs_sql} _b
-      ),
-      per_doc AS (
-        SELECT doc_id, cast(len(toks) as bigint) AS dl, {tf_cols}
-        FROM tokd
+      WITH per_doc AS (
+        SELECT doc_id, cast(len({toks}) as bigint) AS dl, {tf_cols}
+        FROM {docs_sql} _b
       ),
       stats AS (
         SELECT count(*) AS n_docs, sum(dl) AS total_toks, {df_cols}
