@@ -624,6 +624,43 @@ def streaming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_semdedup",
+    f"""
+    SELECT vec_a, vec_b, dot, na2, nb2,
+           greatest(vec_a % 3, vec_b % 3) AS found_batch
+    FROM {ann_ops.duck_semantic_cluster_pairs_sql(
+        train_filter="vec_id % 3 = 0"
+    )} _q
+    """,
+)
+def streaming_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch SEMANTIC dedup (r11 — the embedding rung of the
+    streaming dedup ladder): embeddings arrive in 3 micro-batches
+    (routing vec_id % 3); batch 0 trains the coarse quantizer (the
+    ivf_append fixed-quantizer discipline), and each batch's vectors
+    are verified against the CUMULATIVE intra-cluster assignment
+    history — (batch × history) cross blocks + the batch's own upper
+    triangle, history × history never re-emitted — via foreachBatch
+    state (streaming/semdedup.py). Every pair is found in exactly the
+    batch where its later member arrives, so the oracle replays the
+    whole loop symbolically as the STATIC semantic_cluster_pairs
+    (training restricted to the batch-0 slice, rank seeds) plus
+    found_batch = greatest(vec_a%3, vec_b%3): hash equality proves the
+    cross-batch state machinery finds precisely the batch operator's
+    pair set, each exactly once, in the right batch."""
+    from .streaming import semdedup as sd_stream
+
+    st = sd_stream.start_streaming_semdedup(
+        spark, ann_ops.augmented_embeddings(spark, sf_dir), n_batches=3
+    )
+    rows = st.results.collect()  # tear down checkpoints before returning
+    out = spark.createDataFrame(rows, st.results.schema)
+    for df in (st.assigned, st.results):
+        runtime.free_checkpoint(df)
+    return out
+
+
+@register(
     "layout_compaction",
     f"""
     SELECT event_type,

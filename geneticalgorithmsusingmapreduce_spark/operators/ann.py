@@ -2387,17 +2387,20 @@ def _cluster_pairs_from_assign(
 def duck_semantic_cluster_pairs_sql(
     tau_milli: int = 800, n_centroids: int = N_CENTROIDS,
     iters: int = 2, table: str = DUCK_AUG_EMB,
-    seed_by_rank: bool = False,
+    seed_by_rank: bool = False, train_filter: str | None = None,
 ) -> str:
     """Twin of semantic_cluster_pairs: full symbolic Lloyd's replay
     (_duck_kmeans_ctes), the same argmax-dot assignment as
     duck_trained_ivf_sql, intra-cluster pairs, HUGEINT certificate.
     ``seed_by_rank`` mirrors the Spark flag: seeds are the C smallest
     vec_ids by RANK (required when the table is a restricted slice
-    whose ids aren't dense from 0 — the curation semantic stage)."""
+    whose ids aren't dense from 0 — the curation semantic stage).
+    ``train_filter`` restricts TRAINING to a slice (rank seeds implied)
+    while assignment covers the full table — the streaming replay,
+    where centroids come from batch 0 only."""
     ctes, prev = _duck_kmeans_ctes(
         n_centroids, iters, table,
-        train_filter="TRUE" if seed_by_rank else None,
+        train_filter=train_filter or ("TRUE" if seed_by_rank else None),
     )
     ctes.append(
         f"asgn AS (SELECT vec_id, qv, cent_id FROM ("

@@ -95,3 +95,62 @@ def test_bernoulli_threshold_matches_reference_rule(h, p64):
     assert bit in (0, 1)
     if p64 == 2**63 - 1:
         assert bit == 1
+
+
+@given(
+    st.integers(0, 2**31 - 1),
+    st.integers(2, 40),
+    st.integers(1, 6),
+    st.integers(600, 1000),
+)
+@settings(max_examples=40, deadline=None)
+def test_block_pair_decomposition_covers_every_pair_once(
+    seed, k, n_parts, tau_milli
+):
+    # the skew-bound invariant (r11): splitting a cluster's rows into P
+    # hash parts and sweeping the P(P+1)/2 block-pair groups must emit
+    # EXACTLY the monolithic upper-triangle pair set — each unordered
+    # pair lands in the one group keyed (min, max) of its members'
+    # parts. Pure-kernel property over random integer vectors.
+    import pandas as pd
+
+    from geneticalgorithmsusingmapreduce_spark.operators import ann
+
+    rng = np.random.default_rng(seed)
+    vid = rng.choice(10_000, size=k, replace=False).astype(np.int64)
+    xm = rng.integers(-50, 51, size=(k, 8)).astype(np.int64)
+    n2 = (xm * xm).sum(axis=1)
+    keep = n2 > 0
+    vid, xm, n2 = vid[keep], xm[keep], n2[keep]
+    if not len(vid):
+        return
+    t2 = tau_milli * tau_milli
+    order = np.argsort(vid)
+    vid, xm, n2 = vid[order], xm[order], n2[order]
+    xf = xm.astype(np.float64)
+
+    def norm(df: pd.DataFrame) -> set:
+        return {tuple(int(x) for x in r) for r in df.to_numpy()}
+
+    mono = norm(ann._tile_pairs(vid, n2, xf, t2=t2, tile=7))
+    part = (vid * 2654435761 % n_parts).astype(np.int64)
+    got: set = set()
+    for bi in range(n_parts):
+        for bj in range(bi, n_parts):
+            if bi == bj:
+                m = part == bi
+                if not m.any():
+                    continue
+                block = ann._tile_pairs(vid[m], n2[m], xf[m], t2=t2, tile=7)
+            else:
+                ma, mb = part == bi, part == bj
+                if not ma.any() or not mb.any():
+                    continue
+                block = ann._tile_pairs(
+                    vid[ma], n2[ma], xf[ma],
+                    vid[mb], n2[mb], xf[mb], t2=t2, tile=7,
+                )
+            pairs = norm(block)
+            assert not (pairs & got)  # no pair emitted by two groups
+            got |= pairs
+    assert got == mono

@@ -336,3 +336,37 @@ def test_ivf_append_compaction_reduces_files_content_invariant(
         }
 
     assert serve(comp_d) == serve(plain_d)
+
+
+def test_streaming_semdedup_matches_static_pairs(spark):
+    # the embedding rung of the streaming dedup ladder (r11): the
+    # cross-batch loop must find EXACTLY the static batch operator's
+    # pair set (training restricted to batch 0, rank seeds), each pair
+    # once, in the batch where its later member arrives
+    from geneticalgorithmsusingmapreduce_spark import runtime
+    from geneticalgorithmsusingmapreduce_spark.operators import ann
+    from geneticalgorithmsusingmapreduce_spark.streaming import (
+        semdedup as sd_stream,
+    )
+
+    aug = ann.augmented_embeddings(spark, SF)
+    st = sd_stream.start_streaming_semdedup(spark, aug, n_batches=3)
+    got = {
+        (r.vec_a, r.vec_b, r.dot, r.na2, r.nb2): r.found_batch
+        for r in st.results.collect()
+    }
+    assert len(got) == st.results.count()  # no pair emitted twice
+    rows, _ = ann.train_centroid_rows(
+        aug.filter(F.col("vec_id") % 3 == 0), ann.N_CENTROIDS, 2,
+        compute_inertia=False, seed_by_rank=True,
+    )
+    base = ann.kernel_assign(aug, rows).filter(F.col("n2") > 0)
+    static = {
+        (r.vec_a, r.vec_b, r.dot, r.na2, r.nb2)
+        for r in ann._cluster_pairs_from_assign(base, 800).collect()
+    }
+    assert set(got) == static
+    for (va, vb, *_), fb in got.items():
+        assert fb == max(va % 3, vb % 3)
+    for df in (st.assigned, st.results):
+        runtime.free_checkpoint(df)
