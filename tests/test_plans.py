@@ -423,3 +423,19 @@ def test_q5_orders_customer_join_first(spark):
     df = catalog.QUERIES["local_supplier_volume"](spark, SF)
     p = df._jdf.queryExecution().optimizedPlan().toString()
     assert re.search(r"Project \[o_orderkey#\d+L?, c_nationkey#\d+L?\]", p)
+
+
+def test_semdedup_balanced_single_block_exchange(spark):
+    # the skew-bounded verify's physical contract: ONE exchange keyed
+    # (cent_id, bi, bj) feeding the block_pair kernel — hot-cluster rows
+    # replicate across block groups INSIDE that exchange, never a second
+    # shuffle, and the census collect stays model-sized (pre-aggregated)
+    from geneticalgorithmsusingmapreduce_spark.operators import ann
+
+    aug = ann.augmented_embeddings(spark, SF)
+    df = ann.semantic_cluster_pairs(aug, tau_milli=700, n_centroids=16,
+                                    cap=24)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in p
+    assert p.count("hashpartitioning(cent_id") == 1
+    assert "bi" in p and "bj" in p  # the block keys ride that exchange
