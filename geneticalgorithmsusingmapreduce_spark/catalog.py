@@ -1757,6 +1757,26 @@ def corpus_curation_chunk_containment(
 
 
 @register(
+    "corpus_curation_ppl",
+    f"SELECT * FROM "
+    f"{pipeline_ops.duck_curate_ppl_sql('(SELECT doc_id, text FROM documents)')}"
+    f" _q",
+)
+def corpus_curation_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation pipeline with the LM-QUALITY stage composed in (the
+    CCNet/DCLM perplexity filter): gates → exact-digest dedup →
+    unigram LM trained over the SURVIVORS (dedup before LM training so
+    boilerplate mass can't dominate the model) → drop the 100
+    per-mille most-surprising survivors by RANK (integer micro-nat
+    comparisons, deterministic doc_id ties — no threshold literal to
+    go stale across scales) → split. One digest exchange + the
+    unigram_logppl shape + one global sort of skinny per-doc stats."""
+    return pipeline_ops.curate_corpus_ppl(
+        read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+
+
+@register(
     "corpus_curation_semdedup",
     f"SELECT * FROM "
     f"{pipeline_ops.duck_curate_semdedup_sql(textops.DUCK_PARA_AUG, ann_ops.DUCK_PARA_EMB)}"

@@ -1039,3 +1039,140 @@ def duck_curate_semdedup_sql(
              sd_absorbed, pm, split
       FROM {assigned} _o
     )"""
+
+
+def curate_corpus_ppl(
+    docs: DataFrame,
+    lang: str = "en",
+    min_tokens: int = 12,
+    seed: int = 42,
+    train_pm: int = 800,
+    val_pm: int = 100,
+    ppl_drop_pm: int = 100,
+) -> DataFrame:
+    """The curation pipeline with the LM-QUALITY stage composed in —
+    the CCNet/DCLM recipe's perplexity filter: gates → exact-digest
+    dedup → unigram LM over the SURVIVORS (dedup before LM training,
+    so boilerplate mass can't dominate the model) → drop the
+    ``ppl_drop_pm`` per-mille most-surprising survivors → split.
+
+    The drop is RANK-based, not threshold-based: survivors rank by
+    (avg_nll_micro DESC, doc_id ASC — deterministic ties) and the top
+    ⌈n·pm/1000⌉ drop. Rank beats a fixed threshold at every scale (a
+    literal tuned at sf0.01 means nothing at sf100) and keeps the
+    cross-engine surface INTEGER comparisons over already-quantized
+    micro-nats — no new transcendental exposure class beyond what
+    text_unigram_logppl's gate already carries (tests/test_ln_margin.py).
+
+    Scale shape: the gates/dedup stage is curate_corpus's (one 16-byte
+    digest exchange); the LM is two linear passes + a broadcast-
+    eligible vocab join (unigram_logppl's shape, restricted to
+    survivors via one leftsemi); the rank is one global sort of SKINNY
+    per-doc stat rows (doc_id + 3 ints — standard at any corpus size).
+    Output: [doc_id, n_tokens, dup_count, avg_nll_micro, pm, split]."""
+    from pyspark.sql import Window
+
+    from . import textops as tx
+
+    facets = docs.select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("digest"),
+        F.expr(f"cast(size({_TOKS}) as bigint)").alias("n_tokens"),
+        F.expr(_lang_guess_expr("spark")).alias("lang_guess"),
+    )
+    gated = facets.filter(
+        (F.col("lang_guess") == lang) & (F.col("n_tokens") >= min_tokens)
+    )
+    survivors = scoped_persist(gated.groupBy("digest").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min("n_tokens").alias("n_tokens"),
+        F.count(F.lit(1)).alias("dup_count"),
+    ))
+    sdocs = docs.join(survivors.select("doc_id"), "doc_id", "leftsemi")
+    scored = tx.unigram_logppl(sdocs).select("doc_id", "avg_nll_micro")
+    ranked = (
+        survivors.join(scored, "doc_id")
+        .withColumn(
+            "ppl_rank",
+            F.row_number().over(
+                Window.orderBy(
+                    F.desc("avg_nll_micro"), F.asc("doc_id")
+                )
+            ),
+        )
+        .withColumn(
+            "n_surv",
+            F.count(F.lit(1)).over(
+                Window.partitionBy().rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+        )
+    )
+    kept = ranked.filter(
+        F.expr(
+            f"ppl_rank > cast(ceil({ppl_drop_pm} * n_surv / 1000.0) as int)"
+        )
+    ).select("doc_id", "n_tokens", "dup_count", "avg_nll_micro")
+    return split_ops.assign_splits(
+        kept, key="doc_id", seed=seed, train_pm=train_pm, val_pm=val_pm
+    ).select(
+        "doc_id", "n_tokens", "dup_count", "avg_nll_micro", "pm", "split",
+    )
+
+
+def duck_curate_ppl_sql(
+    docs_sql: str,
+    lang: str = "en",
+    min_tokens: int = 12,
+    seed: int = 42,
+    train_pm: int = 800,
+    val_pm: int = 100,
+    ppl_drop_pm: int = 100,
+) -> str:
+    """Oracle twin of curate_corpus_ppl: the gates/digest CTEs, the
+    unigram-LM replay over survivor docs, the rank-based drop."""
+    from ..functions import text as text_fns
+    from . import textops as tx
+
+    toks = text_fns.DUCK_TOKENS
+    guess = _lang_guess_expr("duckdb")
+    sdocs = "(SELECT doc_id, text FROM _aug WHERE doc_id IN "\
+            "(SELECT doc_id FROM _surv))"
+    lp = tx.duck_unigram_logppl_sql(sdocs)
+    assigned = split_ops.duck_assign_splits_sql(
+        "SELECT * FROM _kept _k", key="doc_id", seed=seed,
+        train_pm=train_pm, val_pm=val_pm,
+    )
+    return f"""(
+      WITH _aug AS MATERIALIZED (SELECT doc_id, text FROM {docs_sql} _d),
+      _surv AS MATERIALIZED (
+        SELECT digest, min(doc_id) AS doc_id, min(n_tokens) AS n_tokens,
+               count(*) AS dup_count
+        FROM (
+          SELECT doc_id, md5(text) AS digest,
+                 len({toks}) AS n_tokens, {guess} AS lang_guess
+          FROM _aug _f
+        ) _g
+        WHERE lang_guess = '{lang}' AND n_tokens >= {min_tokens}
+        GROUP BY digest
+      ),
+      _scored AS MATERIALIZED (
+        SELECT doc_id, avg_nll_micro FROM {lp} _p
+      ),
+      _ranked AS (
+        SELECT s.doc_id, s.n_tokens, s.dup_count, c.avg_nll_micro,
+               row_number() OVER (
+                 ORDER BY c.avg_nll_micro DESC, s.doc_id ASC
+               ) AS ppl_rank,
+               count(*) OVER () AS n_surv
+        FROM _surv s JOIN _scored c USING (doc_id)
+      ),
+      _kept AS (
+        SELECT doc_id, n_tokens, dup_count, avg_nll_micro
+        FROM _ranked
+        WHERE ppl_rank > cast(ceil({ppl_drop_pm} * n_surv / 1000.0) as int)
+      )
+      SELECT doc_id, n_tokens, dup_count, avg_nll_micro, pm, split
+      FROM {assigned} _o
+    )"""

@@ -103,3 +103,20 @@ def test_composed_pipeline_engine_parity(spark):
     ).fetchall())
     assert got == duck
     assert len(got) > 0
+
+
+def test_ppl_stage_drops_most_surprising_decile(spark):
+    # the CCNet-style quality filter: rank-based drop removes exactly
+    # ceil(n/10) survivors at drop_pm=100, and what drops is the
+    # HIGH-surprise tail (rare-token junk), never the boilerplate
+    base = " ".join(["the quick brown fox jumps over the lazy dog over"] * 3)
+    docs = [(i, base) for i in range(18)]
+    docs += [(100 + i, base + f" zzqx{i}a zzqx{i}b zzqx{i}c") for i in range(2)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = pipe.curate_corpus_ppl(df, min_tokens=5, ppl_drop_pm=100).collect()
+    kept = {r.doc_id for r in out}
+    # 18 identical docs collapse to ONE survivor at the digest stage;
+    # survivors = {min(base ids)} U {100, 101} = 3 docs -> drop ceil(0.3)=1
+    assert len(kept) == 2
+    assert 0 in kept          # the boilerplate representative stays
+    assert len({100, 101} & kept) == 1  # one junk doc drops (rank ties -> id)
