@@ -249,7 +249,12 @@ def main():
     # taken on a busy box. Annotation, not refusal: the driver contract
     # is "print ONE JSON line", so the bench always completes.
     load_1m = round(os.getloadavg()[0], 2)
-    contended = load_1m > 4.0  # >4 runnable on 32 cores = not idle
+    # threshold scales with the box (r11 ADVICE: a hardcoded ">4 on 32
+    # cores" is too lax on a 4-core box and too strict on a 128-core
+    # one): >1/8 of the cores runnable at start = not idle. cpus is
+    # recorded in both output lines so a reading's guard is auditable.
+    cpus = os.cpu_count() or 1
+    contended = load_1m > 0.125 * cpus
     if contended:
         print(
             f"WARNING: load average {load_1m} at bench start — timings "
@@ -329,6 +334,7 @@ def main():
         "ga_convergence": convergence,
         "sf": sf_val,
         "load_1m_at_start": load_1m,
+        "cpus": cpus,
         "contended": contended,
     }))
     # ... then a compact FINAL line: the driver captures the tail of
@@ -342,6 +348,7 @@ def main():
         "sf": sf_val,
         "n_queries": len(timings),
         "load_1m_at_start": load_1m,
+        "cpus": cpus,
         "contended": contended,
     }))
     spark.stop()

@@ -661,6 +661,51 @@ def streaming_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_semdedup_durable",
+    f"""
+    SELECT vec_a, vec_b, dot, na2, nb2,
+           greatest(vec_a % 3, vec_b % 3) AS found_batch
+    FROM {ann_ops.duck_semantic_cluster_pairs_sql(
+        train_filter="vec_id % 12 = 0"
+    )} _q
+    """,
+)
+def streaming_semdedup_durable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch semantic dedup with DURABLE cent_id-partitioned
+    history (r11 VERDICT "Next round" #1): same 3-batch loop as
+    streaming_semdedup, but the assignment history lives as
+    cent_id-partitioned parquet and each batch re-reads ONLY the cells
+    it probes (explicit per-cell paths — directory pruning by
+    construction), batch-0 training runs on the deterministic sampled
+    slice vec_id % 12 = 0 (killing the flat n·C/3 training term), and
+    pairs land in a found_batch-partitioned store so driver state is
+    counters only. The oracle replays the whole loop symbolically as
+    the STATIC semantic_cluster_pairs with training restricted to the
+    sampled slice (train_filter, rank seeds) plus found_batch =
+    greatest(vec_a%3, vec_b%3): hash equality proves the pruned
+    partitioned-store machinery finds precisely the batch operator's
+    pair set, each exactly once, in the right batch — a history row in
+    an unprobed cell can never pair with a batch row, so skipping its
+    bytes loses nothing."""
+    import shutil
+    import tempfile
+
+    from .streaming import semdedup as sd_stream
+
+    d = tempfile.mkdtemp(prefix="gamr_ssdd_")
+    try:
+        sd_stream.start_streaming_semdedup_durable(
+            spark, ann_ops.augmented_embeddings(spark, sf_dir), d,
+            n_batches=3,
+        )
+        out = sd_stream.durable_results(spark, d)
+        rows = out.collect()  # materialize before deleting the store
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@register(
     "layout_compaction",
     f"""
     SELECT event_type,
@@ -1450,6 +1495,29 @@ def chunk_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return dedup_ops.dedup_exact_chunks(
         pipeline_ops.chunk_documents(boiled)
+    )
+
+
+@register(
+    "dedup_repeated_spans",
+    f"SELECT * FROM {dedup_ops.duck_repeated_span_sql(textops.DUCK_SPAN_AUG)} _q",
+)
+def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-SPAN exact dedup — the Lee et al. suffix-array operator
+    (r11 VERDICT "Next round" #2), the missing rung between chunk-exact
+    and near-dup: per document, the maximal token spans of length ≥ 8
+    occurring anywhere else in the corpus at ANY offset. Runs over
+    span_corpus: every 10th doc's tokens 4..23 are re-planted at token
+    offset 7 of a doc_id+3,000,000 plant behind per-doc-unique fillers
+    — offsets 3 vs 7 share no fixed 32-token chunk boundary, so
+    chunk_dedup_exact provably misses every plant while this operator
+    must mark exactly [7, 26] in each (pinned in
+    tests/test_chunk_dedup.py). Shape: anchor-gram hash-agg (one
+    8-byte-key exchange — the distributed analog of the suffix sort) +
+    semi-join mark + per-doc gaps-and-islands merge; grams never leave
+    the map side (operators/dedup.repeated_span_dedup)."""
+    return dedup_ops.repeated_span_dedup(
+        textops.span_corpus(spark, sf_dir)
     )
 
 

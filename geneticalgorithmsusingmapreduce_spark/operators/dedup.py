@@ -431,3 +431,131 @@ def _star_loop(edges: DataFrame, sig, max_rounds: int, _sig):
             f"— raise max_rounds (O(log n) suffices for any graph)"
         )
     return edges, rounds_run
+
+def repeated_span_dedup(docs: DataFrame, k: int = 8) -> DataFrame:
+    """Substring-granularity EXACT dedup — the Lee et al. "Deduplicating
+    Training Data Makes Language Models Better" operator (r11 VERDICT
+    "Next round" #2): find, per document, the maximal token spans of
+    length ≥ k that occur elsewhere in the corpus at ANY offset. This
+    is the missing rung between chunk-exact (fixed 32-token windows —
+    provably blind to shifted duplicates, see textops.span_corpus) and
+    near-dup: the classic pretraining-dedup primitive for boilerplate,
+    licenses, and quoted passages.
+
+    Semantics: a k-token window is DUPLICATED iff its gram occurs ≥ 2
+    times in the corpus (any doc, any offset — a within-doc repeat
+    counts, as in the suffix-array formulation, where any suffix pair
+    with an ≥ k common prefix marks both sites). A repeated span of
+    length L ≥ k contains exactly L−k+1 duplicated windows, all
+    consecutive, so the union of duplicated windows per doc — merged
+    with the classic gaps-and-islands pass — is exactly the maximal
+    repeated-region set a suffix array would report at threshold k.
+    Output: [doc_id, span_start, span_end, span_tokens, n_windows]
+    (token offsets, 0-based inclusive).
+
+    Distributed shape — the suffix-array SORT re-expressed as a
+    hash-agg (no global order needed, only equality at fixed width k):
+      1. one corpus scan emits (doc_id, pos, g64) per window, all
+         map-side (tokenize + slide + md5-based 8-byte gram hash —
+         grams themselves never leave the task);
+      2. duplicated grams = groupBy(g64).count() ≥ 2 — ONE exchange of
+         8-byte keys with map-side partial combine (the distributed
+         analog of the anchor-gram sort; like the suffix sort it is
+         linear in total tokens);
+      3. marked windows = occ ⋉ dup-grams on g64 (broadcast when the
+         dup set is small, AQE shuffle/skew-join otherwise);
+      4. islands: one skinny (doc_id, pos) exchange keyed on doc_id +
+         per-doc lag/sum windows — partitioned by doc, never global.
+    Collision note: two distinct grams sharing a 60-bit md5 prefix
+    would mark a span spuriously — the same 2^-60 trade every sh64
+    consumer in this repo already accepts, and identical in the oracle
+    (same hash both engines)."""
+    from pyspark.sql import Window
+
+    from ..functions import text as text_fns
+
+    gram_arr = (
+        f"transform(sequence(1, size(t) - {k - 1}), "
+        f"i -> concat_ws(' ', slice(t, i, {k})))"
+    )
+    occ = (
+        docs.select("doc_id", text_fns.spark_tokens().alias("t"))
+        .filter(F.size("t") >= k)
+        .select("doc_id", F.posexplode(F.expr(gram_arr)).alias("pos", "g"))
+        .select(
+            "doc_id",
+            F.col("pos").cast("long").alias("pos"),
+            F.expr(text_fns.spark_hash64_str("g")).alias("g64"),
+        )
+    )
+    dup = (
+        occ.groupBy("g64")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("g64")
+    )
+    marked = occ.join(dup, "g64", "leftsemi").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(
+        F.lag("pos").over(w).isNull()
+        | (F.col("pos") - F.lag("pos").over(w) > k),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    isl = (
+        marked.withColumn("brk", brk)
+        .withColumn(
+            "isl",
+            F.sum("brk").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    return isl.groupBy("doc_id", "isl").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + (k - 1)).alias("span_end"),
+        (F.max("pos") - F.min("pos") + k).alias("span_tokens"),
+        F.count(F.lit(1)).alias("n_windows"),
+    ).select(
+        "doc_id", "span_start", "span_end", "span_tokens", "n_windows"
+    )
+
+
+def duck_repeated_span_sql(docs_sql: str, k: int = 8) -> str:
+    """Oracle twin of repeated_span_dedup: same tokenize, same 60-bit
+    md5 gram hash, same ≥2 global-count rule, same gaps-and-islands
+    merge — symbolic end to end."""
+    from ..functions import text as text_fns
+
+    toks = text_fns.DUCK_TOKENS
+    g64 = text_fns.duck_hash64_str(f"array_to_string(t[i:i + {k - 1}], ' ')")
+    return f"""(
+      WITH _occ AS MATERIALIZED (
+        SELECT doc_id, (i - 1)::BIGINT AS pos, {g64} AS g64
+        FROM (
+          SELECT doc_id, t, unnest(range(1, len(t) - {k} + 2)) AS i
+          FROM (SELECT doc_id, {toks} AS t FROM {docs_sql} _d) _t
+          WHERE len(t) >= {k}
+        ) _w
+      ),
+      _dup AS (SELECT g64 FROM _occ GROUP BY g64 HAVING count(*) >= 2),
+      _m AS (SELECT doc_id, pos FROM _occ
+             WHERE g64 IN (SELECT g64 FROM _dup)),
+      _b AS (
+        SELECT doc_id, pos,
+               CASE WHEN lag(pos) OVER dw IS NULL
+                      OR pos - lag(pos) OVER dw > {k}
+                    THEN 1 ELSE 0 END AS brk
+        FROM _m WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)
+      ),
+      _i AS (
+        SELECT doc_id, pos,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS UNBOUNDED PRECEDING) AS isl
+        FROM _b
+      )
+      SELECT doc_id, min(pos)::BIGINT AS span_start,
+             (max(pos) + {k - 1})::BIGINT AS span_end,
+             (max(pos) - min(pos) + {k})::BIGINT AS span_tokens,
+             count(*)::BIGINT AS n_windows
+      FROM _i GROUP BY doc_id, isl
+    )"""

@@ -712,10 +712,18 @@ def curate_corpus_semdedup(
     # (measured: semb.count() 6-8 s/pass on 1,963 cached rows).
     # Checkpointing collapses the plan to a leaf; downstream planning
     # is constant-size. Same pattern as plans/sga.py's generation loop.
-    final = _chunk_containment_final(
+    # The checkpointed blocks are freed when the NEXT catalog entry is
+    # built (r11 ADVICE: a raw localCheckpoint leaked block-manager
+    # storage per invocation across a gate/bench session) — deferred
+    # past return so the caller's collect can still compute the result.
+    from ..runtime import free_checkpoint, local_checkpoint_truncated, \
+        scoped_cleanup
+
+    final = local_checkpoint_truncated(_chunk_containment_final(
         docs, lang, min_tokens, max_bucket, chunk_tokens, stride,
         chunk_tau_milli, chunk_drop_pm, cand_max_df, cand_min_shared,
-    ).localCheckpoint(eager=True)
+    ))
+    scoped_cleanup(lambda: free_checkpoint(final))
     semb = emb.join(
         final.select(F.col("doc_id").alias("vec_id")), "vec_id", "leftsemi"
     )
@@ -1041,6 +1049,66 @@ def duck_curate_semdedup_sql(
     )"""
 
 
+def _drop_top_ranked_pm(stats: DataFrame, drop_pm: int) -> DataFrame:
+    """Drop the ⌈n·pm/1000⌉ top-ranked rows by (avg_nll_micro DESC,
+    doc_id ASC) WITHOUT a single-partition global window (r11 ADVICE:
+    row_number over an unpartitioned ORDER BY moves every row into one
+    task — an OOM/straggler at corpus scale, not a distributed sort).
+
+    Distributed shape: one range-repartition on the sort key (the
+    partitioner Spark's own ORDER BY uses), one per-partition count
+    (P scalars to the driver), then the boundary element — the
+    n_drop-th row globally — is located in the single partition where
+    the cumulative count crosses n_drop and read with a window over
+    THAT partition only (~n/P rows, one task). Kept rows are everything
+    strictly after the boundary key; the key (avg_nll_micro, doc_id) is
+    unique, so the cut is exact and independent of partition
+    boundaries. Cost: one skinny exchange + two cheap passes over the
+    persisted frame — no row ever ranks against the whole corpus in
+    one task."""
+    import math
+
+    from pyspark.sql import Window
+
+    key = (F.desc("avg_nll_micro"), F.asc("doc_id"))
+    sdf = scoped_persist(
+        stats.repartitionByRange(*key)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    counts = sorted(
+        (r["_pid"], r["n"])
+        for r in sdf.groupBy("_pid").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    )
+    n_surv = sum(n for _, n in counts)
+    n_drop = math.ceil(drop_pm * n_surv / 1000.0)
+    if n_drop <= 0:
+        return sdf.drop("_pid")
+    acc = 0
+    pid_star, k = counts[-1][0], counts[-1][1]
+    for pid, n in counts:
+        if acc + n >= n_drop:
+            pid_star, k = pid, n_drop - acc
+            break
+        acc += n
+    w = Window.partitionBy("_pid").orderBy(*key)
+    b = (
+        sdf.filter(F.col("_pid") == pid_star)
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == k)
+        .select("avg_nll_micro", "doc_id")
+        .collect()[0]
+    )
+    return sdf.filter(
+        (F.col("avg_nll_micro") < b.avg_nll_micro)
+        | (
+            (F.col("avg_nll_micro") == b.avg_nll_micro)
+            & (F.col("doc_id") > b.doc_id)
+        )
+    ).drop("_pid")
+
+
 def curate_corpus_ppl(
     docs: DataFrame,
     lang: str = "en",
@@ -1067,11 +1135,10 @@ def curate_corpus_ppl(
     Scale shape: the gates/dedup stage is curate_corpus's (one 16-byte
     digest exchange); the LM is two linear passes + a broadcast-
     eligible vocab join (unigram_logppl's shape, restricted to
-    survivors via one leftsemi); the rank is one global sort of SKINNY
-    per-doc stat rows (doc_id + 3 ints — standard at any corpus size).
+    survivors via one leftsemi); the rank-drop is _drop_top_ranked_pm's
+    range-partitioned boundary cut over SKINNY per-doc stat rows —
+    no single-task global window (r11 ADVICE).
     Output: [doc_id, n_tokens, dup_count, avg_nll_micro, pm, split]."""
-    from pyspark.sql import Window
-
     from . import textops as tx
 
     facets = docs.select(
@@ -1090,29 +1157,8 @@ def curate_corpus_ppl(
     ))
     sdocs = docs.join(survivors.select("doc_id"), "doc_id", "leftsemi")
     scored = tx.unigram_logppl(sdocs).select("doc_id", "avg_nll_micro")
-    ranked = (
-        survivors.join(scored, "doc_id")
-        .withColumn(
-            "ppl_rank",
-            F.row_number().over(
-                Window.orderBy(
-                    F.desc("avg_nll_micro"), F.asc("doc_id")
-                )
-            ),
-        )
-        .withColumn(
-            "n_surv",
-            F.count(F.lit(1)).over(
-                Window.partitionBy().rowsBetween(
-                    Window.unboundedPreceding, Window.unboundedFollowing
-                )
-            ),
-        )
-    )
-    kept = ranked.filter(
-        F.expr(
-            f"ppl_rank > cast(ceil({ppl_drop_pm} * n_surv / 1000.0) as int)"
-        )
+    kept = _drop_top_ranked_pm(
+        survivors.join(scored, "doc_id"), ppl_drop_pm
     ).select("doc_id", "n_tokens", "dup_count", "avg_nll_micro")
     return split_ops.assign_splits(
         kept, key="doc_id", seed=seed, train_pm=train_pm, val_pm=val_pm

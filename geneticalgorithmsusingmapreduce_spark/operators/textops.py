@@ -58,6 +58,54 @@ DUCK_AUG = """(
 )"""
 
 
+def span_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixture for repeated-SPAN dedup (r11 VERDICT "Next round" #2):
+    every 10th doc with ≥ 23 tokens gets a plant under doc_id+3,000,000
+    whose text is 7 unique filler tokens + a 20-token span copied from
+    the base doc's tokens 4..23 (1-based) + 5 unique filler tokens.
+    The copied span sits at token offset 7 in the plant but offset 3 in
+    the base — no fixed 32-token chunk boundary aligns, so
+    chunk_dedup_exact provably misses it (its windows start at
+    0/32/64…), while any ≥ k-token repeated-span finder must mark
+    exactly [7, 26] in the plant: the fillers are per-doc unique, so no
+    window crossing a filler boundary can ever repeat."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    plants = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id", text.spark_tokens().alias("t"))
+        .filter(F.size("t") >= 23)
+        .select(
+            (F.col("doc_id") + 3_000_000).alias("doc_id"),
+            F.expr(
+                "concat_ws(' ', concat("
+                "transform(sequence(0, 6), j -> concat('pre', "
+                "cast(doc_id as string), 'x', cast(j as string))), "
+                "slice(t, 4, 20), "
+                "transform(sequence(0, 4), j -> concat('suf', "
+                "cast(doc_id as string), 'x', cast(j as string)))))"
+            ).alias("text"),
+        )
+    )
+    return docs.unionByName(plants)
+
+
+DUCK_SPAN_AUG = f"""(
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 3000000 AS doc_id,
+         array_to_string(
+           list_transform(range(0, 7),
+             j -> 'pre' || doc_id::VARCHAR || 'x' || j::VARCHAR)
+           || t[4:23]
+           || list_transform(range(0, 5),
+             j -> 'suf' || doc_id::VARCHAR || 'x' || j::VARCHAR),
+           ' ') AS text
+  FROM (SELECT doc_id, {text.DUCK_TOKENS} AS t FROM documents
+        WHERE doc_id % 10 = 0) _p
+  WHERE len(t) >= 23
+)"""
+
+
 def clusters_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-in-4 slice of the augmented near-dup corpus — the fixture for
     the three HEAVY clustering entries (dedup_clusters[_star],
@@ -892,6 +940,16 @@ def _bm25_term(t: str) -> str:
     unescaped interpolation broke, or injected into, both queries)."""
     if any(c in t for c in " \t\n\r"):
         raise ValueError(f"BM25 term can never match a token: {t!r}")
+    if "\\" in t:
+        # quote-doubling is the one escape BOTH engines share; backslash
+        # is not — Spark's SQL parser treats it as an escape inside the
+        # interpolated literal while DuckDB keeps it literal, so a
+        # backslash-bearing term diverges across engines (r11 ADVICE).
+        # The tokenizer never emits backslashes on the registered
+        # fixtures, so reject rather than escape engine-specifically.
+        raise ValueError(
+            f"BM25 term would interpolate differently per engine: {t!r}"
+        )
     return t.replace("'", "''")
 
 

@@ -164,6 +164,8 @@ class IvfGenAppendState:
     history: list = field(default_factory=list)  # (batch, rows, skew, gen)
     rebuilds: list = field(default_factory=list)  # (batch, old, new, skew)
     mid_rebuild_serve: list = field(default_factory=list)  # gen seen mid-swap
+    pending_gc: list = field(default_factory=list)  # superseded, not yet rm'd
+    gc_done: list = field(default_factory=list)  # (batch, gen) actually rm'd
 
 
 def start_ivf_append_gen(
@@ -222,6 +224,16 @@ def start_ivf_append_gen(
         b = state.batches_done
         if b >= n_batches:
             return
+        # deferred GC (r11 ADVICE): a generation superseded in an
+        # EARLIER batch is deleted here, one grace batch after its
+        # replacement committed — deleting in the same maintenance step
+        # as the commit would pull files out from under an in-flight
+        # reader still scanning generation N. Leftovers at stream end
+        # stay in state.pending_gc for the caller's explicit GC.
+        while state.pending_gc:
+            gone = state.pending_gc.pop(0)
+            delete_generation(spark, index_dir, gone)
+            state.gc_done.append((b, gone))
         batch = emb.filter(F.col("vec_id") % n_batches == b)
         gdir = f"{index_dir}/gen={state.gen}"
         if b == 0:
@@ -261,7 +273,10 @@ def start_ivf_append_gen(
                 serve_generation(spark, index_dir)
             )
             commit_generation(spark, index_dir, new)
-            delete_generation(spark, index_dir, old)
+            # NOT deleted here: the module's own discipline documents
+            # deletion as a separate post-swap step (r11 ADVICE) —
+            # queued for the next batch's maintenance step instead
+            state.pending_gc.append(old)
             state.gen = new
             state.centroid_rows = rows
             state.list_sizes = {

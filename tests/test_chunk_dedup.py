@@ -226,3 +226,61 @@ def test_full_corpus_containment_entry_drops_planted_excerpts(spark):
     surviving = planted & {r.doc_id for r in rows}
     assert not surviving, f"excerpts survived: {surviving}"
     assert sum(r.cc_absorbed for r in rows) >= 0.8 * len(planted)
+
+def test_repeated_spans_find_shifted_plants(spark):
+    # r11 VERDICT #2: arbitrary-offset repeated spans that fixed
+    # 32-token chunk windows provably miss. Hand-built corpus: doc 1 is
+    # 30 unique tokens; doc 2 re-plants doc 1's tokens 4..23 (0-based
+    # 3..22, 20 tokens) at token offset 7 behind unique fillers.
+    span = " ".join(f"s{j}" for j in range(20))
+    rows = [
+        (1, "a0 a1 a2 " + span + " a3 a4 a5 a6"),
+        (2, "p0 p1 p2 p3 p4 p5 p6 " + span + " q0 q1 q2 q3 q4"),
+        (3, " ".join(f"u{j}" for j in range(30))),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = {
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens, r.n_windows)
+        for r in dedup.repeated_span_dedup(docs, k=8).collect()
+    }
+    # doc 1's copy sits at offsets 3..22, doc 2's at 7..26; 20 tokens,
+    # 13 duplicated 8-windows each; doc 3 is untouched
+    assert spans == {(1, 3, 22, 20, 13), (2, 7, 26, 20, 13)}
+    # the same corpus through chunk-exact dedup: no chunk collapses —
+    # the shifted plant is invisible to fixed 32-token windows
+    chunked = dedup.dedup_exact_chunks(pipeline.chunk_documents(docs))
+    assert all(r.dup_count == 1 for r in chunked.collect())
+
+
+def test_repeated_spans_within_doc_and_merge(spark):
+    # a within-doc repeat counts (the suffix-array formulation marks
+    # both sites), and overlapping windows merge into ONE maximal span
+    body = " ".join(f"w{j}" for j in range(8))
+    rows = [(1, body + " x0 x1 x2 " + body)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = {
+        (r.span_start, r.span_end, r.span_tokens)
+        for r in dedup.repeated_span_dedup(docs, k=8).collect()
+    }
+    # two 8-token sites at offsets 0 and 11; gap of 3 unique tokens
+    # keeps them as separate islands (11 - 0 > k)
+    assert spans == {(0, 7, 8), (11, 18, 8)}
+
+
+def test_repeated_spans_fixture_plants_marked_exactly(spark):
+    # the registered fixture: every plant doc (id ≥ 3,000,000) must
+    # carry exactly one span [7, 26] — fillers are per-doc unique, so
+    # nothing can extend an island across them
+    from geneticalgorithmsusingmapreduce_spark.operators import textops
+
+    corpus = textops.span_corpus(spark, "/root/testdata/sf0.001")
+    out = dedup.repeated_span_dedup(corpus, k=8).collect()
+    plants = {}
+    for r in out:
+        if r.doc_id >= 3_000_000:
+            plants.setdefault(r.doc_id, []).append(r)
+    n_planted = corpus.filter("doc_id >= 3000000").count()
+    assert n_planted > 0 and len(plants) == n_planted
+    for doc_id, rs in plants.items():
+        assert len(rs) == 1
+        assert (rs[0].span_start, rs[0].span_end) == (7, 26)

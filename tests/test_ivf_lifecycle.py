@@ -122,8 +122,21 @@ def test_append_alarm_rebuild_composed(spark, tmp_path):
     for (b, old, new, skew), seen in zip(st.rebuilds, st.mid_rebuild_serve):
         assert seen == old
         assert skew > 1.5
-    # post-swap: exactly the latest generation is committed, the old
-    # one is deleted, and serving resolves the new one
+    # deletion is DEFERRED past the committing batch (r11 ADVICE: an
+    # in-flight reader of generation N must survive N+1's commit): any
+    # in-stream GC ran at a strictly later batch than the rebuild that
+    # superseded the generation it removed
+    gc_batch = {gen: b for b, gen in st.gc_done}
+    for b, old, new, skew in st.rebuilds:
+        if old in gc_batch:
+            assert gc_batch[old] > b, (st.rebuilds, st.gc_done)
+    # a generation superseded in the FINAL batch is still on disk —
+    # draining pending_gc is the caller's explicit post-stream GC step
+    for gen in st.pending_gc:
+        assert gen in ir.committed_generations(spark, idx)
+        ir.delete_generation(spark, idx, gen)
+    # post-GC: exactly the latest generation is committed, the old
+    # ones are deleted, and serving resolves the new one
     assert ir.committed_generations(spark, idx) == [st.gen]
     assert ir.serve_generation(spark, idx) == st.gen
     assert st.gen == st.rebuilds[-1][2]

@@ -343,3 +343,7 @@ def test_bm25_term_escaping():
     assert textops._bm25_term("o'brien") == "o''brien"
     with _pytest.raises(ValueError):
         textops._bm25_term("two words")
+    # backslash diverges between the engines' literal parsers (r11
+    # ADVICE) — rejected, not half-escaped
+    with _pytest.raises(ValueError):
+        textops._bm25_term("a\\b")

@@ -370,3 +370,77 @@ def test_streaming_semdedup_matches_static_pairs(spark):
         assert fb == max(va % 3, vb % 3)
     for df in (st.assigned, st.results):
         runtime.free_checkpoint(df)
+
+def test_streaming_semdedup_durable_matches_static_pairs(spark, tmp_path):
+    # r11 VERDICT #1: the durable-history variant must find EXACTLY the
+    # static operator's pair set under the SAMPLED batch-0 training
+    # (train slice vec_id % 12 = 0, rank seeds), each pair once, in the
+    # batch where its later member arrives — while keeping only
+    # counters in driver memory and re-reading only probed cells
+    from geneticalgorithmsusingmapreduce_spark.operators import ann
+    from geneticalgorithmsusingmapreduce_spark.streaming import (
+        semdedup as sd_stream,
+    )
+
+    aug = ann.augmented_embeddings(spark, SF)
+    d = str(tmp_path / "ssdd")
+    st = sd_stream.start_streaming_semdedup_durable(
+        spark, aug, d, n_batches=3
+    )
+    res = sd_stream.durable_results(spark, d)
+    got = {
+        (r.vec_a, r.vec_b, r.dot, r.na2, r.nb2): r.found_batch
+        for r in res.collect()
+    }
+    assert len(got) == res.count()  # no pair emitted twice
+    rows, _ = ann.train_centroid_rows(
+        aug.filter(F.col("vec_id") % 12 == 0), ann.N_CENTROIDS, 2,
+        compute_inertia=False, seed_by_rank=True,
+    )
+    base = ann.kernel_assign(aug, rows).filter(F.col("n2") > 0)
+    static = {
+        (r.vec_a, r.vec_b, r.dot, r.na2, r.nb2)
+        for r in ann._cluster_pairs_from_assign(base, 800).collect()
+    }
+    assert set(got) == static
+    for (va, vb, *_), fb in got.items():
+        assert fb == max(va % 3, vb % 3)
+    # evidence shape: per-batch history bytes track the PROBED cells,
+    # and the store grows monotonically while driver state stays flat
+    assert [h["batch"] for h in st.history] == [0, 1, 2]
+    assert st.history[0]["history_bytes_read"] == 0  # no store yet
+    for h in st.history:
+        assert h["history_cells"] <= h["probed_cells"]
+        assert h["history_bytes_read"] <= h["store_bytes_total"]
+    assert (
+        st.history[1]["store_bytes_total"]
+        < st.history[2]["store_bytes_total"]
+    )
+
+
+def test_read_probed_cells_prunes_unprobed_dirs(spark, tmp_path):
+    # the pruning pin (r11 VERDICT #1 "unprobed cells are not read"):
+    # with cells {0,1,2} on disk and probes {0,2}, the read must list
+    # only the probed directories' files — by construction, not by
+    # planner pushdown
+    from geneticalgorithmsusingmapreduce_spark.streaming import (
+        semdedup as sd_stream,
+    )
+
+    base = str(tmp_path / "assign")
+    df = spark.createDataFrame(
+        [(i, i % 3, [i, i + 1], 5) for i in range(30)],
+        "vec_id long, cent_id long, qv array<long>, n2 long",
+    )
+    df.write.partitionBy("cent_id").parquet(base)
+    hist, nbytes, n_live = sd_stream.read_probed_cells(spark, base, [0, 2])
+    assert n_live == 2 and nbytes > 0
+    files = hist.inputFiles()
+    assert files, "probed read must see the probed cells' files"
+    assert all("cent_id=0" in f or "cent_id=2" in f for f in files)
+    assert not any("cent_id=1" in f for f in files)
+    got = {(r.vec_id, r.cent_id) for r in hist.collect()}
+    assert got == {(i, i % 3) for i in range(30) if i % 3 != 1}
+    # probing only missing cells reads nothing at all
+    none, zero, live0 = sd_stream.read_probed_cells(spark, base, [99])
+    assert none is None and zero == 0 and live0 == 0
