@@ -1870,6 +1870,92 @@ def corpus_curation_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# One victim class per curation rung (r11 VERDICT "Next round" #3),
+# each provably surviving all earlier rungs: +5M exact copies die at
+# the digest (dup_count), +1M ' zz9' near-dups at doc-level LSH
+# (nd_dropped), +4M excerpts at chunk containment (cc_absorbed), +2M
+# reversed-token paraphrases at the embedding stage (sd_absorbed —
+# their embeddings live in paraphrase_embeddings under the same +2M
+# offset), and the rank-based perplexity stage needs no plant (it
+# drops the top per-mille of whatever survives). Gate victims are the
+# base corpus's own sub-12-token docs.
+_FULL_LADDER_DUCK = """(
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text || ' zz9' AS text
+  FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id,
+         array_to_string(list_reverse(
+           list_filter(string_split(text, ' '), t -> t != '')), ' ') AS text
+  FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 4000000 AS doc_id,
+         array_to_string(toks[1:7], ' ') || ' zq' ||
+         cast(doc_id as varchar) || ' ' ||
+         array_to_string(toks[9:32], ' ') AS text
+  FROM (SELECT doc_id, text,
+               list_filter(string_split(text, ' '), t -> t != '') AS toks
+        FROM documents) _t
+  WHERE len(toks) >= 80 AND doc_id % 20 = 0
+  UNION ALL
+  SELECT doc_id + 5000000 AS doc_id, text FROM documents
+  WHERE doc_id % 16 = 0
+)"""
+
+
+def _full_ladder_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = "filter(split(text, ' '), t -> t != '')"
+    nd = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz9")).alias("text"),
+    )
+    para = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.expr(f"array_join(reverse({toks}), ' ')").alias("text"),
+    )
+    ex = docs.filter(
+        F.expr(f"size({toks}) >= 80 AND doc_id % 20 = 0")
+    ).select(
+        (F.col("doc_id") + 4_000_000).alias("doc_id"),
+        F.expr(
+            f"concat(array_join(slice({toks}, 1, 7), ' '), ' zq', "
+            f"cast(doc_id as string), ' ', "
+            f"array_join(slice({toks}, 9, 24), ' '))"
+        ).alias("text"),
+    )
+    xc = docs.filter(F.col("doc_id") % 16 == 0).select(
+        (F.col("doc_id") + 5_000_000).alias("doc_id"), "text"
+    )
+    return docs.unionByName(nd).unionByName(para).unionByName(ex)\
+        .unionByName(xc)
+
+
+@register(
+    "corpus_curation_full",
+    f"SELECT * FROM "
+    f"{pipeline_ops.duck_curate_full_sql(_FULL_LADDER_DUCK, ann_ops.DUCK_PARA_EMB)}"
+    f" _q",
+)
+def corpus_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULLY-COMPOSED curation ladder (r11 VERDICT "Next round"
+    #3): gates → exact digest → doc-level MinHash/LSH → candidate-
+    restricted chunk containment → embedding SemDeDup → perplexity
+    rank-drop → split, ONE plan, every rung carrying its credit column
+    (dup_count / nd_dropped / cc_absorbed / sd_absorbed /
+    avg_nll_micro / pm+split). The fixture plants one victim CLASS per
+    rung, each provably surviving all earlier rungs (see
+    _FULL_LADDER_DUCK); per-rung drops are pinned in
+    tests/test_curation_semdedup.py and the whole composition
+    hash-replays symbolically — gates through the HUGEINT cosine
+    certificate through the LM's quantized micro-nats."""
+    return pipeline_ops.curate_corpus_full(
+        _full_ladder_docs(spark, sf_dir),
+        ann_ops.paraphrase_embeddings(spark, sf_dir),
+    )
+
+
 def _dataset_fingerprint(sf_dir: str, table: str) -> tuple:
     """Cheap content fingerprint of one parquet table — (name, size,
     mtime_ns) per file — folded into every per-process cache key so a

@@ -702,6 +702,42 @@ def curate_corpus_semdedup(
     standalone SemDeDup entry's shape over the (smaller) survivor set.
     Output: [doc_id, n_tokens, dup_count, nd_dropped, cc_absorbed,
     sd_absorbed, pm, split]."""
+    final2 = _semdedup_final(
+        docs, emb, lang, min_tokens, max_bucket, chunk_tokens, stride,
+        chunk_tau_milli, chunk_drop_pm, cand_max_df, cand_min_shared,
+        sem_tau_milli, sem_centroids, sem_iters, sem_cap, sem_rung,
+    )
+    return split_ops.assign_splits(
+        final2, key="doc_id", seed=seed, train_pm=train_pm, val_pm=val_pm
+    ).select(
+        "doc_id", "n_tokens", "dup_count", "nd_dropped", "cc_absorbed",
+        "sd_absorbed", "pm", "split",
+    )
+
+
+def _semdedup_final(
+    docs: DataFrame,
+    emb: DataFrame,
+    lang: str = "en",
+    min_tokens: int = 12,
+    max_bucket: int | None = 64,
+    chunk_tokens: int = 32,
+    stride: int = 16,
+    chunk_tau_milli: int = 500,
+    chunk_drop_pm: int = 500,
+    cand_max_df: int = 50,
+    cand_min_shared: int = 4,
+    sem_tau_milli: int = 800,
+    sem_centroids: int | None = 8,
+    sem_iters: int = 2,
+    sem_cap: int | None = 64,
+    sem_rung: str = "exact",
+) -> DataFrame:
+    """Stages 1-5 of the curation ladder, pre-split: gates → digest →
+    doc near-dup → candidate-restricted chunk containment → SemDeDup.
+    Output: [doc_id, n_tokens, dup_count, nd_dropped, cc_absorbed,
+    sd_absorbed] — shared by curate_corpus_semdedup and
+    curate_corpus_full."""
     from . import ann as ann_ops
 
     # localCheckpoint, not persist: the semantic stage makes ~6 passes
@@ -743,7 +779,7 @@ def curate_corpus_semdedup(
         pairs.groupBy("vec_b").agg(F.min("vec_a").alias("rep"))
         .groupBy("rep").agg(F.count(F.lit(1)).alias("sd_absorbed"))
     )
-    final2 = (
+    return (
         final.join(dropped, final.doc_id == dropped.dropped_id, "left_anti")
         .join(attr, final.doc_id == attr.rep, "left")
         .select(
@@ -751,11 +787,82 @@ def curate_corpus_semdedup(
             F.coalesce("sd_absorbed", F.lit(0)).alias("sd_absorbed"),
         )
     )
-    return split_ops.assign_splits(
-        final2, key="doc_id", seed=seed, train_pm=train_pm, val_pm=val_pm
+
+
+def curate_corpus_full(
+    docs: DataFrame,
+    emb: DataFrame,
+    lang: str = "en",
+    min_tokens: int = 12,
+    seed: int = 42,
+    train_pm: int = 800,
+    val_pm: int = 100,
+    max_bucket: int | None = 64,
+    chunk_tokens: int = 32,
+    stride: int = 16,
+    chunk_tau_milli: int = 500,
+    chunk_drop_pm: int = 500,
+    cand_max_df: int = 50,
+    cand_min_shared: int = 4,
+    sem_tau_milli: int = 800,
+    sem_centroids: int | None = 8,
+    sem_iters: int = 2,
+    sem_cap: int | None = 64,
+    sem_rung: str = "exact",
+    ppl_drop_pm: int = 100,
+) -> DataFrame:
+    """The FULLY-COMPOSED curation ladder (r11 VERDICT "Next round" #3)
+    — every rung a real pipeline runs, in one plan, each with its
+    credit column: gates → exact digest (dup_count) → doc-level
+    MinHash/LSH near-dup (nd_dropped) → candidate-restricted chunk
+    containment (cc_absorbed) → embedding SemDeDup (sd_absorbed) →
+    perplexity rank-drop (avg_nll_micro) → split (pm, split).
+
+    Stage order is the production order: every syntactic rung runs
+    before the LM trains, so boilerplate/duplicate mass can't dominate
+    the model; the unigram LM trains on stage-5 SURVIVORS only and the
+    ``ppl_drop_pm`` most-surprising survivors drop by rank
+    (_drop_top_ranked_pm — the range-partitioned boundary cut, no
+    single-task window).
+
+    Scale shape = the sum of its parts, each already plan-pinned: one
+    16-byte digest exchange (stages 1-2), band/bucket equi-joins +
+    hot-bucket cap (stage 3), inverted-index candidate restriction +
+    chunk verify over candidates only (stage 4), one survivor-leftsemi
+    + one cent_id exchange with the block-pair skew bound (stage 5),
+    two linear LM passes + a broadcast vocab join + the boundary cut
+    (stage 6), content-keyed split projection (stage 7). Output:
+    [doc_id, n_tokens, dup_count, nd_dropped, cc_absorbed, sd_absorbed,
+    avg_nll_micro, pm, split]."""
+    from . import textops as tx
+
+    # truncate, don't just persist: the LM + rank + split stages make
+    # ~6 more passes over final2, whose logical plan carries the whole
+    # stage-1-5 composition (incl. the semantic applyInPandas subtree)
+    # — same Catalyst re-analysis trap the stage-4 checkpoint already
+    # documents, measured again here: 167.9 s → checkpointed at sf0.01
+    from ..runtime import free_checkpoint, local_checkpoint_truncated, \
+        scoped_cleanup
+
+    final2 = local_checkpoint_truncated(_semdedup_final(
+        docs, emb, lang, min_tokens, max_bucket, chunk_tokens, stride,
+        chunk_tau_milli, chunk_drop_pm, cand_max_df, cand_min_shared,
+        sem_tau_milli, sem_centroids, sem_iters, sem_cap, sem_rung,
+    ))
+    scoped_cleanup(lambda: free_checkpoint(final2))
+    sdocs = docs.join(final2.select("doc_id"), "doc_id", "leftsemi")
+    scored = tx.unigram_logppl(sdocs).select("doc_id", "avg_nll_micro")
+    kept = _drop_top_ranked_pm(
+        final2.join(scored, "doc_id"), ppl_drop_pm
     ).select(
         "doc_id", "n_tokens", "dup_count", "nd_dropped", "cc_absorbed",
-        "sd_absorbed", "pm", "split",
+        "sd_absorbed", "avg_nll_micro",
+    )
+    return split_ops.assign_splits(
+        kept, key="doc_id", seed=seed, train_pm=train_pm, val_pm=val_pm
+    ).select(
+        "doc_id", "n_tokens", "dup_count", "nd_dropped", "cc_absorbed",
+        "sd_absorbed", "avg_nll_micro", "pm", "split",
     )
 
 
@@ -986,6 +1093,43 @@ def duck_curate_semdedup_sql(
     HUGEINT-certificate pairs, the smaller-id drop rule and sd_absorbed
     attribution. The skew cap has NO oracle counterpart by design: the
     block-pair decomposition is physical-only."""
+    body = _duck_semdedup_ctes(
+        docs_sql, emb_sql, lang, min_tokens, max_bucket, chunk_tokens,
+        stride, chunk_tau_milli, chunk_drop_pm, cand_max_df,
+        cand_min_shared, sem_tau_milli, sem_centroids, sem_iters,
+    )
+    assigned = split_ops.duck_assign_splits_sql(
+        "SELECT * FROM _final2 _k", key="doc_id", seed=seed,
+        train_pm=train_pm, val_pm=val_pm,
+    )
+    return f"""(
+      WITH {body}
+      SELECT doc_id, n_tokens, dup_count, nd_dropped, cc_absorbed,
+             sd_absorbed, pm, split
+      FROM {assigned} _o
+    )"""
+
+
+def _duck_semdedup_ctes(
+    docs_sql: str,
+    emb_sql: str,
+    lang: str = "en",
+    min_tokens: int = 12,
+    max_bucket: int | None = 64,
+    chunk_tokens: int = 32,
+    stride: int = 16,
+    chunk_tau_milli: int = 500,
+    chunk_drop_pm: int = 500,
+    cand_max_df: int = 50,
+    cand_min_shared: int = 4,
+    sem_tau_milli: int = 800,
+    sem_centroids: int = 8,
+    sem_iters: int = 2,
+) -> str:
+    """Shared oracle CTE body for stages 1-5 (twin of _semdedup_final):
+    gates/digest/near-dup CTEs + candidate restriction + containment
+    tail + semantic stage, ending at ``_final2`` [doc_id, n_tokens,
+    dup_count, nd_dropped, cc_absorbed, sd_absorbed]."""
     from ..functions import text as text_fns
     from . import ann as ann_ops
 
@@ -1034,17 +1178,73 @@ def duck_curate_semdedup_sql(
         LEFT JOIN _sattr s ON s.rep = f.doc_id
         WHERE f.doc_id NOT IN (SELECT doc_id FROM _sdrop)
       )"""
+    return f"""{ctes},
+      {cand_ctes},
+      {tail},
+      {sem_ctes}"""
+
+
+def duck_curate_full_sql(
+    docs_sql: str,
+    emb_sql: str,
+    lang: str = "en",
+    min_tokens: int = 12,
+    seed: int = 42,
+    train_pm: int = 800,
+    val_pm: int = 100,
+    max_bucket: int | None = 64,
+    chunk_tokens: int = 32,
+    stride: int = 16,
+    chunk_tau_milli: int = 500,
+    chunk_drop_pm: int = 500,
+    cand_max_df: int = 50,
+    cand_min_shared: int = 4,
+    sem_tau_milli: int = 800,
+    sem_centroids: int = 8,
+    sem_iters: int = 2,
+    ppl_drop_pm: int = 100,
+) -> str:
+    """Oracle twin of curate_corpus_full: the stage-1-5 CTE body plus
+    the perplexity stage (LM replay over stage-5 survivors, rank-based
+    drop — the oracle uses the plain global window, which on the
+    single-node replay is exactly _drop_top_ranked_pm's boundary cut)
+    and the split."""
+    from . import textops as tx
+
+    body = _duck_semdedup_ctes(
+        docs_sql, emb_sql, lang, min_tokens, max_bucket, chunk_tokens,
+        stride, chunk_tau_milli, chunk_drop_pm, cand_max_df,
+        cand_min_shared, sem_tau_milli, sem_centroids, sem_iters,
+    )
+    pdocs = "(SELECT doc_id, text FROM _aug WHERE doc_id IN "\
+            "(SELECT doc_id FROM _final2))"
+    lp = tx.duck_unigram_logppl_sql(pdocs)
+    ppl_ctes = f"""_pscored AS MATERIALIZED (
+        SELECT doc_id, avg_nll_micro FROM {lp} _p),
+      _pranked AS (
+        SELECT f.doc_id, f.n_tokens, f.dup_count, f.nd_dropped,
+               f.cc_absorbed, f.sd_absorbed, c.avg_nll_micro,
+               row_number() OVER (
+                 ORDER BY c.avg_nll_micro DESC, f.doc_id ASC
+               ) AS ppl_rank,
+               count(*) OVER () AS n_surv
+        FROM _final2 f JOIN _pscored c USING (doc_id)
+      ),
+      _pkept AS (
+        SELECT doc_id, n_tokens, dup_count, nd_dropped, cc_absorbed,
+               sd_absorbed, avg_nll_micro
+        FROM _pranked
+        WHERE ppl_rank > cast(ceil({ppl_drop_pm} * n_surv / 1000.0) as int)
+      )"""
     assigned = split_ops.duck_assign_splits_sql(
-        "SELECT * FROM _final2 _k", key="doc_id", seed=seed,
+        "SELECT * FROM _pkept _k", key="doc_id", seed=seed,
         train_pm=train_pm, val_pm=val_pm,
     )
     return f"""(
-      WITH {ctes},
-      {cand_ctes},
-      {tail},
-      {sem_ctes}
+      WITH {body},
+      {ppl_ctes}
       SELECT doc_id, n_tokens, dup_count, nd_dropped, cc_absorbed,
-             sd_absorbed, pm, split
+             sd_absorbed, avg_nll_micro, pm, split
       FROM {assigned} _o
     )"""
 

@@ -120,3 +120,77 @@ def test_ppl_stage_drops_most_surprising_decile(spark):
     assert len(kept) == 2
     assert 0 in kept          # the boilerplate representative stays
     assert len({100, 101} & kept) == 1  # one junk doc drops (rank ties -> id)
+
+def test_full_ladder_engine_parity(spark):
+    # r11 VERDICT #3: the fully-composed ladder hash-replays end to end
+    from geneticalgorithmsusingmapreduce_spark import catalog
+
+    con = _views(SF)
+    got = sorted(
+        tuple(r)
+        for r in catalog.QUERIES["corpus_curation_full"](spark, SF).collect()
+    )
+    duck = sorted(con.sql(
+        "SELECT * FROM " + pipe.duck_curate_full_sql(
+            catalog._FULL_LADDER_DUCK, ann.DUCK_PARA_EMB
+        ) + " _q"
+    ).fetchall())
+    assert got == duck
+    assert len(got) > 0
+
+
+def test_full_ladder_one_victim_class_per_rung(spark):
+    # each plant class dies at ITS rung and is credited there: +5M exact
+    # copies at the digest, +1M zz9 near-dups at doc LSH, +4M excerpts
+    # at chunk containment, +2M paraphrases at the semantic stage, and
+    # the ppl stage drops exactly the top decile of stage-5 survivors
+    from geneticalgorithmsusingmapreduce_spark import catalog
+
+    docs = catalog._full_ladder_docs(spark, SF)
+    emb = ann.paraphrase_embeddings(spark, SF)
+    # which base ids pass the gates (lang + >= 12 tokens)?
+    toks = "filter(split(lower(text), ' '), t -> t != '')"
+    gated = {
+        r.doc_id
+        for r in docs.filter(F.expr(f"size({toks}) >= 12"))
+        .filter(F.expr(
+            pipe._lang_guess_expr("spark")) == "en").collect()
+    }
+    final2 = pipe._semdedup_final(docs, emb)
+    rows = {r.doc_id: r for r in final2.collect()}
+    survivors = set(rows)
+    # stage-2 victims: every exact copy whose base passed gates is
+    # gone, and its base carries dup_count 2
+    xc = {d for d in gated if d >= 5_000_000}
+    assert xc and not (xc & survivors)
+    for d in xc:
+        base = d - 5_000_000
+        if base in rows:
+            assert rows[base].dup_count == 2
+    # stage-3 victims: every zz9 copy whose base passed gates is gone,
+    # with nd_dropped credit on the base
+    nd = {d for d in gated if 1_000_000 <= d < 2_000_000
+          and d - 1_000_000 in gated}
+    assert nd and not (nd & survivors)
+    assert all(rows[d - 1_000_000].nd_dropped >= 1
+               for d in nd if d - 1_000_000 in rows)
+    # stage-4 victims: every excerpt is gone (bases have >= 80 tokens,
+    # so they always pass gates), with cc_absorbed credit somewhere
+    ex = {d for d in gated if 4_000_000 <= d < 5_000_000}
+    assert ex and not (ex & survivors)
+    assert any(r.cc_absorbed > 0 for r in rows.values())
+    # stage-5 victims: the BULK of paraphrases collapses (the cluster
+    # restriction may miss a boundary plant — SemDeDup's documented
+    # trade, same 5 boundary survivors as the paraphrase-only fixture),
+    # with sd_absorbed credit on the absorbing bases
+    para = {d for d in gated if 2_000_000 <= d < 3_000_000
+            and d - 2_000_000 in survivors}
+    left = para & survivors
+    assert para and len(left) < len(para) / 4
+    assert sum(r.sd_absorbed for r in rows.values()) >= len(para) - len(left)
+    # stage 6: the composed output keeps exactly n - ceil(n/10) rows
+    out = catalog.QUERIES["corpus_curation_full"](spark, SF).collect()
+    import math
+
+    n = len(survivors)
+    assert len(out) == n - math.ceil(n * 100 / 1000.0)
