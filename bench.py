@@ -282,7 +282,7 @@ def main():
         # streaming-state residue inflated the int8/pq neighbors
         # (emb_ivf_recall_pq_rerank +1.3 s in the r11 clean run)
         "emb_ivf_append_compacted", "emb_ivf_rebuild_gen",
-        "streaming_semdedup",
+        "streaming_semdedup", "streaming_semdedup_durable",
     )
     # r2→r3 regression audit (cga_member_fitness 0.16→0.62 s, cga_sample
     # 0.11→0.27 s in BENCH_r02): timed in ISOLATION at sf0.1 (fresh

@@ -1949,10 +1949,21 @@ def corpus_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     _FULL_LADDER_DUCK); per-rung drops are pinned in
     tests/test_curation_semdedup.py and the whole composition
     hash-replays symbolically — gates through the HUGEINT cosine
-    certificate through the LM's quantized micro-nats."""
+    certificate through the LM's quantized micro-nats.
+
+    The FIXTURE frame is checkpoint-truncated before entering the
+    ladder (r12): the 5-branch union of HOF projections is re-derived
+    by every one of the pipeline's ~30 actions otherwise — measured
+    328 s → 32 s at sf0.1 with the 6,364-row fixture materialized
+    once. Fixture-only cost class: production input is a parquet scan
+    (a plan leaf), so the trap does not exist there — same reasoning
+    as the stage-4/stage-5 truncations inside the pipeline itself."""
+    docs = runtime.local_checkpoint_truncated(
+        _full_ladder_docs(spark, sf_dir)
+    )
+    runtime.scoped_cleanup(lambda: runtime.free_checkpoint(docs))
     return pipeline_ops.curate_corpus_full(
-        _full_ladder_docs(spark, sf_dir),
-        ann_ops.paraphrase_embeddings(spark, sf_dir),
+        docs, ann_ops.paraphrase_embeddings(spark, sf_dir),
     )
 
 
@@ -2295,6 +2306,30 @@ def dedup_semantic_semdedup_balanced(
     return ann_ops.semantic_cluster_pairs(
         ann_ops.augmented_embeddings(spark, sf_dir),
         tau_milli=700, n_centroids=16, cap=24,
+    )
+
+
+@register(
+    "dedup_semantic_semdedup_sampled",
+    f"SELECT * FROM {ann_ops.duck_semantic_cluster_pairs_sql(train_filter='vec_id % 4 = 0')} _q",
+)
+def dedup_semantic_semdedup_sampled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SemDeDup's exact-assignment FALLBACK rung with SAMPLED training
+    (r11 VERDICT "Next round" #4 — bring the fallback under bound):
+    Lloyd's trains on the deterministic slice vec_id % 4 == 0 (rank
+    seeds), assignment stays the EXACT argmax over every vector — so
+    the flat-training half of the rung's n·C quadratic term is gone
+    while assignment keeps zero approximation. Unlike the fast rung's
+    in-driver coarse k-means, the fixed modulus replays symbolically in
+    the oracle (train_filter), so this config is hash-checked, not just
+    recall-gated. The decade probe row in BASELINE.md prices the sized
+    config (train slice ≈ 262k, cap=8192) against the 11.18× flat
+    baseline."""
+    return ann_ops.semantic_cluster_pairs(
+        ann_ops.augmented_embeddings(spark, sf_dir),
+        train_mod=4, cap=8192,
     )
 
 

@@ -2160,6 +2160,7 @@ def semantic_cluster_pairs(
     emb: DataFrame, tau_milli: int = 800,
     n_centroids: int = N_CENTROIDS, iters: int = 2,
     cap: int | None = None, seed_by_rank: bool = False,
+    train_mod: int | None = None,
 ) -> DataFrame:
     """Semantic near-dup pairs under the SemDeDup cluster restriction:
     train C coarse centroids (the exact-integer Lloyd's of the IVF
@@ -2198,9 +2199,28 @@ def semantic_cluster_pairs(
     Voronoi cell can never serialize a straggler sweep. The registered
     gate entries keep C static so the oracle's training replay stays
     static (the emb_ivf convention); cap is physical-only and absent
-    from the oracle."""
+    from the oracle.
+
+    ``train_mod`` (r11 VERDICT "Next round" #4 — bring the exact
+    FALLBACK rung under bound): Lloyd's trains on the deterministic
+    slice ``vec_id % train_mod == 0`` (rank seeds implied, so seeds
+    stay well-defined on the sparse id set) while ASSIGNMENT stays the
+    exact argmax over every vector — the rung's point. This kills the
+    flat-training half of the n·C quadratic term (training becomes
+    (n/train_mod)·C; pick train_mod ≈ n/262k for a fixed-size slice)
+    and, unlike the fast rung's two-level probe, costs ZERO assignment
+    approximation: every vector still scores all C centroids, so the
+    only recall exposure is training quality. The modulus is a fixed
+    literal, so the DuckDB twin replays it symbolically via
+    ``train_filter`` — the sampled config stays hash-checkable
+    (duck_semantic_cluster_pairs_sql(train_filter=...)), unlike the
+    fast rung's in-driver coarse k-means."""
+    train = emb
+    if train_mod is not None:
+        train = emb.filter(F.col("vec_id") % train_mod == 0)
+        seed_by_rank = True
     rows, _ = train_centroid_rows(
-        emb, n_centroids, iters, compute_inertia=False,
+        train, n_centroids, iters, compute_inertia=False,
         seed_by_rank=seed_by_rank,
     )
     base = kernel_assign(emb, rows).filter(F.col("n2") > 0)

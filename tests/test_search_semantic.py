@@ -137,6 +137,41 @@ def test_semdedup_engine_parity_nondefault_params(spark):
     assert len(got) > 0
 
 
+def test_semdedup_sampled_training_parity_and_cap_invariance(spark):
+    # the sampled-training fallback rung (r11 VERDICT #4): training on
+    # the vec_id % m slice with EXACT assignment must replay
+    # symbolically via train_filter — and the skew cap must stay
+    # physical-only (byte-identical output with and without it)
+    import duckdb
+
+    aug = ann.augmented_embeddings(spark, SF)
+    got = {
+        (r.vec_a, r.vec_b, r.dot, r.na2, r.nb2)
+        for r in ann.semantic_cluster_pairs(aug, train_mod=4).collect()
+    }
+    capped = {
+        (r.vec_a, r.vec_b, r.dot, r.na2, r.nb2)
+        for r in ann.semantic_cluster_pairs(
+            aug, train_mod=4, cap=8
+        ).collect()
+    }
+    assert capped == got
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{SF}/embeddings.parquet')"
+    )
+    duck = {
+        tuple(r) for r in con.sql(
+            "SELECT * FROM " + ann.duck_semantic_cluster_pairs_sql(
+                train_filter="vec_id % 4 = 0"
+            ) + " _q"
+        ).fetchall()
+    }
+    assert got == duck
+    assert len(got) > 0
+
+
 def test_centroids_for_count_rule():
     # fixed target cluster size: C grows linearly with the corpus, so
     # in-cluster pairwise work stays n·K/2 and each group's K×K dot

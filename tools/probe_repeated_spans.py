@@ -1,0 +1,69 @@
+"""Decade probe for repeated_span_dedup (r11 VERDICT "Next round" #2
+— the suffix-array-style arbitrary-offset repeated-span operator):
+one corpus scan emits k-token window grams map-side, duplicated grams
+fold through ONE 8-byte-key hash agg, marked windows semi-join back,
+and the per-doc gaps-and-islands merge rides a doc_id-partitioned
+window — every term linear in total tokens, so the decade should track
+the data ratio like the other one-scan text entries (BM25 5.57×,
+unigram_logppl 3.95×).
+
+Reported per leg: wall seconds, docs with spans, spans, duplicated
+window mass (sum n_windows) — the operator's real output sizes, since
+the Zipf corpus has organic cross-doc 8-gram repeats (no plants needed
+for a timing row; semantics are gate/oracle-checked).
+
+Usage: python tools/probe_repeated_spans.py [SMALL_DIR BIG_DIR]
+  defaults .localdata/sf10d .localdata/sf100d (documents-only dirs)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from geneticalgorithmsusingmapreduce_spark import runtime  # noqa: E402
+from geneticalgorithmsusingmapreduce_spark.operators import dedup  # noqa: E402
+from geneticalgorithmsusingmapreduce_spark.session import build_session  # noqa: E402
+
+
+def main() -> None:
+    small = sys.argv[1] if len(sys.argv) > 1 else ".localdata/sf10d"
+    big = sys.argv[2] if len(sys.argv) > 2 else ".localdata/sf100d"
+    spark = build_session("gamr-probe-spans")
+    spark.sparkContext.setLogLevel("ERROR")
+    out: dict = {}
+    for tag, d in (("small", small), ("big", big)):
+        docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
+        n_docs = docs.count()
+        t0 = time.perf_counter()
+        spans = dedup.repeated_span_dedup(docs, k=8)
+        agg = spans.agg(
+            F.count(F.lit(1)).alias("spans"),
+            F.countDistinct("doc_id").alias("docs_with_spans"),
+            F.sum("n_windows").alias("dup_windows"),
+            F.sum("span_tokens").alias("span_token_mass"),
+        ).collect()[0]
+        dt = time.perf_counter() - t0
+        runtime.release_persists()
+        out[tag] = {
+            "dir": d, "n_docs": n_docs, "sec": round(dt, 2),
+            "spans": int(agg.spans),
+            "docs_with_spans": int(agg.docs_with_spans),
+            "dup_windows": int(agg.dup_windows or 0),
+            "span_token_mass": int(agg.span_token_mass or 0),
+        }
+        print(json.dumps({tag: out[tag]}), flush=True)
+    out["ratio"] = round(out["big"]["sec"] / out["small"]["sec"], 2)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -10,10 +10,15 @@ two scale rungs the operator documents:
   two-level assignment (n·~3√C·D). Its recall cost is REPORTED, not
   assumed: planted perturbed copies (vec_b = vec_a + 1e6) found by
   each rung, fast/exact relative plant recall.
+* EXACT_SAMPLED (r11 VERDICT #4) — sampled training (same fixed-size
+  slice as FAST, via train_mod) + EXACT argmax assignment + the skew
+  cap: the fallback rung with its flat-training term removed but zero
+  assignment approximation. Baseline to beat: the flat exact rung's
+  11.18× (r11) / 13.82× (r10).
 
 Usage: python tools/probe_semdedup_scale.py [SMALL_DIR BIG_DIR]
   defaults .localdata/sf10e .localdata/sf100e (embeddings-only dirs)
-  PROBE_RUNGS=exact,fast (default both; the exact big leg is ~6 min)
+  PROBE_RUNGS=exact,fast,exact_sampled (the exact big leg is ~6 min)
 """
 
 from __future__ import annotations
@@ -36,7 +41,9 @@ from geneticalgorithmsusingmapreduce_spark.session import build_session  # noqa:
 def main() -> None:
     small = sys.argv[1] if len(sys.argv) > 1 else ".localdata/sf10e"
     big = sys.argv[2] if len(sys.argv) > 2 else ".localdata/sf100e"
-    rungs = os.environ.get("PROBE_RUNGS", "exact,fast").split(",")
+    rungs = os.environ.get(
+        "PROBE_RUNGS", "exact,fast,exact_sampled"
+    ).split(",")
     spark = build_session("gamr-probe-semdedup")
     spark.sparkContext.setLogLevel("ERROR")
     out: dict = {}
@@ -50,6 +57,13 @@ def main() -> None:
             if rung == "exact":
                 pairs = ann.semantic_cluster_pairs(
                     aug, n_centroids=c, iters=2
+                )
+            elif rung == "exact_sampled":
+                import math
+
+                s = max(1, math.ceil(n / 262_144))
+                pairs = ann.semantic_cluster_pairs(
+                    aug, n_centroids=c, iters=2, train_mod=s, cap=8192,
                 )
             else:
                 pairs = ann.semantic_cluster_pairs_fast(
