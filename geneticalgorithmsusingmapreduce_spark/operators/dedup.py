@@ -473,12 +473,22 @@ def repeated_span_dedup(docs: DataFrame, k: int = 8) -> DataFrame:
     from pyspark.sql import Window
 
     from ..functions import text as text_fns
+    from ..runtime import scoped_persist
 
     gram_arr = (
         f"transform(sequence(1, size(t) - {k - 1}), "
         f"i -> concat_ws(' ', slice(t, i, {k})))"
     )
-    occ = (
+    occ = scoped_persist(
+        # persist: occ feeds BOTH the dup-gram agg and the marked
+        # semi-join — without it the gram projection (an interpreted
+        # HOF over every window, the plan's dominant term: ~30 s per
+        # pass at 24M windows) re-evaluates once per consumer, and the
+        # self-semi-join's two occ subtrees defeat exchange reuse
+        # (measured 318 s → 86 s at 500k docs). Cost: one skinny
+        # (doc_id, pos, g64) copy ≈ 24 bytes/window, MEMORY_AND_DISK
+        # spillable — cheaper than the extra tokenize+gram scans it
+        # saves at any scale.
         docs.select("doc_id", text_fns.spark_tokens().alias("t"))
         .filter(F.size("t") >= k)
         .select("doc_id", F.posexplode(F.expr(gram_arr)).alias("pos", "g"))

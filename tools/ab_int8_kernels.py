@@ -59,8 +59,25 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = build_session("ab-int8")
     spark.sparkContext.setLogLevel("ERROR")
+    # machine-correct provenance (r11 VERDICT "What's wrong" #3: the
+    # decisive r9-tree control row carried `"variant": "head"` with
+    # only a free-text correction — an A/B row must identify its tree
+    # without narrative): record the repo path and its git commit in
+    # every row, so "which code ran" is in the data even when argv
+    # says `head` inside a control worktree.
+    import subprocess
+
+    try:
+        commit = subprocess.run(
+            ["git", "-C", REPO, "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or None
+    except OSError:
+        commit = None
     out = {
         "variant": variant,
+        "repo": REPO,
+        "commit": commit,
         "blas_pin": os.environ.get("SPARK_GRAFT_BLAS_PIN", "1"),
         "load_1m": round(os.getloadavg()[0], 2),
     }

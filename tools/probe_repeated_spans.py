@@ -7,10 +7,14 @@ window — every term linear in total tokens, so the decade should track
 the data ratio like the other one-scan text entries (BM25 5.57×,
 unigram_logppl 3.95×).
 
-Reported per leg: wall seconds, docs with spans, spans, duplicated
-window mass (sum n_windows) — the operator's real output sizes, since
-the Zipf corpus has organic cross-doc 8-gram repeats (no plants needed
-for a timing row; semantics are gate/oracle-checked).
+Runs over the SPAN fixture (textops.span_corpus — every 10th doc gets
+a plant with a 20-token span copied at a shifted offset), because the
+Zipf corpus has ZERO organic 8-gram repeats (measured: 24M windows,
+0 duplicated grams — random draws from a 10k vocab collide with
+probability ~1e-32 at 8 tokens), so raw documents would time an
+operator whose mark/merge stages see empty inputs. With the fixture
+every leg carries real span mass and the probe reports it: wall
+seconds, docs with spans, spans, duplicated window mass.
 
 Usage: python tools/probe_repeated_spans.py [SMALL_DIR BIG_DIR]
   defaults .localdata/sf10d .localdata/sf100d (documents-only dirs)
@@ -29,7 +33,7 @@ sys.path.insert(0, REPO)
 from pyspark.sql import functions as F  # noqa: E402
 
 from geneticalgorithmsusingmapreduce_spark import runtime  # noqa: E402
-from geneticalgorithmsusingmapreduce_spark.operators import dedup  # noqa: E402
+from geneticalgorithmsusingmapreduce_spark.operators import dedup, textops  # noqa: E402
 from geneticalgorithmsusingmapreduce_spark.session import build_session  # noqa: E402
 
 
@@ -40,7 +44,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     out: dict = {}
     for tag, d in (("small", small), ("big", big)):
-        docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
+        docs = textops.span_corpus(spark, d)
         n_docs = docs.count()
         t0 = time.perf_counter()
         spans = dedup.repeated_span_dedup(docs, k=8)
