@@ -41,9 +41,15 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     out: dict = {}
     for tag, d in (("small", small), ("big", big)):
-        docs = catalog._full_ladder_docs(spark, d)
         emb = ann.paraphrase_embeddings(spark, d)
+        # fixture truncation mirrors the shipped catalog entry (the
+        # 5-branch HOF union re-derives per pipeline action otherwise);
+        # INSIDE the timed window — materializing the fixture is part
+        # of the entry's real cost
         t0 = time.perf_counter()
+        docs = runtime.local_checkpoint_truncated(
+            catalog._full_ladder_docs(spark, d)
+        )
         res = pipe.curate_corpus_full(
             docs, emb, sem_centroids=None, sem_cap=8192, sem_rung="fast",
         )
@@ -55,7 +61,9 @@ def main() -> None:
             F.sum("sd_absorbed").alias("sd_absorbed"),
         ).collect()[0]
         dt = time.perf_counter() - t0
+        runtime.free_checkpoint(docs)
         runtime.release_persists()
+        runtime.release_cleanups()
         out[tag] = {
             "dir": d, "sec": round(dt, 2), "rows": int(agg.rows),
             "dd_reps": int(agg.dd_reps or 0),
