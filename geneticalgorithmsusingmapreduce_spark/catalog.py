@@ -1521,6 +1521,34 @@ def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_repeated_span_removal",
+    f"SELECT * FROM "
+    f"{dedup_ops.duck_repeated_span_removal_sql(textops.DUCK_SPAN_AUG)} _q",
+)
+def dedup_repeated_span_removal(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Repeated-span REMOVAL (r12 VERDICT "Next round" #1) — the Lee
+    et al. operator that actually CLEANS the corpus: every duplicated
+    ≥ 8-token span is cut, keeping exactly the corpus-wide first
+    occurrence (min (doc_id, pos) per gram). Same span_corpus fixture
+    as the report sibling: every plant (doc_id ≥ 3,000,000) must come
+    back with tokens [7, 26] cut — 12 unique fillers left, 20 tokens
+    credited in span_dropped_tokens — while its BASE doc keeps the
+    canonical occurrence untouched (pinned in
+    tests/test_chunk_dedup.py). Output is the full rewritten corpus
+    [doc_id, text, n_tokens, span_dropped_tokens, n_spans], so the
+    gate hash covers the rewritten text byte-for-byte. Shape: the
+    report operator's one 8-byte-gram exchange (canonical = min struct
+    inside the SAME agg) + islands merge + an index-aware token filter
+    on a second scan — no UDF, text never shuffles
+    (operators/dedup.repeated_span_removal)."""
+    return dedup_ops.repeated_span_removal(
+        textops.span_corpus(spark, sf_dir)
+    )
+
+
 # Planted PERTURBED boilerplate for chunk-level NEAR-dup: docs 8k and
 # 8k+4 share a pair-unique 32-token paragraph — every 4th token carries
 # the pair key KK (so chunks from DIFFERENT pairs have near-zero shingle
@@ -1870,30 +1898,62 @@ def corpus_curation_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# One victim class per curation rung (r11 VERDICT "Next round" #3),
-# each provably surviving all earlier rungs: +5M exact copies die at
-# the digest (dup_count), +1M ' zz9' near-dups at doc-level LSH
-# (nd_dropped), +4M excerpts at chunk containment (cc_absorbed), +2M
-# reversed-token paraphrases at the embedding stage (sd_absorbed —
-# their embeddings live in paraphrase_embeddings under the same +2M
-# offset), and the rank-based perplexity stage needs no plant (it
-# drops the top per-mille of whatever survives). Gate victims are the
-# base corpus's own sub-12-token docs.
+# One victim class per curation rung (r11 VERDICT "Next round" #3;
+# span rung r12 #1), each provably surviving all earlier rungs AND
+# invisible to the span rung (k=13) unless it is the span rung's own
+# victim: +5M exact copies die at the digest (dup_count); +3M span
+# plants (a 20-token slice of the % 10 = 5 base re-planted at a
+# SHIFTED offset behind per-doc-unique fillers — span_corpus's shape)
+# lose exactly that span at the span rung (span_dropped_tokens), the
+# base keeping the canonical occurrence; +1M near-dups perturb every
+# 12th token to a plant-unique filler (max shared run 11 < 13, so the
+# span rung provably cannot mark a single window, while 3-shingle
+# Jaccard stays ≈ 0.6 ≥ the 0.5 LSH verify bar) and die at doc-level
+# LSH (nd_dropped); +4M excerpts carry a mid-slice 'zr' substitution
+# (shared runs 7/11/12 < 13 — span-blind; chunk Jaccard ≈ 24/36 ≈
+# 0.67 ≥ 0.5) and die at chunk containment (cc_absorbed); +2M
+# reversed-token paraphrases (no shared k-gram in either direction)
+# die at the embedding stage (sd_absorbed — their embeddings live in
+# paraphrase_embeddings under the same +2M offset); the rank-based
+# perplexity stage needs no plant. Gate victims are the base corpus's
+# own sub-12-token docs.
 _FULL_LADDER_DUCK = """(
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 1000000 AS doc_id, text || ' zz9' AS text
-  FROM documents WHERE doc_id % 10 = 0
+  SELECT doc_id + 1000000 AS doc_id,
+         array_to_string(list_transform(range(1, len(toks) + 1),
+           i -> CASE WHEN i % 12 = 0
+                THEN 'nd' || doc_id::VARCHAR || 'x' || (i - 1)::VARCHAR
+                ELSE toks[i] END), ' ') AS text
+  FROM (SELECT doc_id,
+               list_filter(string_split(text, ' '), t -> t != '') AS toks
+        FROM documents) _nd
+  WHERE doc_id % 10 = 0
   UNION ALL
   SELECT doc_id + 2000000 AS doc_id,
          array_to_string(list_reverse(
            list_filter(string_split(text, ' '), t -> t != '')), ' ') AS text
   FROM documents WHERE doc_id % 10 = 0
   UNION ALL
+  SELECT doc_id + 3000000 AS doc_id,
+         array_to_string(
+           list_transform(range(0, 7),
+             j -> 'pre' || doc_id::VARCHAR || 'x' || j::VARCHAR)
+           || toks[4:23]
+           || list_transform(range(0, 5),
+             j -> 'suf' || doc_id::VARCHAR || 'x' || j::VARCHAR),
+           ' ') AS text
+  FROM (SELECT doc_id,
+               list_filter(string_split(text, ' '), t -> t != '') AS toks
+        FROM documents) _sp
+  WHERE doc_id % 10 = 5 AND len(toks) >= 23
+  UNION ALL
   SELECT doc_id + 4000000 AS doc_id,
          array_to_string(toks[1:7], ' ') || ' zq' ||
          cast(doc_id as varchar) || ' ' ||
-         array_to_string(toks[9:32], ' ') AS text
+         array_to_string(toks[9:19], ' ') || ' zr' ||
+         cast(doc_id as varchar) || ' ' ||
+         array_to_string(toks[21:32], ' ') AS text
   FROM (SELECT doc_id, text,
                list_filter(string_split(text, ' '), t -> t != '') AS toks
         FROM documents) _t
@@ -1909,11 +1969,30 @@ def _full_ladder_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = "filter(split(text, ' '), t -> t != '')"
     nd = docs.filter(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" zz9")).alias("text"),
+        F.expr(
+            f"array_join(transform(sequence(1, size({toks})), "
+            f"i -> CASE WHEN i % 12 = 0 "
+            f"THEN concat('nd', cast(doc_id as string), 'x', "
+            f"cast(i - 1 as string)) "
+            f"ELSE element_at({toks}, i) END), ' ')"
+        ).alias("text"),
     )
     para = docs.filter(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 2_000_000).alias("doc_id"),
         F.expr(f"array_join(reverse({toks}), ' ')").alias("text"),
+    )
+    span = docs.filter(
+        F.expr(f"doc_id % 10 = 5 AND size({toks}) >= 23")
+    ).select(
+        (F.col("doc_id") + 3_000_000).alias("doc_id"),
+        F.expr(
+            f"concat_ws(' ', concat("
+            f"transform(sequence(0, 6), j -> concat('pre', "
+            f"cast(doc_id as string), 'x', cast(j as string))), "
+            f"slice({toks}, 4, 20), "
+            f"transform(sequence(0, 4), j -> concat('suf', "
+            f"cast(doc_id as string), 'x', cast(j as string)))))"
+        ).alias("text"),
     )
     ex = docs.filter(
         F.expr(f"size({toks}) >= 80 AND doc_id % 20 = 0")
@@ -1922,48 +2001,56 @@ def _full_ladder_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             f"concat(array_join(slice({toks}, 1, 7), ' '), ' zq', "
             f"cast(doc_id as string), ' ', "
-            f"array_join(slice({toks}, 9, 24), ' '))"
+            f"array_join(slice({toks}, 9, 11), ' '), ' zr', "
+            f"cast(doc_id as string), ' ', "
+            f"array_join(slice({toks}, 21, 12), ' '))"
         ).alias("text"),
     )
     xc = docs.filter(F.col("doc_id") % 16 == 0).select(
         (F.col("doc_id") + 5_000_000).alias("doc_id"), "text"
     )
-    return docs.unionByName(nd).unionByName(para).unionByName(ex)\
-        .unionByName(xc)
+    return docs.unionByName(nd).unionByName(para).unionByName(span)\
+        .unionByName(ex).unionByName(xc)
 
 
 @register(
     "corpus_curation_full",
     f"SELECT * FROM "
-    f"{pipeline_ops.duck_curate_full_sql(_FULL_LADDER_DUCK, ann_ops.DUCK_PARA_EMB)}"
+    f"{pipeline_ops.duck_curate_full_sql(_FULL_LADDER_DUCK, ann_ops.DUCK_PARA_EMB, span_k=13)}"
     f" _q",
 )
 def corpus_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FULLY-COMPOSED curation ladder (r11 VERDICT "Next round"
-    #3): gates → exact digest → doc-level MinHash/LSH → candidate-
-    restricted chunk containment → embedding SemDeDup → perplexity
-    rank-drop → split, ONE plan, every rung carrying its credit column
-    (dup_count / nd_dropped / cc_absorbed / sd_absorbed /
+    #3; span rung composed r12 #1): gates → exact digest →
+    repeated-span REMOVAL (duplicated ≥ 13-token spans cut,
+    corpus-wide first occurrence kept — every later stage consumes
+    the cut text) → doc-level MinHash/LSH → candidate-restricted
+    chunk containment → embedding SemDeDup → perplexity rank-drop →
+    split, ONE plan, every rung carrying its credit column (dup_count
+    / span_dropped_tokens / nd_dropped / cc_absorbed / sd_absorbed /
     avg_nll_micro / pm+split). The fixture plants one victim CLASS per
-    rung, each provably surviving all earlier rungs (see
-    _FULL_LADDER_DUCK); per-rung drops are pinned in
-    tests/test_curation_semdedup.py and the whole composition
-    hash-replays symbolically — gates through the HUGEINT cosine
-    certificate through the LM's quantized micro-nats.
+    rung, each provably surviving all earlier rungs AND provably
+    span-blind unless it is the span rung's own victim — the +1M
+    near-dups and +4M excerpts carry substitutions every ≤ 12 tokens,
+    so no 13-token window can repeat (see _FULL_LADDER_DUCK); per-rung
+    drops are pinned in tests/test_curation_semdedup.py and the whole
+    composition hash-replays symbolically — gates through the span
+    cut through the HUGEINT cosine certificate through the LM's
+    quantized micro-nats.
 
     The FIXTURE frame is checkpoint-truncated before entering the
-    ladder (r12): the 5-branch union of HOF projections is re-derived
+    ladder (r12): the 6-branch union of HOF projections is re-derived
     by every one of the pipeline's ~30 actions otherwise — measured
-    328 s → 32 s at sf0.1 with the 6,364-row fixture materialized
-    once. Fixture-only cost class: production input is a parquet scan
-    (a plan leaf), so the trap does not exist there — same reasoning
-    as the stage-4/stage-5 truncations inside the pipeline itself."""
+    328 s → 32 s at sf0.1 with the fixture materialized once.
+    Fixture-only cost class: production input is a parquet scan (a
+    plan leaf), so the trap does not exist there — same reasoning as
+    the stage-4/stage-5 truncations inside the pipeline itself."""
     docs = runtime.local_checkpoint_truncated(
         _full_ladder_docs(spark, sf_dir)
     )
     runtime.scoped_cleanup(lambda: runtime.free_checkpoint(docs))
     return pipeline_ops.curate_corpus_full(
-        docs, ann_ops.paraphrase_embeddings(spark, sf_dir),
+        docs, ann_ops.paraphrase_embeddings(spark, sf_dir), span_k=13,
     )
 
 

@@ -470,8 +470,32 @@ def repeated_span_dedup(docs: DataFrame, k: int = 8) -> DataFrame:
     would mark a span spuriously — the same 2^-60 trade every sh64
     consumer in this repo already accepts, and identical in the oracle
     (same hash both engines)."""
-    from pyspark.sql import Window
+    occ = _gram_occurrences(docs, k)
+    dup = (
+        occ.groupBy("g64")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("g64")
+    )
+    marked = occ.join(dup, "g64", "leftsemi").select("doc_id", "pos")
+    return _span_islands(marked, k).select(
+        "doc_id", "span_start", "span_end", "span_tokens", "n_windows"
+    )
 
+
+def _gram_occurrences(docs: DataFrame, k: int) -> DataFrame:
+    """Per-window gram-hash occurrence frame [doc_id, pos, g64] (pos
+    0-based: window at pos p covers token indices p..p+k-1), shared by
+    the span REPORT and span REMOVAL operators.
+
+    Persisted: occ feeds BOTH the dup-gram agg and the marked
+    semi-join — without it the gram projection (an interpreted HOF over
+    every window, the plan's dominant term: ~30 s per pass at 24M
+    windows) re-evaluates once per consumer, and the self-semi-join's
+    two occ subtrees defeat exchange reuse (measured 318 s → 86 s at
+    500k docs). Cost: one skinny (doc_id, pos, g64) copy ≈ 24
+    bytes/window, MEMORY_AND_DISK spillable — cheaper than the extra
+    tokenize+gram scans it saves at any scale."""
     from ..functions import text as text_fns
     from ..runtime import scoped_persist
 
@@ -479,16 +503,7 @@ def repeated_span_dedup(docs: DataFrame, k: int = 8) -> DataFrame:
         f"transform(sequence(1, size(t) - {k - 1}), "
         f"i -> concat_ws(' ', slice(t, i, {k})))"
     )
-    occ = scoped_persist(
-        # persist: occ feeds BOTH the dup-gram agg and the marked
-        # semi-join — without it the gram projection (an interpreted
-        # HOF over every window, the plan's dominant term: ~30 s per
-        # pass at 24M windows) re-evaluates once per consumer, and the
-        # self-semi-join's two occ subtrees defeat exchange reuse
-        # (measured 318 s → 86 s at 500k docs). Cost: one skinny
-        # (doc_id, pos, g64) copy ≈ 24 bytes/window, MEMORY_AND_DISK
-        # spillable — cheaper than the extra tokenize+gram scans it
-        # saves at any scale.
+    return scoped_persist(
         docs.select("doc_id", text_fns.spark_tokens().alias("t"))
         .filter(F.size("t") >= k)
         .select("doc_id", F.posexplode(F.expr(gram_arr)).alias("pos", "g"))
@@ -498,13 +513,17 @@ def repeated_span_dedup(docs: DataFrame, k: int = 8) -> DataFrame:
             F.expr(text_fns.spark_hash64_str("g")).alias("g64"),
         )
     )
-    dup = (
-        occ.groupBy("g64")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= 2)
-        .select("g64")
-    )
-    marked = occ.join(dup, "g64", "leftsemi").select("doc_id", "pos")
+
+
+def _span_islands(marked: DataFrame, k: int) -> DataFrame:
+    """Gaps-and-islands merge of marked windows into maximal spans:
+    consecutive marked positions with gap ≤ k belong to one island
+    (window ranges touch or overlap), islands are disjoint token ranges
+    [span_start, span_end]. One skinny (doc_id, pos) exchange keyed on
+    doc_id + per-doc lag/sum windows — partitioned by doc, never
+    global."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy("doc_id").orderBy("pos")
     brk = F.when(
         F.lag("pos").over(w).isNull()
@@ -525,8 +544,6 @@ def repeated_span_dedup(docs: DataFrame, k: int = 8) -> DataFrame:
         (F.max("pos") + (k - 1)).alias("span_end"),
         (F.max("pos") - F.min("pos") + k).alias("span_tokens"),
         F.count(F.lit(1)).alias("n_windows"),
-    ).select(
-        "doc_id", "span_start", "span_end", "span_tokens", "n_windows"
     )
 
 
@@ -568,4 +585,177 @@ def duck_repeated_span_sql(docs_sql: str, k: int = 8) -> str:
              (max(pos) - min(pos) + {k})::BIGINT AS span_tokens,
              count(*)::BIGINT AS n_windows
       FROM _i GROUP BY doc_id, isl
+    )"""
+
+
+def repeated_span_removal(docs: DataFrame, k: int = 8) -> DataFrame:
+    """Repeated-span REMOVAL (r12 VERDICT "Next round" #1) — the
+    operator Lee et al. actually run on training data: CUT every
+    duplicated span from the corpus, keeping exactly the corpus-wide
+    FIRST occurrence (min (doc_id, pos) per gram) as canonical. Where
+    repeated_span_dedup *reports* the maximal duplicated regions, this
+    produces the CLEANED corpus — the rung a pretraining pipeline runs
+    between exact-digest dedup and near-dup, because span-level
+    boilerplate (licenses, navigation chrome, quoted passages) is the
+    single most common duplication mode in web corpora and doc/chunk
+    rungs drop whole documents only.
+
+    Semantics: a window occurrence (doc_id, pos) of gram g is REMOVED
+    iff an occurrence of g with smaller (doc_id, pos) exists anywhere
+    in the corpus (within-doc repeats count — the second site cuts).
+    Removed windows merge per-doc into maximal disjoint islands
+    (gaps-and-islands at gap ≤ k, repeated_span_dedup's rule), and each
+    island's token range is cut from the document. Output per INPUT
+    doc: [doc_id, text, n_tokens, span_dropped_tokens, n_spans] with
+    ``text`` rebuilt as the single-space join of surviving tokens
+    (tokenizer-normalized: lowercased, whitespace-collapsed — the same
+    normalization every downstream rung applies anyway) and
+    ``n_tokens`` the POST-cut count. A fully-duplicated document comes
+    back with text = '' / n_tokens = 0: it is the span-granularity
+    analog of an exact duplicate (its content survives at the
+    canonical sites); pipeline compositions drop such docs.
+
+    A removal island may overlap the canonical site of a DIFFERENT
+    gram (two docs each holding the other's canonical neighbor) — the
+    cut is per-occurrence, exactly the Lee et al. per-sequence rule;
+    one copy of every duplicated window always survives because the
+    global minimum occurrence of each gram is never marked.
+
+    Distributed shape — two corpus scans, no global sort: (1) the
+    shared occurrence frame (_gram_occurrences: tokenize + slide +
+    8-byte gram hash, all map-side, persisted once); (2) canonical per
+    gram = min(struct(doc_id, pos)) inside the SAME 8-byte-key hash-agg
+    that finds duplicated grams (one exchange, map-side partial min);
+    (3) marked = occ ⋈ canon on g64 (AQE picks broadcast when the dup
+    set is small, shuffle join otherwise) filtered to non-canonical;
+    (4) islands per doc (skinny doc_id exchange); (5) spans fold to a
+    per-doc array (few spans/doc) and a second scan rewrites tokens
+    with an index-aware filter — JVM-side HOF, no UDF, text never
+    shuffles. Same 2^-60 gram-hash collision trade as every sh64
+    consumer, identical in the oracle."""
+    occ = _gram_occurrences(docs, k)
+    canon = (
+        occ.groupBy("g64")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.struct("doc_id", "pos")).alias("c"),
+        )
+        .filter(F.col("n") >= 2)
+        .select(
+            "g64",
+            F.col("c.doc_id").alias("c_doc"),
+            F.col("c.pos").alias("c_pos"),
+        )
+    )
+    marked = (
+        occ.join(canon, "g64")
+        .filter("NOT (doc_id = c_doc AND pos = c_pos)")
+        .select("doc_id", "pos")
+    )
+    spans = _span_islands(marked, k).groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("spans")
+    )
+    from ..functions import text as text_fns
+
+    base = docs.select("doc_id", text_fns.spark_tokens().alias("t"))
+    return (
+        base.join(spans, "doc_id", "left")
+        .select(
+            "doc_id", "t", "spans",
+            F.expr(
+                "CASE WHEN spans IS NULL THEN t ELSE "
+                "filter(t, (tok, i) -> NOT exists(spans, "
+                "s -> i >= s.span_start AND i <= s.span_end)) END"
+            ).alias("kept"),
+        )
+        .select(
+            "doc_id",
+            F.array_join("kept", " ").alias("text"),
+            F.size("kept").cast("long").alias("n_tokens"),
+            (F.size("t") - F.size("kept")).cast("long").alias(
+                "span_dropped_tokens"
+            ),
+            F.expr("cast(coalesce(size(spans), 0) as bigint)").alias(
+                "n_spans"
+            ),
+        )
+    )
+
+
+def duck_repeated_span_removal_sql(docs_sql: str, k: int = 8) -> str:
+    """Oracle twin of repeated_span_removal: same tokenize, same 60-bit
+    md5 gram hash, canonical = first occurrence by (doc_id, pos) — a
+    window is marked iff row_number() over its gram's occurrences
+    ordered by (doc_id, pos) is > 1, which is exactly "an earlier
+    occurrence exists" — same islands merge, and the token rewrite done
+    relationally (token rows anti-filtered against span ranges,
+    re-aggregated in position order)."""
+    from ..functions import text as text_fns
+
+    toks = text_fns.DUCK_TOKENS
+    g64 = text_fns.duck_hash64_str(
+        f"array_to_string(t[i:i + {k - 1}], ' ')"
+    )
+    return f"""(
+      WITH _d AS MATERIALIZED (
+        SELECT doc_id, {toks} AS t FROM {docs_sql} _x
+      ),
+      _occ AS MATERIALIZED (
+        SELECT doc_id, (i - 1)::BIGINT AS pos, {g64} AS g64
+        FROM (
+          SELECT doc_id, t, unnest(range(1, len(t) - {k} + 2)) AS i
+          FROM _d WHERE len(t) >= {k}
+        ) _w
+      ),
+      _m AS (
+        SELECT doc_id, pos FROM (
+          SELECT doc_id, pos, row_number() OVER (
+                   PARTITION BY g64 ORDER BY doc_id, pos) AS rn
+          FROM _occ) _r
+        WHERE rn > 1
+      ),
+      _b AS (
+        SELECT doc_id, pos,
+               CASE WHEN lag(pos) OVER dw IS NULL
+                      OR pos - lag(pos) OVER dw > {k}
+                    THEN 1 ELSE 0 END AS brk
+        FROM _m WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)
+      ),
+      _i AS (
+        SELECT doc_id, pos,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS UNBOUNDED PRECEDING) AS isl
+        FROM _b
+      ),
+      _sp AS MATERIALIZED (
+        SELECT doc_id, min(pos) AS s, max(pos) + {k - 1} AS e
+        FROM _i GROUP BY doc_id, isl
+      ),
+      _tk AS (
+        SELECT doc_id, unnest(t) AS tok,
+               generate_subscripts(t, 1) - 1 AS i
+        FROM _d
+      ),
+      _kp AS (
+        SELECT w.doc_id, w.tok, w.i FROM _tk w
+        WHERE NOT EXISTS (SELECT 1 FROM _sp s
+                          WHERE s.doc_id = w.doc_id
+                            AND w.i BETWEEN s.s AND s.e)
+      ),
+      _agg AS (
+        SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS text,
+               count(*)::BIGINT AS n
+        FROM _kp GROUP BY doc_id
+      ),
+      _ns AS (SELECT doc_id, count(*)::BIGINT AS n_spans
+              FROM _sp GROUP BY doc_id)
+      SELECT d.doc_id,
+             coalesce(a.text, '') AS text,
+             coalesce(a.n, 0)::BIGINT AS n_tokens,
+             (len(d.t) - coalesce(a.n, 0))::BIGINT
+               AS span_dropped_tokens,
+             coalesce(ns.n_spans, 0)::BIGINT AS n_spans
+      FROM _d d
+      LEFT JOIN _agg a USING (doc_id)
+      LEFT JOIN _ns ns USING (doc_id)
     )"""

@@ -355,6 +355,7 @@ def _neardup_kept(
     min_tokens: int = 12,
     max_bucket: int | None = 64,
     return_shingles: bool = False,
+    span_k: int | None = None,
 ) -> DataFrame:
     """Stages 1-3 of the curation pipeline (gates → exact-digest dedup →
     doc-level near-dup cluster collapse), shared by curate_corpus_neardup
@@ -363,9 +364,24 @@ def _neardup_kept(
     ``return_shingles=True`` additionally returns the persisted
     (doc_id, sh64) shingle rows of the exact-dedup survivors, so the
     containment candidate stage can reuse them instead of re-tokenizing
-    the corpus."""
+    the corpus.
+
+    ``span_k`` (r12 VERDICT "Next round" #1) inserts the repeated-span
+    REMOVAL rung between the digest and MinHash stages: digest
+    survivors are rewritten by dedup.repeated_span_removal (duplicated
+    ≥ span_k-token spans cut, corpus-wide first occurrence kept), docs
+    whose every token was duplicated drop entirely, and every later
+    stage — shingles, MinHash, chunk containment, the LM — consumes
+    the CUT text. The output then carries a ``span_dropped_tokens``
+    credit column and ``n_tokens`` becomes the POST-cut count (the
+    token count the downstream stages actually see — the containment
+    stage's closed-form chunk arithmetic depends on this). Requires
+    ``return_shingles=True`` (the composed pipelines need the cut docs
+    frame back); returns (kept, shingles, cut_docs)."""
     from . import dedup as dedup_ops, textops as tx
 
+    if span_k is not None and not return_shingles:
+        raise ValueError("span_k requires return_shingles=True")
     facets = docs.select(
         "doc_id",
         F.md5(F.col("text").cast("binary")).alias("digest"),
@@ -385,6 +401,23 @@ def _neardup_kept(
     )
     survivors = scoped_persist(survivors)
     sdocs = docs.join(survivors.select("doc_id"), "doc_id", "leftsemi")
+    if span_k is not None:
+        # the span rung: cut text persisted once (feeds the shingle
+        # fold, the credit join, and — via the returned frame — the
+        # chunk and LM stages of the composed pipelines); fully-cut
+        # docs (span-granularity exact duplicates) drop here
+        cut = scoped_persist(
+            dedup_ops.repeated_span_removal(sdocs, k=span_k)
+            .filter(F.col("n_tokens") >= 1)
+        )
+        sdocs = cut.select("doc_id", "text")
+        survivors = (
+            survivors.drop("n_tokens")
+            .join(
+                cut.select("doc_id", "n_tokens", "span_dropped_tokens"),
+                "doc_id",
+            )
+        )
     shingles = scoped_persist(tx.shingles_hashed(sdocs))
     sigs = tx.minhash_signatures(sdocs, shingles=shingles)
     cands = tx.lsh_candidate_pairs(sigs, max_bucket=max_bucket)
@@ -397,15 +430,18 @@ def _neardup_kept(
     sizes = clusters.groupBy("cluster_id").agg(
         (F.count(F.lit(1)) - 1).alias("nd_dropped")
     ).select(F.col("cluster_id").alias("rep_id"), "nd_dropped")
+    span_cols = ["span_dropped_tokens"] if span_k is not None else []
     kept = (
         survivors.join(clusters, "doc_id", "left")
         .filter("cluster_id IS NULL OR cluster_id = doc_id")
         .join(sizes, F.col("doc_id") == F.col("rep_id"), "left")
         .select(
-            "doc_id", "n_tokens", "dup_count",
+            "doc_id", "n_tokens", "dup_count", *span_cols,
             F.coalesce("nd_dropped", F.lit(0)).alias("nd_dropped"),
         )
     )
+    if span_k is not None:
+        return kept, shingles, sdocs
     if return_shingles:
         return kept, shingles
     return kept
@@ -488,6 +524,7 @@ def _containment_final(
     chunk_tokens: int,
     stride: int,
     chunk_drop_pm: int,
+    extra_cols: tuple = (),
 ) -> DataFrame:
     """Containment drop + absorption attribution WITHOUT the split —
     the pre-split survivor frame [doc_id, n_tokens, dup_count,
@@ -530,7 +567,7 @@ def _containment_final(
         kept.join(dropped, kept.doc_id == dropped.dropped_id, "left_anti")
         .join(attr, kept.doc_id == attr.rep, "left")
         .select(
-            "doc_id", "n_tokens", "dup_count", "nd_dropped",
+            "doc_id", "n_tokens", "dup_count", *extra_cols, "nd_dropped",
             F.coalesce("cc_absorbed", F.lit(0)).alias("cc_absorbed"),
         )
     )
@@ -603,15 +640,26 @@ def _chunk_containment_final(
     chunk_drop_pm: int = 500,
     cand_max_df: int = 50,
     cand_min_shared: int = 4,
+    span_k: int | None = None,
 ) -> DataFrame:
     """Stages 1-4 of curate_corpus_chunk_containment, pre-split: gates →
     exact digest → doc near-dup → candidate-restricted chunk
     containment. Output: [doc_id, n_tokens, dup_count, nd_dropped,
     cc_absorbed] — shared by the containment entry and the
-    semantic-composed pipeline."""
-    kept, shingles = _neardup_kept(
-        docs, lang, min_tokens, max_bucket, return_shingles=True
-    )
+    semantic-composed pipeline. With ``span_k`` set (the span rung
+    inserted after the digest, see _neardup_kept) the chunk stage runs
+    over the CUT text, a span_dropped_tokens column rides along, and
+    the return is (final, cut_docs)."""
+    if span_k is not None:
+        kept, shingles, cutdocs = _neardup_kept(
+            docs, lang, min_tokens, max_bucket,
+            return_shingles=True, span_k=span_k,
+        )
+        docs = cutdocs
+    else:
+        kept, shingles = _neardup_kept(
+            docs, lang, min_tokens, max_bucket, return_shingles=True
+        )
     kept = scoped_persist(kept)
     # shingle rows are per-OCCURRENCE; collect_set dedups doc ids per
     # shingle, so df and the per-pair shared counts are over distinct
@@ -641,9 +689,13 @@ def _chunk_containment_final(
     cpairs = chunk_near_dup_pairs(
         cdocs, chunk_tokens, stride, max_bucket, chunk_tau_milli
     )
-    return _containment_final(
-        kept, cpairs, chunk_tokens, stride, chunk_drop_pm
+    extra = ("span_dropped_tokens",) if span_k is not None else ()
+    final = _containment_final(
+        kept, cpairs, chunk_tokens, stride, chunk_drop_pm, extra
     )
+    if span_k is not None:
+        return final, docs
+    return final
 
 
 def curate_corpus_semdedup(
@@ -732,12 +784,15 @@ def _semdedup_final(
     sem_iters: int = 2,
     sem_cap: int | None = 64,
     sem_rung: str = "exact",
+    span_k: int | None = None,
 ) -> DataFrame:
     """Stages 1-5 of the curation ladder, pre-split: gates → digest →
     doc near-dup → candidate-restricted chunk containment → SemDeDup.
     Output: [doc_id, n_tokens, dup_count, nd_dropped, cc_absorbed,
     sd_absorbed] — shared by curate_corpus_semdedup and
-    curate_corpus_full."""
+    curate_corpus_full. With ``span_k``: the span-removal rung runs
+    after the digest, span_dropped_tokens rides along, and the return
+    is (final2, cut_docs) so the caller's LM stage scores CUT text."""
     from . import ann as ann_ops
 
     # localCheckpoint, not persist: the semantic stage makes ~6 passes
@@ -755,10 +810,15 @@ def _semdedup_final(
     from ..runtime import free_checkpoint, local_checkpoint_truncated, \
         scoped_cleanup
 
-    final = local_checkpoint_truncated(_chunk_containment_final(
+    res = _chunk_containment_final(
         docs, lang, min_tokens, max_bucket, chunk_tokens, stride,
         chunk_tau_milli, chunk_drop_pm, cand_max_df, cand_min_shared,
-    ))
+        span_k=span_k,
+    )
+    cutdocs = None
+    if span_k is not None:
+        res, cutdocs = res
+    final = local_checkpoint_truncated(res)
     scoped_cleanup(lambda: free_checkpoint(final))
     semb = emb.join(
         final.select(F.col("doc_id").alias("vec_id")), "vec_id", "leftsemi"
@@ -779,14 +839,19 @@ def _semdedup_final(
         pairs.groupBy("vec_b").agg(F.min("vec_a").alias("rep"))
         .groupBy("rep").agg(F.count(F.lit(1)).alias("sd_absorbed"))
     )
-    return (
+    span_cols = ["span_dropped_tokens"] if span_k is not None else []
+    final2 = (
         final.join(dropped, final.doc_id == dropped.dropped_id, "left_anti")
         .join(attr, final.doc_id == attr.rep, "left")
         .select(
-            "doc_id", "n_tokens", "dup_count", "nd_dropped", "cc_absorbed",
+            "doc_id", "n_tokens", "dup_count", *span_cols, "nd_dropped",
+            "cc_absorbed",
             F.coalesce("sd_absorbed", F.lit(0)).alias("sd_absorbed"),
         )
     )
+    if span_k is not None:
+        return final2, cutdocs
+    return final2
 
 
 def curate_corpus_full(
@@ -810,30 +875,40 @@ def curate_corpus_full(
     sem_cap: int | None = 64,
     sem_rung: str = "exact",
     ppl_drop_pm: int = 100,
+    span_k: int | None = None,
 ) -> DataFrame:
-    """The FULLY-COMPOSED curation ladder (r11 VERDICT "Next round" #3)
-    — every rung a real pipeline runs, in one plan, each with its
-    credit column: gates → exact digest (dup_count) → doc-level
-    MinHash/LSH near-dup (nd_dropped) → candidate-restricted chunk
-    containment (cc_absorbed) → embedding SemDeDup (sd_absorbed) →
-    perplexity rank-drop (avg_nll_micro) → split (pm, split).
+    """The FULLY-COMPOSED curation ladder (r11 VERDICT "Next round" #3;
+    span rung r12 #1) — every rung a real pipeline runs, in one plan,
+    each with its credit column: gates → exact digest (dup_count) →
+    repeated-span removal (span_dropped_tokens, when ``span_k`` is
+    set) → doc-level MinHash/LSH near-dup (nd_dropped) →
+    candidate-restricted chunk containment (cc_absorbed) → embedding
+    SemDeDup (sd_absorbed) → perplexity rank-drop (avg_nll_micro) →
+    split (pm, split).
 
     Stage order is the production order: every syntactic rung runs
     before the LM trains, so boilerplate/duplicate mass can't dominate
-    the model; the unigram LM trains on stage-5 SURVIVORS only and the
-    ``ppl_drop_pm`` most-surprising survivors drop by rank
-    (_drop_top_ranked_pm — the range-partitioned boundary cut, no
-    single-task window).
+    the model; with the span rung on, every stage after the digest —
+    shingles, chunks, the LM — consumes the CUT text (duplicated
+    ≥ span_k-token spans removed, corpus-wide first occurrence kept,
+    fully-cut docs dropped — dedup.repeated_span_removal), which is
+    exactly Lee et al.'s production order: cut the boilerplate before
+    anything downstream can learn or match on it. The unigram LM
+    trains on stage-6 SURVIVORS only and the ``ppl_drop_pm``
+    most-surprising survivors drop by rank (_drop_top_ranked_pm — the
+    range-partitioned boundary cut, no single-task window).
 
     Scale shape = the sum of its parts, each already plan-pinned: one
-    16-byte digest exchange (stages 1-2), band/bucket equi-joins +
-    hot-bucket cap (stage 3), inverted-index candidate restriction +
-    chunk verify over candidates only (stage 4), one survivor-leftsemi
-    + one cent_id exchange with the block-pair skew bound (stage 5),
-    two linear LM passes + a broadcast vocab join + the boundary cut
-    (stage 6), content-keyed split projection (stage 7). Output:
-    [doc_id, n_tokens, dup_count, nd_dropped, cc_absorbed, sd_absorbed,
-    avg_nll_micro, pm, split]."""
+    16-byte digest exchange (stages 1-2), the span rung's one
+    8-byte-gram exchange + islands merge (when on), band/bucket
+    equi-joins + hot-bucket cap, inverted-index candidate restriction +
+    chunk verify over candidates only, one survivor-leftsemi + one
+    cent_id exchange with the block-pair skew bound, two linear LM
+    passes + a broadcast vocab join + the boundary cut, content-keyed
+    split projection. Output: [doc_id, n_tokens, dup_count,
+    (span_dropped_tokens,) nd_dropped, cc_absorbed, sd_absorbed,
+    avg_nll_micro, pm, split]; with span_k, n_tokens is the POST-cut
+    count."""
     from . import textops as tx
 
     # truncate, don't just persist: the LM + rank + split stages make
@@ -844,25 +919,30 @@ def curate_corpus_full(
     from ..runtime import free_checkpoint, local_checkpoint_truncated, \
         scoped_cleanup
 
-    final2 = local_checkpoint_truncated(_semdedup_final(
+    res = _semdedup_final(
         docs, emb, lang, min_tokens, max_bucket, chunk_tokens, stride,
         chunk_tau_milli, chunk_drop_pm, cand_max_df, cand_min_shared,
         sem_tau_milli, sem_centroids, sem_iters, sem_cap, sem_rung,
-    ))
+        span_k=span_k,
+    )
+    if span_k is not None:
+        res, docs = res  # the LM stage must score the CUT text
+    final2 = local_checkpoint_truncated(res)
     scoped_cleanup(lambda: free_checkpoint(final2))
+    span_cols = ["span_dropped_tokens"] if span_k is not None else []
     sdocs = docs.join(final2.select("doc_id"), "doc_id", "leftsemi")
     scored = tx.unigram_logppl(sdocs).select("doc_id", "avg_nll_micro")
     kept = _drop_top_ranked_pm(
         final2.join(scored, "doc_id"), ppl_drop_pm
     ).select(
-        "doc_id", "n_tokens", "dup_count", "nd_dropped", "cc_absorbed",
-        "sd_absorbed", "avg_nll_micro",
+        "doc_id", "n_tokens", "dup_count", *span_cols, "nd_dropped",
+        "cc_absorbed", "sd_absorbed", "avg_nll_micro",
     )
     return split_ops.assign_splits(
         kept, key="doc_id", seed=seed, train_pm=train_pm, val_pm=val_pm
     ).select(
-        "doc_id", "n_tokens", "dup_count", "nd_dropped", "cc_absorbed",
-        "sd_absorbed", "avg_nll_micro", "pm", "split",
+        "doc_id", "n_tokens", "dup_count", *span_cols, "nd_dropped",
+        "cc_absorbed", "sd_absorbed", "avg_nll_micro", "pm", "split",
     )
 
 
@@ -871,17 +951,103 @@ def _duck_neardup_kept_ctes(
     lang: str = "en",
     min_tokens: int = 12,
     max_bucket: int | None = 64,
+    span_k: int | None = None,
 ) -> str:
     """Shared oracle CTE body for stages 1-3 (gates → digest dedup →
     doc-level near-dup collapse). Defines _aug, _surv, _clus, _kept0
-    (doc_id, n_tokens, dup_count, nd_dropped)."""
+    (doc_id, n_tokens, dup_count, nd_dropped). With ``span_k`` (twin
+    of _neardup_kept's span rung): the repeated-span removal CTEs run
+    between _surv and the near-dup stage — canonical = first
+    occurrence by (doc_id, pos) via row_number, islands merge, token
+    rows anti-filtered against span ranges, re-aggregated to _cut
+    [doc_id, text, n_after] (fully-cut docs absent, hence dropped) —
+    the near-dup pairs run over _cut text, and _kept0 gains
+    span_dropped_tokens with n_tokens becoming the post-cut count."""
     from . import dedup as dedup_ops, textops as tx
     from ..functions import text as text_fns
 
     toks = text_fns.DUCK_TOKENS
     guess = _lang_guess_expr("duckdb")
-    sdocs = "(SELECT doc_id, text FROM _aug WHERE doc_id IN "\
-            "(SELECT doc_id FROM _surv))"
+    if span_k is None:
+        sdocs = "(SELECT doc_id, text FROM _aug WHERE doc_id IN "\
+                "(SELECT doc_id FROM _surv))"
+        span_ctes = ""
+        kept0 = """_kept0 AS MATERIALIZED (
+        SELECT s.doc_id, s.n_tokens, s.dup_count,
+               coalesce(z.nd_dropped, 0) AS nd_dropped
+        FROM _surv s
+        LEFT JOIN _clus c ON c.doc_id = s.doc_id
+        LEFT JOIN (SELECT cluster_id, count(*) - 1 AS nd_dropped
+                   FROM _clus GROUP BY cluster_id) z
+          ON z.cluster_id = s.doc_id
+        WHERE c.cluster_id IS NULL OR c.cluster_id = s.doc_id
+      )"""
+    else:
+        k = span_k
+        g64 = text_fns.duck_hash64_str(
+            f"array_to_string(t[i:i + {k - 1}], ' ')"
+        )
+        sdocs = "(SELECT doc_id, text FROM _cut)"
+        span_ctes = f"""_sd0 AS MATERIALIZED (
+        SELECT doc_id, {toks} AS t FROM _aug
+        WHERE doc_id IN (SELECT doc_id FROM _surv)
+      ),
+      _socc AS MATERIALIZED (
+        SELECT doc_id, (i - 1)::BIGINT AS pos, {g64} AS g64
+        FROM (SELECT doc_id, t, unnest(range(1, len(t) - {k} + 2)) AS i
+              FROM _sd0 WHERE len(t) >= {k}) _w
+      ),
+      _sm AS (
+        SELECT doc_id, pos FROM (
+          SELECT doc_id, pos, row_number() OVER (
+                   PARTITION BY g64 ORDER BY doc_id, pos) AS rn
+          FROM _socc) _r
+        WHERE rn > 1
+      ),
+      _sb AS (
+        SELECT doc_id, pos,
+               CASE WHEN lag(pos) OVER dw IS NULL
+                      OR pos - lag(pos) OVER dw > {k}
+                    THEN 1 ELSE 0 END AS brk
+        FROM _sm WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)
+      ),
+      _si AS (
+        SELECT doc_id, pos,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS UNBOUNDED PRECEDING) AS isl
+        FROM _sb
+      ),
+      _ssp AS MATERIALIZED (
+        SELECT doc_id, min(pos) AS s, max(pos) + {k - 1} AS e
+        FROM _si GROUP BY doc_id, isl
+      ),
+      _skp AS (
+        SELECT w.doc_id, w.tok, w.i FROM (
+          SELECT doc_id, unnest(t) AS tok,
+                 generate_subscripts(t, 1) - 1 AS i
+          FROM _sd0) w
+        WHERE NOT EXISTS (SELECT 1 FROM _ssp s
+                          WHERE s.doc_id = w.doc_id
+                            AND w.i BETWEEN s.s AND s.e)
+      ),
+      _cut AS MATERIALIZED (
+        SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS text,
+               count(*)::BIGINT AS n_after
+        FROM _skp GROUP BY doc_id
+      ),
+      """
+        kept0 = """_kept0 AS MATERIALIZED (
+        SELECT s.doc_id, u.n_after AS n_tokens, s.dup_count,
+               (s.n_tokens - u.n_after)::BIGINT AS span_dropped_tokens,
+               coalesce(z.nd_dropped, 0) AS nd_dropped
+        FROM _surv s
+        JOIN _cut u ON u.doc_id = s.doc_id
+        LEFT JOIN _clus c ON c.doc_id = s.doc_id
+        LEFT JOIN (SELECT cluster_id, count(*) - 1 AS nd_dropped
+                   FROM _clus GROUP BY cluster_id) z
+          ON z.cluster_id = s.doc_id
+        WHERE c.cluster_id IS NULL OR c.cluster_id = s.doc_id
+      )"""
     pairs = tx.duck_jaccard_pairs_sql(
         sdocs,
         tx.duck_lsh_pairs_sql(
@@ -903,17 +1069,8 @@ def _duck_neardup_kept_ctes(
         WHERE lang_guess = '{lang}' AND n_tokens >= {min_tokens}
         GROUP BY digest
       ),
-      _clus AS MATERIALIZED (SELECT * FROM {clusters} _cl),
-      _kept0 AS MATERIALIZED (
-        SELECT s.doc_id, s.n_tokens, s.dup_count,
-               coalesce(z.nd_dropped, 0) AS nd_dropped
-        FROM _surv s
-        LEFT JOIN _clus c ON c.doc_id = s.doc_id
-        LEFT JOIN (SELECT cluster_id, count(*) - 1 AS nd_dropped
-                   FROM _clus GROUP BY cluster_id) z
-          ON z.cluster_id = s.doc_id
-        WHERE c.cluster_id IS NULL OR c.cluster_id = s.doc_id
-      )"""
+      {span_ctes}_clus AS MATERIALIZED (SELECT * FROM {clusters} _cl),
+      {kept0}"""
 
 
 def duck_curate_neardup_sql(
@@ -942,10 +1099,14 @@ def _duck_containment_tail_ctes(
     chunk_tokens: int,
     stride: int,
     chunk_drop_pm: int,
+    span: bool = False,
 ) -> str:
     """Shared oracle tail (twin of _containment_drop): chunk pairs →
     matched counts → closed-form chunk totals → drop → attribution.
-    Defines _cp, _mc, _nc, _drop, _attr, _final over _kept0."""
+    Defines _cp, _mc, _nc, _drop, _attr, _final over _kept0.
+    ``span``: when the span rung is on, the span_dropped_tokens credit
+    column passes through _final."""
+    span_col = ", k.span_dropped_tokens" if span else ""
     return f"""_cp AS MATERIALIZED (
         SELECT doc_a, chunk_a, doc_b, chunk_b FROM {cpairs_sql} _c
         WHERE doc_a != doc_b
@@ -963,7 +1124,8 @@ def _duck_containment_tail_ctes(
                   WHERE doc_b IN (SELECT doc_id FROM _drop)
                   GROUP BY doc_b) _a GROUP BY rep),
       _final AS (
-        SELECT k.doc_id, k.n_tokens, k.dup_count, k.nd_dropped,
+        SELECT k.doc_id, k.n_tokens, k.dup_count{span_col},
+               k.nd_dropped,
                coalesce(a.cc_absorbed, 0) AS cc_absorbed
         FROM _kept0 k
         LEFT JOIN _attr a ON a.rep = k.doc_id
@@ -1125,16 +1287,22 @@ def _duck_semdedup_ctes(
     sem_tau_milli: int = 800,
     sem_centroids: int = 8,
     sem_iters: int = 2,
+    span_k: int | None = None,
 ) -> str:
     """Shared oracle CTE body for stages 1-5 (twin of _semdedup_final):
     gates/digest/near-dup CTEs + candidate restriction + containment
     tail + semantic stage, ending at ``_final2`` [doc_id, n_tokens,
-    dup_count, nd_dropped, cc_absorbed, sd_absorbed]."""
+    dup_count, nd_dropped, cc_absorbed, sd_absorbed]. With ``span_k``
+    the chunk stage reads the CUT text (_cut, see
+    _duck_neardup_kept_ctes) and span_dropped_tokens rides along."""
     from ..functions import text as text_fns
     from . import ann as ann_ops
 
-    ctes = _duck_neardup_kept_ctes(docs_sql, lang, min_tokens, max_bucket)
-    kdocs = "(SELECT doc_id, text FROM _aug WHERE doc_id IN "\
+    ctes = _duck_neardup_kept_ctes(
+        docs_sql, lang, min_tokens, max_bucket, span_k=span_k
+    )
+    src = "_cut" if span_k is not None else "_aug"
+    kdocs = f"(SELECT doc_id, text FROM {src} WHERE doc_id IN "\
             "(SELECT doc_id FROM _kept0))"
     h64 = text_fns.duck_hash64_str("shingle")
     sh = text_fns.duck_shingle_rows_sql(kdocs)
@@ -1151,14 +1319,16 @@ def _duck_semdedup_ctes(
                HAVING count(*) >= {cand_min_shared}),
       _cdocs AS MATERIALIZED (SELECT doc_a AS doc_id FROM _cnd
                 UNION SELECT doc_b AS doc_id FROM _cnd)"""
-    cdocs = "(SELECT doc_id, text FROM _aug WHERE doc_id IN "\
+    cdocs = f"(SELECT doc_id, text FROM {src} WHERE doc_id IN "\
             "(SELECT doc_id FROM _cdocs))"
     cpairs = duck_chunk_near_dup_sql(
         cdocs, chunk_tokens, stride, max_bucket, chunk_tau_milli
     )
     tail = _duck_containment_tail_ctes(
-        cpairs, chunk_tokens, stride, chunk_drop_pm
+        cpairs, chunk_tokens, stride, chunk_drop_pm,
+        span=span_k is not None,
     )
+    span_col = ", f.span_dropped_tokens" if span_k is not None else ""
     sem_pairs = ann_ops.duck_semantic_cluster_pairs_sql(
         tau_milli=sem_tau_milli, n_centroids=sem_centroids,
         iters=sem_iters, table="_semb", seed_by_rank=True,
@@ -1172,7 +1342,8 @@ def _duck_semdedup_ctes(
                    SELECT vec_b, min(vec_a) AS rep FROM _sp
                    GROUP BY vec_b) _a GROUP BY rep),
       _final2 AS (
-        SELECT f.doc_id, f.n_tokens, f.dup_count, f.nd_dropped,
+        SELECT f.doc_id, f.n_tokens, f.dup_count{span_col},
+               f.nd_dropped,
                f.cc_absorbed, coalesce(s.sd_absorbed, 0) AS sd_absorbed
         FROM _final f
         LEFT JOIN _sattr s ON s.rep = f.doc_id
@@ -1203,26 +1374,32 @@ def duck_curate_full_sql(
     sem_centroids: int = 8,
     sem_iters: int = 2,
     ppl_drop_pm: int = 100,
+    span_k: int | None = None,
 ) -> str:
     """Oracle twin of curate_corpus_full: the stage-1-5 CTE body plus
     the perplexity stage (LM replay over stage-5 survivors, rank-based
     drop — the oracle uses the plain global window, which on the
     single-node replay is exactly _drop_top_ranked_pm's boundary cut)
-    and the split."""
+    and the split. With ``span_k`` the LM scores the CUT text and
+    span_dropped_tokens rides through to the output."""
     from . import textops as tx
 
     body = _duck_semdedup_ctes(
         docs_sql, emb_sql, lang, min_tokens, max_bucket, chunk_tokens,
         stride, chunk_tau_milli, chunk_drop_pm, cand_max_df,
         cand_min_shared, sem_tau_milli, sem_centroids, sem_iters,
+        span_k=span_k,
     )
-    pdocs = "(SELECT doc_id, text FROM _aug WHERE doc_id IN "\
+    src = "_cut" if span_k is not None else "_aug"
+    spanc = ", span_dropped_tokens" if span_k is not None else ""
+    spancf = ", f.span_dropped_tokens" if span_k is not None else ""
+    pdocs = f"(SELECT doc_id, text FROM {src} WHERE doc_id IN "\
             "(SELECT doc_id FROM _final2))"
     lp = tx.duck_unigram_logppl_sql(pdocs)
     ppl_ctes = f"""_pscored AS MATERIALIZED (
         SELECT doc_id, avg_nll_micro FROM {lp} _p),
       _pranked AS (
-        SELECT f.doc_id, f.n_tokens, f.dup_count, f.nd_dropped,
+        SELECT f.doc_id, f.n_tokens, f.dup_count{spancf}, f.nd_dropped,
                f.cc_absorbed, f.sd_absorbed, c.avg_nll_micro,
                row_number() OVER (
                  ORDER BY c.avg_nll_micro DESC, f.doc_id ASC
@@ -1231,8 +1408,8 @@ def duck_curate_full_sql(
         FROM _final2 f JOIN _pscored c USING (doc_id)
       ),
       _pkept AS (
-        SELECT doc_id, n_tokens, dup_count, nd_dropped, cc_absorbed,
-               sd_absorbed, avg_nll_micro
+        SELECT doc_id, n_tokens, dup_count{spanc}, nd_dropped,
+               cc_absorbed, sd_absorbed, avg_nll_micro
         FROM _pranked
         WHERE ppl_rank > cast(ceil({ppl_drop_pm} * n_surv / 1000.0) as int)
       )"""
@@ -1243,8 +1420,8 @@ def duck_curate_full_sql(
     return f"""(
       WITH {body},
       {ppl_ctes}
-      SELECT doc_id, n_tokens, dup_count, nd_dropped, cc_absorbed,
-             sd_absorbed, avg_nll_micro, pm, split
+      SELECT doc_id, n_tokens, dup_count{spanc}, nd_dropped,
+             cc_absorbed, sd_absorbed, avg_nll_micro, pm, split
       FROM {assigned} _o
     )"""
 

@@ -284,3 +284,79 @@ def test_repeated_spans_fixture_plants_marked_exactly(spark):
     for doc_id, rs in plants.items():
         assert len(rs) == 1
         assert (rs[0].span_start, rs[0].span_end) == (7, 26)
+
+
+def test_span_removal_cuts_shifted_plant_keeps_canonical(spark):
+    # r12 VERDICT #1: removal semantics — the corpus-wide FIRST
+    # occurrence (min (doc_id, pos)) survives, every later occurrence
+    # is cut, and untouched docs come back tokenizer-normalized only
+    span = " ".join(f"s{j}" for j in range(20))
+    rows = [
+        (1, "a0 a1 a2 " + span + " a3 a4 a5 a6"),
+        (2, "p0 p1 p2 p3 p4 p5 p6 " + span + " q0 q1 q2 q3 q4"),
+        (3, " ".join(f"u{j}" for j in range(30))),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup.repeated_span_removal(docs, k=8).collect()}
+    # doc 1 holds the canonical copy: untouched
+    assert out[1].text == rows[0][1]
+    assert out[1].span_dropped_tokens == 0 and out[1].n_spans == 0
+    # doc 2's shifted copy (tokens 7..26) is cut, fillers survive
+    assert out[2].text == "p0 p1 p2 p3 p4 p5 p6 q0 q1 q2 q3 q4"
+    assert out[2].span_dropped_tokens == 20 and out[2].n_spans == 1
+    assert out[2].n_tokens == 12
+    assert out[3].span_dropped_tokens == 0
+
+
+def test_span_removal_fully_cut_and_within_doc(spark):
+    # an exact duplicate doc is cut to EMPTY (span-granularity exact
+    # dup — its content survives at the canonical site), and a
+    # within-doc repeat loses its SECOND site only
+    body = " ".join(f"w{j}" for j in range(8))
+    rows = [
+        (1, " ".join(f"u{j}" for j in range(30))),
+        (2, " ".join(f"u{j}" for j in range(30))),
+        (3, body + " x0 x1 x2 " + body),
+        (4, "v0 v1 v2 v3 v4 v5"),  # < k tokens: never marked
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup.repeated_span_removal(docs, k=8).collect()}
+    assert out[1].span_dropped_tokens == 0
+    assert out[2].text == "" and out[2].n_tokens == 0
+    assert out[2].span_dropped_tokens == 30 and out[2].n_spans == 1
+    assert out[3].text == body + " x0 x1 x2"
+    assert out[3].span_dropped_tokens == 8
+    assert out[4].text == rows[3][1] and out[4].span_dropped_tokens == 0
+
+
+def test_span_removal_engine_parity_and_fixture(spark):
+    # the registered entry's shape: spark vs the DuckDB twin must agree
+    # byte-for-byte on the span_corpus fixture (rewritten text included
+    # — the gate hash covers it), and every plant must lose exactly
+    # [7, 26] while its base is untouched
+    import duckdb
+
+    from geneticalgorithmsusingmapreduce_spark.operators import textops
+
+    sf = "/root/testdata/sf0.001"
+    corpus = textops.span_corpus(spark, sf)
+    got = sorted(
+        tuple(r) for r in dedup.repeated_span_removal(corpus).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    duck = sorted(con.sql(
+        "SELECT * FROM "
+        + dedup.duck_repeated_span_removal_sql(textops.DUCK_SPAN_AUG)
+        + " _q"
+    ).fetchall())
+    assert got == duck and len(got) > 0
+    plants = [r for r in got if r[0] >= 3_000_000]
+    n_planted = corpus.filter("doc_id >= 3000000").count()
+    assert len(plants) == n_planted > 0
+    for _id, text, n_tokens, dropped, n_spans in plants:
+        assert (n_tokens, dropped, n_spans) == (12, 20, 1)
+        assert text.startswith("pre") and text.endswith("x4")

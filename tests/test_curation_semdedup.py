@@ -122,7 +122,8 @@ def test_ppl_stage_drops_most_surprising_decile(spark):
     assert len({100, 101} & kept) == 1  # one junk doc drops (rank ties -> id)
 
 def test_full_ladder_engine_parity(spark):
-    # r11 VERDICT #3: the fully-composed ladder hash-replays end to end
+    # r11 VERDICT #3 (+ the span rung, r12 #1): the fully-composed
+    # ladder — span cut included — hash-replays end to end
     from geneticalgorithmsusingmapreduce_spark import catalog
 
     con = _views(SF)
@@ -132,7 +133,7 @@ def test_full_ladder_engine_parity(spark):
     )
     duck = sorted(con.sql(
         "SELECT * FROM " + pipe.duck_curate_full_sql(
-            catalog._FULL_LADDER_DUCK, ann.DUCK_PARA_EMB
+            catalog._FULL_LADDER_DUCK, ann.DUCK_PARA_EMB, span_k=13
         ) + " _q"
     ).fetchall())
     assert got == duck
@@ -141,9 +142,11 @@ def test_full_ladder_engine_parity(spark):
 
 def test_full_ladder_one_victim_class_per_rung(spark):
     # each plant class dies at ITS rung and is credited there: +5M exact
-    # copies at the digest, +1M zz9 near-dups at doc LSH, +4M excerpts
-    # at chunk containment, +2M paraphrases at the semantic stage, and
-    # the ppl stage drops exactly the top decile of stage-5 survivors
+    # copies at the digest, +1M perturbed near-dups at doc LSH, +4M
+    # excerpts at chunk containment, +2M paraphrases at the semantic
+    # stage, and the ppl stage drops exactly the top decile of stage-5
+    # survivors. Runs WITH the span rung (the entry's config,
+    # span_k=13), so the +3M span class is asserted here too.
     from geneticalgorithmsusingmapreduce_spark import catalog
 
     docs = catalog._full_ladder_docs(spark, SF)
@@ -156,9 +159,21 @@ def test_full_ladder_one_victim_class_per_rung(spark):
         .filter(F.expr(
             pipe._lang_guess_expr("spark")) == "en").collect()
     }
-    final2 = pipe._semdedup_final(docs, emb)
+    final2, _cut = pipe._semdedup_final(docs, emb, span_k=13)
     rows = {r.doc_id: r for r in final2.collect()}
     survivors = set(rows)
+    # stage-2.5 victims (span rung, r12 #1): every +3M span plant
+    # whose 20-token slice was re-planted at a shifted offset SURVIVES
+    # as a document but loses exactly that span — 20 tokens credited —
+    # while its base keeps the canonical occurrence; all OTHER plant
+    # classes are span-blind by construction (substitutions every
+    # ≤ 12 tokens, k = 13), pinned separately below
+    sp = {d for d in gated if 3_000_000 <= d < 4_000_000
+          and d - 3_000_000 in gated}
+    sp_rows = {d: rows[d] for d in sp & survivors}
+    assert sp and len(sp_rows) >= 0.9 * len(sp)
+    assert all(r.span_dropped_tokens == 20 for r in sp_rows.values())
+    assert all(r.n_tokens == 12 for r in sp_rows.values())
     # stage-2 victims: every exact copy whose base passed gates is
     # gone, and its base carries dup_count 2
     xc = {d for d in gated if d >= 5_000_000}
@@ -167,18 +182,31 @@ def test_full_ladder_one_victim_class_per_rung(spark):
         base = d - 5_000_000
         if base in rows:
             assert rows[base].dup_count == 2
-    # stage-3 victims: every zz9 copy whose base passed gates is gone,
-    # with nd_dropped credit on the base
+    # stage-3 victims: the BULK of perturbed near-dups whose base
+    # passed gates dies with nd_dropped credit on the base. The
+    # every-12th-token substitution (span-rung blindness, J ≈ 0.6)
+    # makes banded-LSH candidacy probabilistic per plant
+    # (P = 1-(1-J²)⁴ ≈ 0.83) — deterministic for the fixed corpus and
+    # identical in the oracle, but no longer all-plants like the old
+    # J ≈ 1 ' zz9' construction
     nd = {d for d in gated if 1_000_000 <= d < 2_000_000
           and d - 1_000_000 in gated}
-    assert nd and not (nd & survivors)
-    assert all(rows[d - 1_000_000].nd_dropped >= 1
-               for d in nd if d - 1_000_000 in rows)
-    # stage-4 victims: every excerpt is gone (bases have >= 80 tokens,
-    # so they always pass gates), with cc_absorbed credit somewhere
+    nd_dead = nd - survivors
+    assert nd and len(nd_dead) >= 0.7 * len(nd)
+    # a plant that slips past a band can still die at chunk
+    # containment (its unperturbed chunks match the base at J ≥ 0.5) —
+    # it is then credited in cc_absorbed, so nd_dropped accounts for
+    # the bulk but not necessarily all of nd_dead (measured at
+    # sf0.001: 42 of 44, the other 2 caught downstream)
+    assert sum(r.nd_dropped for r in rows.values()) >= 0.85 * len(nd_dead)
+    # stage-4 victims: the BULK of excerpts dies (bases have >= 80
+    # tokens, so they always pass gates), with cc_absorbed credit —
+    # same probabilistic-candidacy note (zq + zr substitutions,
+    # chunk J ≈ 0.67, P ≈ 0.9 per excerpt)
     ex = {d for d in gated if 4_000_000 <= d < 5_000_000}
-    assert ex and not (ex & survivors)
-    assert any(r.cc_absorbed > 0 for r in rows.values())
+    ex_dead = ex - survivors
+    assert ex and len(ex_dead) >= 0.7 * len(ex)
+    assert sum(r.cc_absorbed for r in rows.values()) >= len(ex_dead)
     # stage-5 victims: the BULK of paraphrases collapses (the cluster
     # restriction may miss a boundary plant — SemDeDup's documented
     # trade, same 5 boundary survivors as the paraphrase-only fixture),
@@ -194,3 +222,26 @@ def test_full_ladder_one_victim_class_per_rung(spark):
 
     n = len(survivors)
     assert len(out) == n - math.ceil(n * 100 / 1000.0)
+
+
+def test_ladder_plants_span_blind_except_span_class(spark):
+    # the "provably keeps" half of the span-rung fixture contract:
+    # running repeated-span REMOVAL at the ladder's k=13 over the
+    # digest-survivor fixture must cut the +3M span plants (exactly
+    # their 20-token slice) and NOTHING from the +1M near-dups or +4M
+    # excerpts — their substitutions every ≤ 12 tokens mean no
+    # 13-token window can repeat against any other doc
+    from geneticalgorithmsusingmapreduce_spark import catalog
+    from geneticalgorithmsusingmapreduce_spark.operators import dedup
+
+    docs = catalog._full_ladder_docs(spark, SF)
+    out = {
+        r.doc_id: r
+        for r in dedup.repeated_span_removal(docs, k=13).collect()
+    }
+    nd = [r for d, r in out.items() if 1_000_000 <= d < 2_000_000]
+    ex = [r for d, r in out.items() if 4_000_000 <= d < 5_000_000]
+    sp = [r for d, r in out.items() if 3_000_000 <= d < 4_000_000]
+    assert nd and all(r.span_dropped_tokens == 0 for r in nd)
+    assert ex and all(r.span_dropped_tokens == 0 for r in ex)
+    assert sp and all(r.span_dropped_tokens == 20 for r in sp)

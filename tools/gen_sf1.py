@@ -55,6 +55,79 @@ def pick(options: list[str], expr: str) -> str:
     return f"element_at(array({arr}), cast({expr} % {len(options)} as int) + 1)"
 
 
+def documents_frame(spark, n_docs: int):
+    """The Zipf document table (shared by gen_sf1 and
+    gen_documents_only — same xxhash64 streams, byte-identical text).
+
+    ZIPFIAN token draw (r5 VERDICT #1): the r4/r5 generator drew every
+    token uniformly from the 30-word head vocab, so at 55k+ docs every
+    5-gram shingle's document frequency blew past the ngram index's
+    max_df and dedup_ngram_jaccard was vacuously 0 rows at sf1+ — the
+    text-family scale evidence was measured on unrealistically uniform
+    boilerplate. Real corpora are Zipf-tailed; emulate with the
+    standard inverse-CDF draw for s=1: u ~ U[0,1), rank = floor(V^u)
+    (P(rank=r) ~ 1/r). Ranks 1..30 map to the REAL head vocab — the
+    head carries ~ln(30)/ln(V) = 37% of token mass, so stopword /
+    language-guess signal survives — and ranks 31..V are synthetic
+    'w{rank}' tail words, so RARE shingles exist at every scale and
+    the inverted index / LSH recall rows measure a realistic df
+    distribution. Deterministic: rank is a pure function of (id, i).
+
+    ORGANIC boilerplate (r12 VERDICT "Next round" #6): the pure-Zipf
+    draw contains zero repeated ≥8-grams (measured: 24M windows, 0
+    dup grams — evidence/gen_datasets.log), so the repeated-span
+    operators' decade rows ran only on synthetic plant fixtures.
+    Real web corpora carry license headers / navigation chrome:
+    splice one of 8 fixed 24-token boilerplate blocks into ~1% of
+    docs at a VARYING token offset (offset = hash % (len+1)) — the
+    duplication mode fixed 32-token chunking provably misses and the
+    span rung exists for. 24-token blocks inside 10-100-token docs
+    keep doc-level Jaccard ≈ 0.12, so near-dup/cluster entries are
+    untouched; per-template copy count ~ n_docs/800 scales with sf."""
+    vocab_arr = "array(" + ", ".join(f"'{w}'" for w in VOCAB[:30]) + ")"
+    zipf_v = 10_000
+    zipf_rank = (
+        "cast(pow(" + f"{zipf_v}.0D, "
+        "((xxhash64(id, i, 'dw') & 9223372036854775807)"
+        " / 9.223372036854775807e18)) as int)"
+    )
+    n_bp, bp_len = 8, 24
+    bp_arr = "array(" + ", ".join(
+        "array(" + ", ".join(f"'bp{t}x{j}'" for j in range(bp_len)) + ")"
+        for t in range(n_bp)
+    ) + ")"
+    return spark.range(n_docs).selectExpr(
+        "id",
+        # 10..100 words; every 20th doc ends in the 'dup' marker token
+        # (matches the ~5% marked docs at sf0.1)
+        "transform("
+        f"sequence(1, cast({h('dn', 'id')} % 91 + 10 as int)),"
+        f"i -> CASE WHEN {zipf_rank} <= 30"
+        f" THEN element_at({vocab_arr}, {zipf_rank})"
+        f" ELSE concat('w', {zipf_rank}) END) AS toks",
+    ).selectExpr(
+        "id",
+        f"""CASE WHEN {h('bp', 'id')} % 100 = 0 THEN concat(
+              slice(toks, 1, cast({h('bpo', 'id')} % (size(toks) + 1) as int)),
+              element_at({bp_arr},
+                         cast({h('bpv', 'id')} % {n_bp} as int) + 1),
+              slice(toks,
+                    cast({h('bpo', 'id')} % (size(toks) + 1) as int) + 1,
+                    size(toks)))
+            ELSE toks END AS toks""",
+    ).selectExpr(
+        "id AS doc_id",
+        "concat(concat_ws(' ', toks),"
+        " CASE WHEN id % 20 = 0 THEN ' dup' ELSE '' END) AS text",
+        pick(["en", "en", "en", "en", "de", "es", "fr", "zh"],
+             h("dl", "id")) + " AS lang",
+        f"concat('src', cast({h('ds', 'id')} % 20 as string)) AS source",
+    ).selectExpr(
+        "doc_id", "text", "lang", "source",
+        "cast(length(text) as bigint) AS n_chars",
+    )
+
+
 def main() -> None:
     out = sys.argv[1] if len(sys.argv) > 1 else f"{REPO}/.localdata/sf1"
     mult = int(sys.argv[2]) if len(sys.argv) > 2 else 10
@@ -180,44 +253,7 @@ def main() -> None:
         ), "events",
     )
 
-    vocab_arr = "array(" + ", ".join(f"'{w}'" for w in VOCAB[:30]) + ")"
-    # ZIPFIAN token draw (r5 VERDICT #1): the r4/r5 generator drew every
-    # token uniformly from the 30-word head vocab, so at 55k+ docs every
-    # 5-gram shingle's document frequency blew past the ngram index's
-    # max_df and dedup_ngram_jaccard was vacuously 0 rows at sf1+ — the
-    # text-family scale evidence was measured on unrealistically uniform
-    # boilerplate. Real corpora are Zipf-tailed; emulate with the
-    # standard inverse-CDF draw for s=1: u ~ U[0,1), rank = floor(V^u)
-    # (P(rank=r) ~ 1/r). Ranks 1..30 map to the REAL head vocab — the
-    # head carries ~ln(30)/ln(V) = 37% of token mass, so stopword /
-    # language-guess signal survives — and ranks 31..V are synthetic
-    # 'w{rank}' tail words, so RARE shingles exist at every scale and
-    # the inverted index / LSH recall rows measure a realistic df
-    # distribution. Deterministic: rank is a pure function of (id, i).
-    zipf_v = 10_000
-    zipf_rank = (
-        "cast(pow(" + f"{zipf_v}.0D, "
-        "((xxhash64(id, i, 'dw') & 9223372036854775807)"
-        " / 9.223372036854775807e18)) as int)"
-    )
-    docs = spark.range(n["documents"]).selectExpr(
-        "id AS doc_id",
-        # 10..100 words; every 20th doc ends in the 'dup' marker token
-        # (matches the ~5% marked docs at sf0.1)
-        "concat(concat_ws(' ', transform("
-        f"sequence(1, cast({h('dn', 'id')} % 91 + 10 as int)),"
-        f"i -> CASE WHEN {zipf_rank} <= 30"
-        f" THEN element_at({vocab_arr}, {zipf_rank})"
-        f" ELSE concat('w', {zipf_rank}) END)),"
-        " CASE WHEN id % 20 = 0 THEN ' dup' ELSE '' END) AS text",
-        pick(["en", "en", "en", "en", "de", "es", "fr", "zh"],
-             h("dl", "id")) + " AS lang",
-        f"concat('src', cast({h('ds', 'id')} % 20 as string)) AS source",
-    ).selectExpr(
-        "doc_id", "text", "lang", "source",
-        "cast(length(text) as bigint) AS n_chars",
-    )
-    write(docs, "documents")
+    write(documents_frame(spark, n["documents"]), "documents")
 
     write(
         spark.range(n["embeddings"]).selectExpr(
