@@ -671,22 +671,23 @@ def streaming_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def streaming_semdedup_durable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-batch semantic dedup with DURABLE cent_id-partitioned
-    history (r11 VERDICT "Next round" #1): same 3-batch loop as
+    """Cross-batch semantic dedup with DURABLE partitioned history
+    (r11 VERDICT "Next round" #1; r12 #2 levers): same 3-batch loop as
     streaming_semdedup, but the assignment history lives as
-    cent_id-partitioned parquet and each batch re-reads ONLY the cells
-    it probes (explicit per-cell paths — directory pruning by
-    construction), batch-0 training runs on the deterministic sampled
-    slice vec_id % 12 = 0 (killing the flat n·C/3 training term), and
-    pairs land in a found_batch-partitioned store so driver state is
-    counters only. The oracle replays the whole loop symbolically as
-    the STATIC semantic_cluster_pairs with training restricted to the
-    sampled slice (train_filter, rank seeds) plus found_batch =
-    greatest(vec_a%3, vec_b%3): hash equality proves the pruned
-    partitioned-store machinery finds precisely the batch operator's
-    pair set, each exactly once, in the right batch — a history row in
-    an unprobed cell can never pair with a batch row, so skipping its
-    bytes loses nothing."""
+    (batch, cent_id)-partitioned parquet inside a committed generation
+    directory, with an int8 SKETCH sidecar and per-directory angular
+    ZONE rows, and each batch re-reads only what can still pair:
+    zone-gap skip (triangle inequality) → sketch pre-filter (int8
+    reconstruction bound) → full rows for candidate directories only.
+    All three read stages are provably output-invariant supersets, so
+    the oracle STILL replays the whole loop symbolically as the STATIC
+    semantic_cluster_pairs with training restricted to the sampled
+    slice vec_id % 12 = 0 (train_filter, rank seeds) plus found_batch
+    = greatest(vec_a%3, vec_b%3): hash equality proves the pruned
+    sketch-first machinery finds precisely the batch operator's pair
+    set, each exactly once, in the right batch, while per-batch
+    history bytes track sketch + candidate mass instead of store
+    size even under this entry's uniform vec_id%3 arrivals."""
     import shutil
     import tempfile
 

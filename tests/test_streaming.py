@@ -384,8 +384,10 @@ def test_streaming_semdedup_durable_matches_static_pairs(spark, tmp_path):
 
     aug = ann.augmented_embeddings(spark, SF)
     d = str(tmp_path / "ssdd")
+    # sketch_read_min_bytes=0 forces the int8 sketch pre-filter path
+    # even on this tiny store (production default cuts over adaptively)
     st = sd_stream.start_streaming_semdedup_durable(
-        spark, aug, d, n_batches=3
+        spark, aug, d, n_batches=3, sketch_read_min_bytes=0,
     )
     res = sd_stream.durable_results(spark, d)
     got = {
@@ -405,17 +407,25 @@ def test_streaming_semdedup_durable_matches_static_pairs(spark, tmp_path):
     assert set(got) == static
     for (va, vb, *_), fb in got.items():
         assert fb == max(va % 3, vb % 3)
-    # evidence shape: per-batch history bytes track the PROBED cells,
-    # and the store grows monotonically while driver state stays flat
+    # evidence shape: per-batch history bytes track sketch + candidate
+    # mass (r12 #2: strictly BELOW the store size once a store exists
+    # — the uniform-regime lever), the store grows monotonically, and
+    # generation 0 is atomically committed
     assert [h["batch"] for h in st.history] == [0, 1, 2]
     assert st.history[0]["history_bytes_read"] == 0  # no store yet
-    for h in st.history:
-        assert h["history_cells"] <= h["probed_cells"]
-        assert h["history_bytes_read"] <= h["store_bytes_total"]
+    for h in st.history[1:]:
+        assert h["history_bytes_read"] < h["store_bytes_total"]
+        assert h["sketch_bytes_read"] + h["cand_bytes_read"] == \
+            h["history_bytes_read"]
     assert (
         st.history[1]["store_bytes_total"]
         < st.history[2]["store_bytes_total"]
     )
+    from geneticalgorithmsusingmapreduce_spark.streaming import (
+        ivf_rebuild as gens,
+    )
+
+    assert gens.committed_generations(spark, d) == [0]
 
 
 def test_read_probed_cells_prunes_unprobed_dirs(spark, tmp_path):
@@ -444,3 +454,126 @@ def test_read_probed_cells_prunes_unprobed_dirs(spark, tmp_path):
     # probing only missing cells reads nothing at all
     none, zero, live0 = sd_stream.read_probed_cells(spark, base, [99])
     assert none is None and zero == 0 and live0 == 0
+
+
+def test_read_band_cells_prunes_unlisted_dirs(spark, tmp_path):
+    # the banded generalization of the probed-cell pin: with bands
+    # {0, 1} x cells {0, 1, 2} on disk and a plan of
+    # [(0, 0), (1, 2)], the read must list ONLY those two directories
+    from geneticalgorithmsusingmapreduce_spark.streaming import (
+        semdedup as sd_stream,
+    )
+
+    base = str(tmp_path / "assign")
+    df = spark.createDataFrame(
+        [(i, i % 2, i % 3, [i, i + 1], 5) for i in range(30)],
+        "vec_id long, batch long, cent_id long, qv array<long>, n2 long",
+    )
+    df.write.partitionBy("batch", "cent_id").parquet(base)
+    hist, nbytes, n_live = sd_stream.read_band_cells(
+        spark, base, [(0, 0), (1, 2)], ["vec_id", "qv", "n2"]
+    )
+    assert n_live == 2 and nbytes > 0
+    files = hist.inputFiles()
+    assert files
+    assert all(
+        ("batch=0/cent_id=0" in f) or ("batch=1/cent_id=2" in f)
+        for f in files
+    )
+    got = {(r.vec_id, r.batch, r.cent_id) for r in hist.collect()}
+    assert got == {
+        (i, i % 2, i % 3) for i in range(30)
+        if (i % 2, i % 3) in {(0, 0), (1, 2)}
+    }
+
+
+def test_zone_plan_skips_only_unreachable_bands(spark):
+    # sound gap test: tau=800 -> arccos = 0.6435 rad = 643501 urad.
+    # A band whose theta interval gaps the batch interval by MORE than
+    # that is skipped; touching or reachable bands survive.
+    from geneticalgorithmsusingmapreduce_spark.streaming import (
+        semdedup as sd_stream,
+    )
+
+    batch_iv = {7: (100_000, 200_000)}
+    zr = [
+        # gap 0 (overlap) -> live
+        {"batch": 0, "cent_id": 7, "tmin_urad": 150_000,
+         "tmax_urad": 300_000},
+        # gap 643_501 + 100 above the batch max -> skipped
+        {"batch": 1, "cent_id": 7, "tmin_urad": 843_700,
+         "tmax_urad": 900_000},
+        # gap just UNDER the bound -> live (conservative keep)
+        {"batch": 2, "cent_id": 7, "tmin_urad": 843_000,
+         "tmax_urad": 900_000},
+        # unprobed cell: not read, not counted
+        {"batch": 0, "cent_id": 9, "tmin_urad": 0, "tmax_urad": 1},
+    ]
+    live, skipped = sd_stream._zone_plan(zr, batch_iv, 800)
+    assert live == [(0, 7), (2, 7)]
+    assert skipped == 1
+
+
+def test_durable_compaction_preserves_pairs(spark, tmp_path):
+    # recency-banded compaction mid-stream must not change the pair
+    # set (bands merge, zone envelopes fold conservatively)
+    from geneticalgorithmsusingmapreduce_spark.operators import ann
+    from geneticalgorithmsusingmapreduce_spark.streaming import (
+        semdedup as sd_stream,
+    )
+
+    aug = ann.augmented_embeddings(spark, SF)
+    d0, d1 = str(tmp_path / "plain"), str(tmp_path / "compact")
+    # 5 batches, maintenance every 2: at batch 4 the bands {0,1,2}
+    # (minus the protected newest, 3) are ≥ 2 and merge fires
+    st0 = sd_stream.start_streaming_semdedup_durable(
+        spark, aug, d0, n_batches=5
+    )
+    st1 = sd_stream.start_streaming_semdedup_durable(
+        spark, aug, d1, n_batches=5, compact_every=2,
+        compact_keep_recent=1,
+    )
+    a = sorted(tuple(r) for r in sd_stream.durable_results(spark, d0).collect())
+    b = sorted(tuple(r) for r in sd_stream.durable_results(spark, d1).collect())
+    assert a == b and len(a) > 0
+    assert st1.compactions and st1.compactions[0]["merged_bands"] >= 2
+    # compaction reduced the number of band directories on disk
+    import os
+
+    bands = [
+        e.name for e in os.scandir(os.path.join(d1, "gen=0", "assign"))
+        if e.name.startswith("batch=")
+    ]
+    assert any(e.startswith("batch=-") for e in bands)
+    assert st0.history[-1]["band_dirs_total"] >         st1.history[-1]["band_dirs_total"]
+
+
+def test_durable_rebuild_lifecycle_keeps_attribution(spark, tmp_path):
+    # r12 #3: force a rebuild (hot-frac threshold 0 fires after batch
+    # 0) and prove (a) generation 1 is committed and generation 0
+    # GC'd after the grace batch, (b) every pair found BEFORE the
+    # rebuild keeps its found_batch attribution, (c) the stream keeps
+    # finding cross-batch pairs after the swap
+    from geneticalgorithmsusingmapreduce_spark.operators import ann
+    from geneticalgorithmsusingmapreduce_spark.streaming import (
+        ivf_rebuild as gens, semdedup as sd_stream,
+    )
+
+    aug = ann.augmented_embeddings(spark, SF)
+    d = str(tmp_path / "reb")
+    st = sd_stream.start_streaming_semdedup_durable(
+        spark, aug, d, n_batches=3, rebuild_hot_frac=0.0,
+    )
+    assert st.rebuilds and st.rebuilds[0][0] == 0
+    assert gens.committed_generations(spark, d)[-1] == st.gen >= 1
+    assert st.gen == st.history[-1]["gen"]
+    res = {
+        (r.vec_a, r.vec_b): r.found_batch
+        for r in sd_stream.durable_results(spark, d).collect()
+    }
+    assert res, "pairs must survive the generation swap"
+    # batch-0 pairs (both members in batch 0) kept their attribution
+    b0 = {k: v for k, v in res.items() if k[0] % 3 == 0 and k[1] % 3 == 0}
+    assert all(v == 0 for v in b0.values())
+    # later batches still pair against (re-encoded) history
+    assert any(v > 0 for v in res.values())
