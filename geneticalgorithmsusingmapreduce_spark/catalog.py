@@ -2045,7 +2045,11 @@ def corpus_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     328 s → 32 s at sf0.1 with the fixture materialized once.
     Fixture-only cost class: production input is a parquet scan (a
     plan leaf), so the trap does not exist there — same reasoning as
-    the stage-4/stage-5 truncations inside the pipeline itself."""
+    the stage-4/stage-5 truncations inside the pipeline itself.
+    Classic-session requirement (r12 ADVICE): the fixture
+    checkpoint-truncation raises at ENTRY-BUILD time on Spark Connect
+    sessions (localCheckpoint is a classic-JVM API), rather than at
+    collect as the in-pipeline checkpoints already did."""
     docs = runtime.local_checkpoint_truncated(
         _full_ladder_docs(spark, sf_dir)
     )
@@ -2366,7 +2370,15 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     symbolic training replay stays static; at scale C is sized for a
     fixed target cluster size by ann.centroids_for_count (in-cluster
     verify work linear in n; the probe rows in BASELINE price the
-    training/assignment term and the approximate rung)."""
+    training/assignment term and the approximate rung).
+
+    THIS ENTRY IS THE LABELED FLAT-TRAINING BASELINE (r12 VERDICT
+    "Next round" #4): its train_mod=None config carries the n·C
+    flat-training term (16.52× same-day decade). The config an
+    operator should reach for is the ``_sampled`` sibling
+    (dedup_semantic_semdedup_sampled — sampled training, exact
+    assignment, 6.86× decade at 99.5% of flat's pairs); see the
+    OPERATOR GUIDANCE block in ann.semantic_cluster_pairs."""
     return ann_ops.semantic_cluster_pairs(
         ann_ops.augmented_embeddings(spark, sf_dir)
     )

@@ -2167,6 +2167,16 @@ def semantic_cluster_pairs(
     stack), assign every vector to its argmax-dot list, then verify the
     exact integer cosine certificate on INTRA-CLUSTER pairs only.
 
+    OPERATOR GUIDANCE (r12 VERDICT "Next round" #4): for any corpus
+    beyond toy scale, SET ``train_mod`` — sampled training with exact
+    assignment is the production default for the exact rung (measured
+    same-day decade 6.86× vs 16.52× flat-trained at 99.5% of flat's
+    pairs, identical sf10 pair sets; the registered
+    ``dedup_semantic_semdedup_sampled`` entry is this config).
+    ``train_mod=None`` (flat Lloyd's over every vector) is kept as the
+    LABELED BASELINE only — the emb_topk_dot convention — because its
+    n·C training term is quadratic-class at corpus scale.
+
     Differs from cosine_near_pairs (sign-LSH buckets) in recall shape:
     LSH buckets drop near pairs probabilistically per plane; the
     cluster restriction drops exactly the pairs whose members quantize
@@ -2217,6 +2227,19 @@ def semantic_cluster_pairs(
     fast rung's in-driver coarse k-means."""
     train = emb
     if train_mod is not None:
+        if not seed_by_rank:
+            # loud, not silent (r12 ADVICE): dense-id seeding is
+            # ill-defined on the sparse sampled slice, so train_mod
+            # REQUIRES rank seeds — an explicit False is a caller bug
+            import warnings
+
+            warnings.warn(
+                "semantic_cluster_pairs: train_mod forces "
+                "seed_by_rank=True (dense-id seeds are undefined on "
+                "the sampled slice); the explicit seed_by_rank=False "
+                "was overridden",
+                stacklevel=2,
+            )
         train = emb.filter(F.col("vec_id") % train_mod == 0)
         seed_by_rank = True
     rows, _ = train_centroid_rows(
@@ -2420,7 +2443,13 @@ def duck_semantic_cluster_pairs_sql(
     where centroids come from batch 0 only."""
     ctes, prev = _duck_kmeans_ctes(
         n_centroids, iters, table,
-        train_filter=train_filter or ("TRUE" if seed_by_rank else None),
+        # `is not None`, not `or` (r12 ADVICE): an explicit empty /
+        # falsy train_filter must error downstream, not silently fall
+        # back to the seed_by_rank branch
+        train_filter=(
+            train_filter if train_filter is not None
+            else ("TRUE" if seed_by_rank else None)
+        ),
     )
     ctes.append(
         f"asgn AS (SELECT vec_id, qv, cent_id FROM ("

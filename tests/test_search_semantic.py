@@ -382,3 +382,20 @@ def test_bm25_term_escaping():
     # ADVICE) — rejected, not half-escaped
     with _pytest.raises(ValueError):
         textops._bm25_term("a\\b")
+
+
+def test_sampled_training_is_the_documented_default():
+    # r12 VERDICT #4 pointer test: the operator docstring must steer
+    # users to train_mod (sampled training, exact assignment) as the
+    # at-scale default, the catalog must register the sampled config,
+    # and the flat entry must label itself as the baseline
+    from geneticalgorithmsusingmapreduce_spark import catalog
+    from geneticalgorithmsusingmapreduce_spark.operators import ann
+
+    doc = ann.semantic_cluster_pairs.__doc__
+    assert "OPERATOR GUIDANCE" in doc and "train_mod" in doc
+    assert "production default" in doc
+    assert "dedup_semantic_semdedup_sampled" in catalog.QUERIES
+    flat_doc = catalog.QUERIES["dedup_semantic_semdedup"].__doc__
+    assert "BASELINE" in flat_doc
+    assert "dedup_semantic_semdedup_sampled" in flat_doc

@@ -72,7 +72,9 @@ def main() -> None:
             ["git", "-C", REPO, "rev-parse", "--short", "HEAD"],
             capture_output=True, text=True, timeout=10,
         ).stdout.strip() or None
-    except OSError:
+    except (OSError, subprocess.SubprocessError):
+        # TimeoutExpired is a SubprocessError, NOT an OSError (r12
+        # ADVICE) — a hung git must degrade to commit=None, not crash
         commit = None
     out = {
         "variant": variant,
