@@ -658,6 +658,20 @@ def repeated_span_removal(docs: DataFrame, k: int = 8) -> DataFrame:
     from ..functions import text as text_fns
 
     base = docs.select("doc_id", text_fns.spark_tokens().alias("t"))
+    # The rewrite filter is the plan's heaviest expression (interpreted
+    # HOF lambda over every token). Reference it exactly ONCE in the
+    # output projection: the token counts come from span arithmetic
+    # instead — islands are disjoint, in-bounds token ranges, so
+    # Σ(span_end − span_start + 1) ≡ size(t) − size(kept) exactly
+    # (oracle hash unchanged; pinned by the entry's gate). The earlier
+    # 3-reference form (text/n_tokens/span_dropped all over `kept`)
+    # tripled the collapsed projection's expression tree — guide §2.3's
+    # "project before the exchange" applied to expression size.
+    dropped_expr = (
+        "CASE WHEN spans IS NULL THEN 0L ELSE "
+        "aggregate(spans, 0L, "
+        "(a, s) -> a + s.span_end - s.span_start + 1L) END"
+    )
     return (
         base.join(spans, "doc_id", "left")
         .select(
@@ -667,14 +681,13 @@ def repeated_span_removal(docs: DataFrame, k: int = 8) -> DataFrame:
                 "filter(t, (tok, i) -> NOT exists(spans, "
                 "s -> i >= s.span_start AND i <= s.span_end)) END"
             ).alias("kept"),
+            F.expr(dropped_expr).alias("dropped"),
         )
         .select(
             "doc_id",
             F.array_join("kept", " ").alias("text"),
-            F.size("kept").cast("long").alias("n_tokens"),
-            (F.size("t") - F.size("kept")).cast("long").alias(
-                "span_dropped_tokens"
-            ),
+            (F.size("t") - F.col("dropped")).cast("long").alias("n_tokens"),
+            F.col("dropped").cast("long").alias("span_dropped_tokens"),
             F.expr("cast(coalesce(size(spans), 0) as bigint)").alias(
                 "n_spans"
             ),

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from . import split as split_ops
 from ..functions import text as text_fns
-from ..runtime import scoped_persist
+from ..runtime import scoped_cleanup, scoped_persist
 from .textops import LANGS, STOPWORDS, _count_in
 
 _TOKS = text_fns.SPARK_TOKENS
@@ -402,14 +402,27 @@ def _neardup_kept(
     survivors = scoped_persist(survivors)
     sdocs = docs.join(survivors.select("doc_id"), "doc_id", "leftsemi")
     if span_k is not None:
-        # the span rung: cut text persisted once (feeds the shingle
-        # fold, the credit join, and — via the returned frame — the
-        # chunk and LM stages of the composed pipelines); fully-cut
-        # docs (span-granularity exact duplicates) drop here
-        cut = scoped_persist(
+        # the span rung: cut text CHECKPOINT-TRUNCATED, not merely
+        # persisted (r13 optimization). A persist keeps the full
+        # logical plan behind an InMemoryRelation, and treeString /
+        # canonicalization expand every InMemoryTableScan's
+        # innerChildren — so each of the ~30 downstream actions
+        # (shingle fold, LSH, star loop, chunk stage, LM) re-printed
+        # and re-analyzed the nested cut→occ→fixture pyramid, which
+        # measured as ~90% driver CPU in TreeNode.generateTreeString
+        # (jstack; before/after numbers in OPTIMIZATION_r13.md — the
+        # sf0.01 entry dropped an order of magnitude with this one
+        # change). The checkpoint collapses the rung to
+        # a plan LEAF — the same stage-4/stage-5 truncation policy
+        # documented in _semdedup_final/curate_corpus_full. Fully-cut
+        # docs (span-granularity exact duplicates) drop here.
+        from ..runtime import free_checkpoint, local_checkpoint_truncated
+
+        cut = local_checkpoint_truncated(
             dedup_ops.repeated_span_removal(sdocs, k=span_k)
             .filter(F.col("n_tokens") >= 1)
         )
+        scoped_cleanup(lambda: free_checkpoint(cut))
         sdocs = cut.select("doc_id", "text")
         survivors = (
             survivors.drop("n_tokens")
