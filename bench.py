@@ -306,6 +306,8 @@ def main():
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
+        # stderr progress only — stdout stays the one-JSON-line contract
+        print(f"[bench] {name}: {best:.2f}s", file=sys.stderr, flush=True)
 
     for name, fn in catalog.QUERIES.items():
         if name not in heavy_tail:
