@@ -418,9 +418,30 @@ def _neardup_kept(
         # docs (span-granularity exact duplicates) drop here.
         from ..runtime import free_checkpoint, local_checkpoint_truncated
 
+        # parallelism pin (r14, guide §2.5): both the span rung's input
+        # and its checkpointed output are tiny in BYTES (the whole
+        # fixture is a few MB here) but enormous in DERIVED work per
+        # byte — the gram expansion, the token rewrite, and every
+        # downstream shingle/chunk/LM pass are interpreted HOFs over
+        # every token. AQE coalesces exchanges by byte size, so without
+        # an explicit pin the digest semi-join collapses sdocs to ONE
+        # post-shuffle partition and the checkpoint freezes that layout:
+        # the r14 jstack showed the occ gram persist burning a single
+        # core for 60+ s (storage info: 1 cached partition) while 31
+        # cores idled, and every later rung inherited the serialization.
+        # repartition(par, doc_id) pins the count (AQE never coalesces a
+        # user-specified repartition); par = defaultParallelism is the
+        # cluster's total-cores figure, not a local constant. The
+        # exchange it adds carries only [doc_id, text] once — measured
+        # entry build 38 s → (see OPTIMIZATION_r14.md) with the rung's
+        # heavy stages fanned back out.
+        par = docs.sparkSession.sparkContext.defaultParallelism
         cut = local_checkpoint_truncated(
-            dedup_ops.repeated_span_removal(sdocs, k=span_k)
+            dedup_ops.repeated_span_removal(
+                sdocs.repartition(par, "doc_id"), k=span_k
+            )
             .filter(F.col("n_tokens") >= 1)
+            .repartition(par, "doc_id")
         )
         scoped_cleanup(lambda: free_checkpoint(cut))
         sdocs = cut.select("doc_id", "text")

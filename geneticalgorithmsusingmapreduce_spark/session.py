@@ -62,10 +62,25 @@ def build_session(
         .config("spark.sql.session.timeZone", "UTC")
         # the reference enables speculative execution on every job
         # (reference src/edu/illinois/ga/MapReduce.java:281, CGA.java:341)
-        # to mask straggler tasks; same knob, Spark spelling. No effect in
-        # local mode (one JVM — nothing to speculate against), matters on
-        # a real cluster where one slow executor would gate a generation.
-        .config("spark.speculation", "true")
+        # to mask straggler tasks; same knob, Spark spelling. r14
+        # CORRECTION to the long-standing comment here ("no effect in
+        # local mode"): it measurably DOES have an effect in local mode,
+        # and a purely harmful one — the speculation checker re-enqueues
+        # copies of sub-ms tasks onto the SAME cores (there is no other
+        # node to mask), measured at +0.5-0.9 s of scheduler churn on a
+        # trivial one-exchange agg (1.6-2.4 s → 0.76-0.97 s with it off;
+        # tools/ab_speculation_r14.py) — a fixed tax on every job of
+        # every entry. This factory always builds local[N] sessions, so
+        # the default here is OFF; a cluster deployment (where the knob
+        # belongs, per the reference) re-enables it with
+        # SPARK_GRAFT_SPECULATION=1 — parameterized, not hardcoded, per
+        # the scale-dependent-settings rule.
+        .config(
+            "spark.speculation",
+            {"1": "true", "0": "false"}.get(
+                os.environ.get("SPARK_GRAFT_SPECULATION", ""), "false"
+            ),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # one BLAS thread per Python worker: the float64 matmul kernels
         # (Lloyd's partials, SemDeDup assignment/tiles) otherwise spawn
@@ -79,6 +94,25 @@ def build_session(
         .config("spark.executorEnv.OMP_NUM_THREADS", _blas_threads())
         .config("spark.executorEnv.MKL_NUM_THREADS", _blas_threads())
         .config("spark.ui.enabled", "false")
+        # collect_set/collect_list aggregation (LSH shingle sets,
+        # containment postings, span folds) runs as
+        # ObjectHashAggregate, which silently falls back to SORT-based
+        # aggregation once a task sees >128 distinct groups
+        # (spark.sql.objectHashAggregate.sortBased.fallbackThreshold's
+        # ancient default) — the fallback sorts every row AND walks the
+        # interpreted TypedImperativeAggregate serialize/merge path, the
+        # exact stack a live jstack of the r14 bench showed grinding
+        # (Collect.deserialize inside SortBasedAggregator) on the
+        # containment entry. Our group counts are 10^4-10^6 per task at
+        # bench scale with SMALL per-group state (int64 set members), so
+        # the hash map stays modest; 4M groups × ~100 B state bounds one
+        # task's map at ~hundreds of MB on this 128 GiB box. On a
+        # memory-tight cluster, size via SPARK_GRAFT_OBJAGG_FALLBACK
+        # (per-task map entries before graceful sort fallback).
+        .config(
+            "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+            os.environ.get("SPARK_GRAFT_OBJAGG_FALLBACK", str(1 << 22)),
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # local-mode split sizing: test-scale parquet is tens of MB, so the
         # 128 MB default packs a whole table into ~3 input tasks and leaves

@@ -193,8 +193,11 @@ def start_streaming_neardup(
                 F.lit(b).cast("long").alias("found_batch"),
             )
         )
+        # LAZY checkpoint, materialized by the count below — one job per
+        # batch where eager + count was two (r14; the _star_loop "one
+        # job per round" trick)
         new_res = local_checkpoint_truncated(
-            state.results.unionByName(verified)
+            state.results.unionByName(verified), eager=False
         )
         prev_total = sum(n for _, n in state.history)
         n_new = new_res.count() - prev_total

@@ -69,7 +69,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, Observation, SparkSession, \
+    functions as F
 
 from ..operators import ann
 from ..runtime import free_checkpoint, local_checkpoint_truncated
@@ -798,12 +799,23 @@ def start_streaming_semdedup_durable(
                 compute_inertia=False, seed_by_rank=True,
             )
             state.centroid_rows = rows
-        asg = local_checkpoint_truncated(
+        # persist, not eager localCheckpoint (r14 job-count cut): the
+        # enrich kernel feeds 4-5 consumers (cell stats, pre-filter
+        # union, fresh pair side, assign/sketch writes) and must
+        # materialize once — but the eager checkpoint spent a DEDICATED
+        # job on that, immediately followed by the cell_stats collect.
+        # The cache's first action (the collect below) materializes the
+        # persist instead: one job where there were two, every batch.
+        # The plan behind the cache is two nodes (filter ∘ mapInPandas
+        # over the source leaf), so the r13 nested-innerChildren
+        # stringification trap does not apply; free_checkpoint at batch
+        # end falls back to unpersist for plain cached frames.
+        asg = (
             batch.select("vec_id", "embedding").mapInPandas(
                 _enrich_kernel(state.centroid_rows, from_qv=False),
                 schema=_ENRICH_SCHEMA,
             ).filter(F.col("n2") > 0)
-        )
+        ).persist()
         gd = gen_dir()
         cell_stats = asg.groupBy("cent_id").agg(
             F.min("theta_urad").alias("t1"),
@@ -874,12 +886,15 @@ def start_streaming_semdedup_durable(
                         "batch",
                     ))
                 )
-                cand = local_checkpoint_truncated(
-                    pre.groupBy("cent_id").applyInPandas(
-                        prefilter,
-                        schema="cent_id long, batch long, vec_id long",
-                    )
-                )
+                # persist + let the candidate-dir collect be the
+                # materializing action (r14 job-count cut, same move as
+                # the asg persist above): the eager checkpoint burned a
+                # job, then the distinct-collect burned another over the
+                # checkpointed blocks. One job now does both.
+                cand = pre.groupBy("cent_id").applyInPandas(
+                    prefilter,
+                    schema="cent_id long, batch long, vec_id long",
+                ).persist()
                 cand_dirs = sorted({
                     (int(r["batch"]), int(r["cent_id"]))
                     for r in cand.select("batch", "cent_id")
@@ -934,12 +949,18 @@ def start_streaming_semdedup_durable(
             .filter(F.expr(_keep_expr(t2)))
             .withColumn("found_batch", F.lit(b).cast("long"))
         )
-        new_pairs.write.mode("append").partitionBy("found_batch").parquet(
+        # n_new rides the write via observe() (r13 VERDICT "Next round"
+        # #6): the previous form re-read the just-written found_batch=b
+        # directory and count()ed it — one extra Spark job per batch
+        # (plus a driver isdir probe) for a number the write's own scan
+        # already knows. Pairs bytes on disk are identical.
+        pairs_obs = Observation()
+        new_pairs.observe(
+            pairs_obs, F.count(F.lit(1)).alias("n")
+        ).write.mode("append").partitionBy("found_batch").parquet(
             pairs_base
         )
-        # a zero-pair batch writes no found_batch=b directory at all
-        bdir = os.path.join(pairs_base, f"found_batch={b}")
-        n_new = spark.read.parquet(bdir).count() if os.path.isdir(bdir) else 0
+        n_new = int(pairs_obs.get["n"])
         for df in to_free:
             free_checkpoint(df)
         _append_stores(asg, b, cell_stats, write_sketch=sketch_on)
