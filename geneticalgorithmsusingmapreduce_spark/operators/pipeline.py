@@ -14,14 +14,31 @@ Plan-shape pinned in tests/test_plans.py.
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import DataFrame, functions as F
 
 from . import split as split_ops
 from ..functions import text as text_fns
-from ..runtime import scoped_cleanup, scoped_persist
+from ..runtime import scoped_cleanup, scoped_persist, truncated_persists
 from .textops import LANGS, STOPWORDS, _count_in
 
 _TOKS = text_fns.SPARK_TOKENS
+
+
+def _ladder(fn):
+    """Decorator for the composed curation ladders: every
+    scoped_persist in the call tree (this module's rungs AND the
+    textops internals — band rows, jaccard sets) checkpoint-truncates
+    to a plan leaf instead of caching. Rationale and measurements:
+    runtime.truncated_persists. Standalone operators stay on plain
+    persist — their plans are shallow enough that the re-analysis
+    this guards against never happens."""
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with truncated_persists():
+            return fn(*args, **kwargs)
+    return wrapped
 
 
 def _lang_guess_expr(dialect: str) -> str:
@@ -309,6 +326,7 @@ def duck_curate_corpus_sql(
     )
 
 
+@_ladder
 def curate_corpus_neardup(
     docs: DataFrame,
     lang: str = "en",
@@ -481,6 +499,7 @@ def _neardup_kept(
     return kept
 
 
+@_ladder
 def curate_corpus_chunk_neardup(
     docs: DataFrame,
     lang: str = "en",
@@ -607,6 +626,7 @@ def _containment_final(
     )
 
 
+@_ladder
 def curate_corpus_chunk_containment(
     docs: DataFrame,
     lang: str = "en",
@@ -732,6 +752,7 @@ def _chunk_containment_final(
     return final
 
 
+@_ladder
 def curate_corpus_semdedup(
     docs: DataFrame,
     emb: DataFrame,
@@ -888,6 +909,7 @@ def _semdedup_final(
     return final2
 
 
+@_ladder
 def curate_corpus_full(
     docs: DataFrame,
     emb: DataFrame,

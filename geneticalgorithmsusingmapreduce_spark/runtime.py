@@ -18,13 +18,48 @@ per generation) keep raw persist/unpersist and never touch this.
 from __future__ import annotations
 
 import atexit
+import contextlib
 import logging
 
 from pyspark.sql import DataFrame
 
 _SCOPED: list[DataFrame] = []
 _CLEANUPS: list = []
+_TRUNC_DEPTH = 0
 _log = logging.getLogger(__name__)
+
+
+@contextlib.contextmanager
+def truncated_persists():
+    """While active, scoped_persist() checkpoint-truncates instead of
+    caching (r14, guide §3.3/§5 "materialise intermediates to truncate
+    enormous plans").
+
+    Why: the composed curation ladders nest 4-6 persisted rungs, and a
+    persist keeps the FULL logical plan behind its InMemoryRelation —
+    so every downstream action re-analyzes the whole pyramid, and (the
+    r14 jstack finding) AQE re-runs createQueryStages/transformUp over
+    the giant tree once per materialized Exchange: the containment
+    entry's one noop save spawned 58 AQE stage-jobs at a near-constant
+    ~0.43 s of driver Catalyst time each, while total executor task
+    time was only ~36 s spread over 105 stages. Collapsing each rung
+    to a Scan ExistingRDD leaf makes every per-stage re-plan O(rung),
+    not O(ladder) — the same mechanism as the r13 span-rung fix,
+    applied to the whole ladder family. At 100 TB the driver cost is
+    the same single-threaded Catalyst bottleneck, only with thousands
+    of stages behind it — truncation is the production policy for
+    deeply-composed pipelines, not a local-mode dodge.
+
+    Standalone operators (shallow plans, one or two persists) keep
+    plain persist: for them the truncation's eager materialization
+    and lost cached-plan partitioning would cost more than the
+    re-analysis they don't suffer. Reentrant (ladders compose)."""
+    global _TRUNC_DEPTH
+    _TRUNC_DEPTH += 1
+    try:
+        yield
+    finally:
+        _TRUNC_DEPTH -= 1
 
 
 def scoped_cleanup(fn) -> None:
@@ -52,7 +87,13 @@ def release_cleanups() -> int:
 
 def scoped_persist(df: DataFrame) -> DataFrame:
     """persist() + register for release when the next catalog entry is
-    built (or when release_persists() is called explicitly)."""
+    built (or when release_persists() is called explicitly). Inside a
+    truncated_persists() scope the frame is checkpoint-truncated to a
+    plan leaf instead (same lifecycle, see truncated_persists)."""
+    if _TRUNC_DEPTH > 0:
+        out = local_checkpoint_truncated(df)
+        scoped_cleanup(lambda: free_checkpoint(out))
+        return out
     df.persist()
     _SCOPED.append(df)
     return df

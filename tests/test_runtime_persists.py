@@ -39,16 +39,16 @@ def test_release_survives_stopped_handles(spark):
 
 
 def test_pipeline_path_drains_scoped_persists(spark):
-    # r6 VERDICT #7: the curation pipeline registers scoped persists
-    # (survivors + shingles); after a full materialization, every one of
-    # them must be registered AND actually released by the drain — the
-    # registry covers the pipeline path end-to-end, not just the
-    # standalone operators. (cluster_pairs_star's localCheckpoints are
-    # lineage truncation with their own GC lifecycle, not this leak
-    # class, so the assertion targets the scoped handles themselves.)
+    # r6 VERDICT #7 (contract updated r14): the curation ladder's shared
+    # subtrees must be lifecycle-managed end-to-end. Since r14 the
+    # ladders run under runtime.truncated_persists(), so each rung is a
+    # checkpoint-truncated leaf registered as a free_checkpoint CLEANUP
+    # (not a cache handle) — after a full materialization the cleanup
+    # registry must hold every rung, and draining it must run them all.
     from geneticalgorithmsusingmapreduce_spark.operators import pipeline
 
     runtime.release_persists()  # clean slate from other tests
+    runtime.release_cleanups()
     docs = spark.createDataFrame(
         [(i, f"the a and of to is u{i}a u{i}b u{i}c u{i}d u{i}e u{i}f "
              f"u{i}g u{i}h")
@@ -56,12 +56,11 @@ def test_pipeline_path_drains_scoped_persists(spark):
         "doc_id long, text string",
     )
     pipeline.curate_corpus_neardup(docs).collect()
-    handles = list(runtime._SCOPED)
-    assert len(handles) >= 2  # survivors + shingles at minimum
-    assert all(h.storageLevel.useMemory for h in handles)
-    assert runtime.release_persists() == len(handles)
-    assert not runtime._SCOPED
-    assert not any(h.storageLevel.useMemory for h in handles)
+    assert not runtime._SCOPED  # ladder rungs no longer cache-persist
+    n_cleanups = len(runtime._CLEANUPS)
+    assert n_cleanups >= 2  # survivors + shingles at minimum
+    assert runtime.release_cleanups() == n_cleanups
+    assert not runtime._CLEANUPS
 
 
 def test_release_runs_at_interpreter_exit():
@@ -116,6 +115,7 @@ def test_free_checkpoint_releases_rdd_blocks(spark):
 def test_scoped_cleanup_drains_in_lifo_order():
     from geneticalgorithmsusingmapreduce_spark import runtime
 
+    runtime.release_cleanups()  # clean slate from other tests' ladders
     order = []
     runtime.scoped_cleanup(lambda: order.append("a"))
     runtime.scoped_cleanup(lambda: order.append("b"))
